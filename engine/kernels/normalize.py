@@ -1,0 +1,132 @@
+"""Charset detection + text canonicalization (SURVEY.md §2 A3).
+
+This module is the *byte-identity anchor* for the whole engine: the
+north rule (BASELINE.json:14) demands "byte-identical extracted text
+per url", so every rule here is pinned, pure, and dependency-free —
+a function of the input bytes only. No locale, no hash seed, no dict
+order, no floats.
+
+Pinned canonicalization spec (order matters):
+  1. decode bytes (BOM > <meta charset> > utf-8 strict > latin-1)
+  2. Unicode NFC normalization
+  3. CRLF / CR -> LF
+  4. NBSP (U+00A0) and other unicode spaces -> ASCII space
+  5. drop C0/C1 control chars except \n and \t
+  6. runs of space/tab -> one space
+  7. strip trailing whitespace on each line
+  8. collapse 3+ consecutive newlines -> exactly 2 (one blank line)
+  9. strip leading/trailing whitespace of the whole document
+
+Reference parity: the reference checkout is empty (SURVEY.md §0), so
+this spec *is* the reference extractor's canonicalization for this
+build; goldens in tests/fixtures pin it byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+import unicodedata
+
+# --- 1. decoding ----------------------------------------------------------
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+# Encoding labels we accept from <meta charset>; anything else falls back
+# to the utf-8-try / latin-1 ladder so an attacker-controlled label can
+# never raise.
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+}
+
+
+def detect_encoding(raw: bytes) -> tuple[str, int]:
+    """Return (codec_name, bom_len). Pure sniff, never raises."""
+    for bom, name in _BOMS:
+        if raw.startswith(bom):
+            return name, len(bom)
+    m = _META_CHARSET_RE.search(raw[:2048])
+    if m:
+        label = m.group(1).decode("ascii", "ignore").lower()
+        codec = _KNOWN_CHARSETS.get(label)
+        if codec is not None:
+            return codec, 0
+    return "", 0  # unknown -> try utf-8, fall back latin-1
+
+
+def decode_bytes(raw: bytes | None) -> str:
+    """Decode payload bytes to str. Total function: never raises."""
+    if raw is None or len(raw) == 0:
+        return ""
+    codec, bom_len = detect_encoding(raw)
+    body = raw[bom_len:]
+    if codec:
+        try:
+            return body.decode(codec, errors="replace")
+        except LookupError:  # pragma: no cover - _KNOWN_CHARSETS guards this
+            pass
+    try:
+        return body.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return body.decode("latin-1")  # latin-1 never fails
+
+
+# --- 2-9. canonicalization -------------------------------------------------
+
+# Unicode space-ish code points folded to ASCII space (step 4).
+_SPACE_TRANSLATE = {
+    0x00A0: 0x20,  # NBSP
+    0x2000: 0x20, 0x2001: 0x20, 0x2002: 0x20, 0x2003: 0x20,
+    0x2004: 0x20, 0x2005: 0x20, 0x2006: 0x20, 0x2007: 0x20,
+    0x2008: 0x20, 0x2009: 0x20, 0x200A: 0x20,
+    0x202F: 0x20, 0x205F: 0x20, 0x3000: 0x20,
+    0x200B: None,  # zero-width space: drop
+    0xFEFF: None,  # stray BOM / zwnbsp: drop
+}
+
+# C0 controls except \t(09) \n(0A), plus DEL and C1 block (step 5).
+_CTRL_TRANSLATE = {c: None for c in range(0x00, 0x20) if c not in (0x09, 0x0A)}
+_CTRL_TRANSLATE[0x7F] = None
+_CTRL_TRANSLATE.update({c: None for c in range(0x80, 0xA0)})
+
+_RUNS_RE = re.compile(r"[ \t]+")
+_TRAIL_RE = re.compile(r" +\n")
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+
+
+def canonicalize(text: str) -> str:
+    """Apply pinned steps 2-9 to an already-decoded string."""
+    if not text:
+        return ""
+    s = unicodedata.normalize("NFC", text)
+    s = s.replace("\r\n", "\n").replace("\r", "\n")
+    s = s.translate(_SPACE_TRANSLATE)
+    s = s.translate(_CTRL_TRANSLATE)
+    s = _RUNS_RE.sub(" ", s)
+    s = _TRAIL_RE.sub("\n", s)
+    s = _MULTI_NL_RE.sub("\n\n", s)
+    return s.strip()
+
+
+def normalize_bytes(raw: bytes | None) -> str:
+    """decode + canonicalize in one pinned call (the kernel entrypoint)."""
+    return canonicalize(decode_bytes(raw))

@@ -1,0 +1,86 @@
+"""OCR fallback for raster-only scanned PDFs (SURVEY.md §2 A5).
+
+Decodes the 1-bit image XObject embedded by engine/synth/pdfgen.py
+(make_scanned_pdf) and recognizes glyphs by exact 5x7 bit-pattern
+lookup against the synthetic font (engine/kernels/ocr_font.py).
+
+Scope honesty: this is a real decode (bitmap -> glyph-table inverse
+lookup) over the font this corpus is rendered with; production would
+swap tesseract in at the same kernel seam. Pinned rules:
+  * cell grid: CELL_W x CELL_H px, row-major;
+  * all-zero cell -> space; pattern not in font -> U+FFFD;
+  * trailing spaces stripped per line; blank lines preserved
+    (paragraph gaps); output canonicalized.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from engine.kernels.normalize import canonicalize
+from engine.kernels.ocr_font import CELL_H, CELL_W, PATTERN_TO_CHAR, pattern_from_cell
+from engine.kernels.pdf_textlayer import is_pdf, parse_objects
+
+_IMG_DICT_RE = re.compile(rb"/Subtype\s*/Image")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def find_image_bitmaps(raw: bytes) -> list[tuple[int, int, bytes]]:
+    """All 1-bit image XObjects as (width, height, packed_rows)."""
+    out: list[tuple[int, int, bytes]] = []
+    for _num, (body, stream) in sorted(parse_objects(raw).items()):
+        if stream is None or not _IMG_DICT_RE.search(body):
+            continue
+        wm = _WIDTH_RE.search(body)
+        hm = _HEIGHT_RE.search(body)
+        if not (wm and hm):
+            continue
+        out.append((int(wm.group(1)), int(hm.group(1)), stream))
+    return out
+
+
+def has_image(raw: bytes | None) -> bool:
+    if not is_pdf(raw):
+        return False
+    try:
+        return bool(find_image_bitmaps(raw))
+    except Exception:
+        return False
+
+
+def decode_bitmap(width: int, height: int, packed: bytes) -> str:
+    """Rebuild text from a row-padded 1-bit bitmap on the glyph grid."""
+    row_bytes = (width + 7) // 8
+    if len(packed) < row_bytes * height:
+        return ""
+
+    def pixel(x: int, y: int) -> int:
+        if x >= width or y >= height:
+            return 0
+        return (packed[y * row_bytes + (x >> 3)] >> (7 - (x & 7))) & 1
+
+    lines: list[str] = []
+    for li in range(height // CELL_H):
+        chars: list[str] = []
+        for ci in range(width // CELL_W):
+            x0, y0 = ci * CELL_W, li * CELL_H
+            pat = pattern_from_cell(lambda r, c: pixel(x0 + c, y0 + r))
+            if pat == 0:
+                chars.append(" ")
+            else:
+                chars.append(PATTERN_TO_CHAR.get(pat, "�"))
+        lines.append("".join(chars).rstrip())
+    return "\n".join(lines)
+
+
+def extract_ocr_text(raw: bytes | None) -> str:
+    """Kernel entrypoint: raster-only PDF bytes -> canonicalized text."""
+    if not is_pdf(raw):
+        return ""
+    try:
+        texts = [decode_bitmap(w, h, b) for w, h, b in find_image_bitmaps(raw)]
+    except (zlib.error, Exception):
+        return ""
+    return canonicalize("\n\n".join(t for t in texts if t))

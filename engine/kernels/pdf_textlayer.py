@@ -1,0 +1,316 @@
+"""PDF text-layer extraction (SURVEY.md §2 A4).
+
+Parses the well-defined PDF subset our corpus generator emits
+(engine/synth/pdfgen.py) — xref-table PDFs, FlateDecode or plain
+content streams, text operators Tj/TJ/'/\"/Td/TD/Tm/T*/TL — and
+reassembles page text in reading order. Pure stdlib (re + zlib),
+total (returns "" on any malformed input), deterministic.
+
+Pinned reading-order spec:
+  * Runs are recorded at their text-line origin (x, y).
+  * Column band = x // 300 (two-column fixture places col2 at x>=300).
+  * Order: column band asc, then y desc (top-to-bottom), then x asc,
+    then emission order.
+  * Runs sharing (band, y) form one line; consecutive runs on a line
+    are joined with a single space (distinct runs at the same y are
+    separate positioned fragments).
+  * Inside a TJ array, strings concatenate; a kerning number <=
+    WORD_GAP_KERN (-180) inserts a single space; larger (less
+    negative) numbers are glyph kerning and insert nothing.
+  * Pages join with a blank line ("\\n\\n"); output is canonicalized
+    (normalize.canonicalize).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from engine.kernels.normalize import canonicalize
+
+WORD_GAP_KERN = -180.0
+COLUMN_BAND_PX = 300
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
+    b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def is_pdf(raw: bytes | None) -> bool:
+    return raw is not None and raw[:5] == b"%PDF-"
+
+
+def parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """obj_num -> (dict_and_body, decoded_stream_or_None)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(raw):
+        num = int(m.group(1))
+        body = m.group(2)
+        stream = None
+        sm = _STREAM_RE.search(body)
+        if sm:
+            data = sm.group(1)
+            if _FLATE_RE.search(body[: sm.start()]):
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    data = b""
+            stream = data
+        objs[num] = (body, stream)
+    return objs
+
+
+def page_content_streams(raw: bytes) -> list[bytes]:
+    """Content streams in page-tree order; [] if structure is absent."""
+    objs = parse_objects(raw)
+    pages_order: list[int] = []
+    for num, (body, _s) in sorted(objs.items()):
+        if b"/Type" in body and b"/Pages" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                pages_order = [int(r) for r in _REF_RE.findall(km.group(1))]
+                break
+    if not pages_order:  # fall back: any /Type /Page objects in num order
+        pages_order = [
+            num
+            for num, (body, _s) in sorted(objs.items())
+            if re.search(rb"/Type\s*/Page\b", body)
+        ]
+    streams: list[bytes] = []
+    for pnum in pages_order:
+        if pnum not in objs:
+            continue
+        cm = _CONTENTS_RE.search(objs[pnum][0])
+        if not cm:
+            continue
+        cnum = int(cm.group(1))
+        if cnum in objs and objs[cnum][1] is not None:
+            streams.append(objs[cnum][1])
+    return streams
+
+
+# --- content-stream tokenizer ----------------------------------------------
+
+
+def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at data[i] == '('."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth > 0:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():  # octal \ddd
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                    oct_digits += data[j : j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+            elif nxt == b"\n":
+                i += 2  # line continuation
+            else:
+                out += nxt
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth > 0:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def tokenize(data: bytes):
+    """Yield ('num', float) | ('str', bytes) | ('name', bytes) |
+    ('op', bytes) | ('arr_open'/'arr_close', None)."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in b" \t\r\n\x0c\x00":
+            i += 1
+        elif c == b"(":
+            s, i = _read_string(data, i)
+            yield ("str", s)
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/]*", data[i:])
+            yield ("name", m.group(0))
+            i += m.end()
+        elif c == b"<":
+            j = data.find(b">", i)  # hex string / dict — skip
+            i = (j + 1) if j >= 0 else n
+        else:
+            m = _NUM_RE.match(data, i)
+            if m and m.end() > i:
+                yield ("num", float(m.group(0)))
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1  # unknown byte: skip
+
+
+def _decode_pdf_string(b: bytes) -> str:
+    return b.decode("latin-1")
+
+
+def extract_page_runs(stream: bytes) -> list[tuple[float, float, int, str]]:
+    """(x, y, seq, text) for each text-showing op in one content stream."""
+    runs: list[tuple[float, float, int, str]] = []
+    stack: list = []
+    in_array: list | None = None
+    line_x = line_y = 0.0
+    leading = 0.0
+    seq = 0
+
+    def show(text: str):
+        nonlocal seq
+        if text:
+            runs.append((line_x, line_y, seq, text))
+            seq += 1
+
+    for kind, val in tokenize(stream):
+        if kind == "arr_open":
+            in_array = []
+        elif kind == "arr_close":
+            stack.append(("arr", in_array))
+            in_array = None
+        elif kind in ("num", "str"):
+            if in_array is not None:
+                in_array.append((kind, val))
+            else:
+                stack.append((kind, val))
+        elif kind == "name":
+            stack.append(("name", val))
+        elif kind == "op":
+            op = val
+            if op == b"Td" or op == b"TD":
+                if len(stack) >= 2:
+                    ty = _num(stack[-1])
+                    tx = _num(stack[-2])
+                    line_x += tx
+                    line_y += ty
+                    if op == b"TD":
+                        leading = -ty
+            elif op == b"Tm":
+                if len(stack) >= 6:
+                    line_y = _num(stack[-1])
+                    line_x = _num(stack[-2])
+            elif op == b"T*":
+                line_y -= leading
+            elif op == b"TL":
+                if stack:
+                    leading = _num(stack[-1])
+            elif op == b"Tj":
+                if stack and stack[-1][0] == "str":
+                    show(_decode_pdf_string(stack[-1][1]))
+            elif op == b"'":
+                line_y -= leading
+                if stack and stack[-1][0] == "str":
+                    show(_decode_pdf_string(stack[-1][1]))
+            elif op == b'"':
+                line_y -= leading
+                if stack and stack[-1][0] == "str":
+                    show(_decode_pdf_string(stack[-1][1]))
+            elif op == b"TJ":
+                if stack and stack[-1][0] == "arr":
+                    parts: list[str] = []
+                    for k, v in stack[-1][1]:
+                        if k == "str":
+                            parts.append(_decode_pdf_string(v))
+                        elif k == "num" and v <= WORD_GAP_KERN:
+                            parts.append(" ")
+                    show("".join(parts))
+            elif op == b"BT":
+                line_x = line_y = 0.0
+            stack.clear()
+    return runs
+
+
+def _num(tok) -> float:
+    return tok[1] if tok[0] == "num" else 0.0
+
+
+def assemble_page_text(runs: list[tuple[float, float, int, str]]) -> str:
+    """Reading order: column band, y desc, x asc, emission order."""
+    if not runs:
+        return ""
+    keyed = sorted(
+        runs, key=lambda r: (int(r[0] // COLUMN_BAND_PX), -r[1], r[0], r[2])
+    )
+    lines: list[str] = []
+    cur_key: tuple[int, float] | None = None
+    cur_parts: list[str] = []
+    for x, y, _seq, text in keyed:
+        key = (int(x // COLUMN_BAND_PX), y)
+        if key != cur_key:
+            if cur_parts:
+                lines.append(" ".join(cur_parts))
+            cur_parts = []
+            cur_key = key
+        cur_parts.append(text)
+    if cur_parts:
+        lines.append(" ".join(cur_parts))
+    return "\n".join(lines)
+
+
+def extract_pdf_text(raw: bytes | None) -> str:
+    """Kernel entrypoint: PDF bytes -> canonicalized text-layer text."""
+    if not is_pdf(raw):
+        return ""
+    try:
+        pages = [
+            assemble_page_text(extract_page_runs(s))
+            for s in page_content_streams(raw)
+        ]
+    except Exception:
+        return ""
+    return canonicalize("\n\n".join(p for p in pages if p))
+
+
+def text_layer_coverage(raw: bytes | None) -> int:
+    """Cheap probe for the media router: number of text-layer chars.
+    0 on raster-only or malformed PDFs (-> OCR path)."""
+    if not is_pdf(raw):
+        return 0
+    try:
+        total = 0
+        for s in page_content_streams(raw):
+            for _x, _y, _q, t in extract_page_runs(s):
+                total += len(t.strip())
+        return total
+    except Exception:
+        return 0

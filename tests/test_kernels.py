@@ -1,0 +1,156 @@
+"""T0 kernel goldens (SURVEY.md §5): every kernel is a pure function of
+bytes; outputs are pinned byte-for-byte. A diff here means the
+"reference extractor" changed — byte-identity (BASELINE.json:14) is
+broken and chunk goldens downstream are invalid.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from engine.kernels.chunker import chunk_text
+from engine.kernels.embed import DIM, embed_text
+from engine.kernels.html_extract import extract_html
+from engine.kernels.langid import guess_lang
+from engine.kernels.normalize import canonicalize, decode_bytes, normalize_bytes
+from engine.kernels.ocr import extract_ocr_text
+from engine.kernels.pdf_textlayer import extract_pdf_text, text_layer_coverage
+from engine.kernels.route import route
+from engine.kernels import fingerprint as fp
+from engine.kernels.sentences import sentence_spans, split_sentences
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _cases(sub: str):
+    return sorted((FIX / sub).iterdir())
+
+
+@pytest.mark.parametrize("path", _cases("html"), ids=lambda p: p.name)
+def test_html_goldens(path):
+    expected = (FIX / "expected" / f"{path.name}.txt").read_text(encoding="utf-8")
+    assert extract_html(path.read_bytes()) == expected
+
+
+@pytest.mark.parametrize("path", _cases("pdf"), ids=lambda p: p.name)
+def test_pdf_goldens(path):
+    expected = (FIX / "expected" / f"{path.name}.txt").read_text(encoding="utf-8")
+    assert extract_pdf_text(path.read_bytes()) == expected
+
+
+@pytest.mark.parametrize("path", _cases("ocr"), ids=lambda p: p.name)
+def test_ocr_goldens(path):
+    expected = (FIX / "expected" / f"{path.name}.txt").read_text(encoding="utf-8")
+    assert extract_ocr_text(path.read_bytes()) == expected
+
+
+def test_chunk_goldens():
+    golden = json.loads((FIX / "chunks" / "golden.json").read_text())
+    for name, case in golden.items():
+        got = [
+            [c.chunk_ix, c.char_start, c.char_end, c.sent_start, c.sent_end]
+            for c in chunk_text(case["text"], max_chars=case["max_chars"])
+        ]
+        assert got == case["chunks"], name
+
+
+# --- unit behavior (not golden-file based) ---------------------------------
+
+
+def test_normalize_rules():
+    assert normalize_bytes(b"a\r\nb\rc") == "a\nb\nc"
+    assert normalize_bytes(b"a  \t b") == "a b"
+    assert normalize_bytes(b"a\n\n\n\n\nb") == "a\n\nb"
+    assert normalize_bytes("a b".encode()) == "a b"
+    assert normalize_bytes(b"  lead trail  ") == "lead trail"
+    assert normalize_bytes(None) == ""
+    assert normalize_bytes(b"") == ""
+    # NFC: e + combining acute -> precomposed
+    assert canonicalize("é") == "é"
+    # control chars dropped, tab collapsed
+    assert normalize_bytes(b"a\x00\x01b\tc") == "ab c"
+
+
+def test_decode_ladder():
+    assert decode_bytes("héllo".encode("utf-8")) == "héllo"
+    assert decode_bytes(b"\xff\xfeh\x00i\x00") == "hi"  # UTF-16 LE BOM
+    assert decode_bytes("caf\xe9".encode("latin-1")) == "café"  # utf-8 fail -> latin-1
+    raw = b'<meta charset="windows-1252"><p>\x93quoted\x94</p>'
+    assert "“quoted”" in decode_bytes(raw)
+
+
+def test_sentences_protected_spans():
+    t = "Dr. Smith saw 3.14 at e.g. noon. Next one. Then https://a.b/c x. End."
+    assert split_sentences(t) == [
+        "Dr. Smith saw 3.14 at e.g. noon.",
+        "Next one.",
+        "Then https://a.b/c x.",
+        "End.",
+    ]
+    # newline always splits; spans exclude whitespace
+    assert sentence_spans("ab\ncd") == [(0, 2), (3, 5)]
+    assert sentence_spans("") == []
+    assert sentence_spans("   ") == []
+
+
+def test_chunker_invariants():
+    text = ". ".join(f"Sentence number {i} with some padding words" for i in range(50)) + "."
+    chunks = chunk_text(text, max_chars=200)
+    assert chunks, "non-empty text must chunk"
+    for c in chunks:
+        assert c.text == text[c.char_start : c.char_end]
+        assert len(c.text) <= 200 or c.sent_end - c.sent_start == 1
+    # full coverage: every sentence appears in >=1 chunk
+    covered = set()
+    for c in chunks:
+        covered.update(range(c.sent_start, c.sent_end))
+    assert covered == set(range(len(sentence_spans(text))))
+    # overlap: consecutive chunks share exactly the overlap sentence
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.sent_start in (a.sent_end - 1, a.sent_end)
+
+
+def test_router():
+    from engine.synth.pdfgen import make_scanned_pdf, make_text_pdf
+
+    assert route(None) == "error"
+    assert route(b"") == "error"
+    assert route(b"<html><p>x</p></html>") == "html"
+    assert route(make_text_pdf(["hello"])) == "pdf_text"
+    assert route(make_scanned_pdf("HI")) == "pdf_ocr"
+    assert text_layer_coverage(make_scanned_pdf("HI")) == 0
+
+
+def test_embed_deterministic_and_normalized():
+    v1 = embed_text("hello world, hello spark")
+    v2 = embed_text("hello world, hello spark")
+    assert v1 == v2 and len(v1) == DIM
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+    assert embed_text("") == [0.0] * DIM
+    assert embed_text(None) == [0.0] * DIM
+
+
+def test_fingerprints():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox leaps over the lazy dog"
+    assert fp.content_sha256(a) != fp.content_sha256(b)
+    assert fp.minhash_sig(a) == fp.minhash_sig(a)
+    sim_ab = sum(1 for x, y in zip(fp.minhash_sig(a), fp.minhash_sig(b)) if x == y)
+    assert sim_ab > 0  # near-dups share minhashes
+    assert fp.hamming64(fp.simhash64(a), fp.simhash64(b)) < 16
+    assert fp.jaccard(fp.shingles(a), fp.shingles(a)) == 1.0
+    assert 0.0 < fp.jaccard(fp.shingles(a), fp.shingles(b)) < 1.0
+    assert fp.rolling_fingerprint("") == 0
+
+
+def test_langid():
+    assert guess_lang("the cat sat on the mat and it was happy there with all of them") == "en"
+    assert guess_lang("le chien est dans le jardin avec les enfants et il ne veut pas") == "fr"
+    assert guess_lang("el perro está en el jardín y no quiere salir de la casa") == "es"
+    assert guess_lang("der Hund ist in dem Garten und er will nicht mit der Katze") == "de"
+    assert guess_lang("这是一个用于测试语言识别的中文句子，包含足够多的汉字。") == "zh"
+    assert guess_lang("") == "und"
+    assert guess_lang(None) == "und"
