@@ -1,0 +1,81 @@
+"""Skew salting + size-bucketed repartitioning (SURVEY.md §2 A13-A14).
+
+Why this exists: host distribution in a crawl is zipfian — a handful
+of hosts carry a large share of pages — and document sizes span 4+
+orders of magnitude. Hash-partitioning by host alone puts one giant
+host in one task; partitioning by row count alone puts a few 10 MB
+documents in one task while others get 1 KB pages. Both serialize the
+expensive Python extraction stage.
+
+Strategy (all JVM-side expressions — zero Python):
+  * salt: part_key = xxhash64(url) % salt_buckets on TOP of the host,
+    so a hot host spreads over `salt_buckets` tasks;
+  * size bucket: width_bucket(log2(len(html)+1), 0, 30, 15) groups
+    rows by order-of-magnitude payload size; including the bucket in
+    the repartition hash spreads same-sized documents uniformly, so
+    per-task byte totals concentrate around the mean (equal-bytes,
+    not equal-rows);
+  * AQE (adaptive.enabled + advisoryPartitionSizeInBytes) remains the
+    runtime backstop for residual skew.
+
+At 1000 executors: repartition(N, size_bucket, host, salt) is one
+shuffle before the map-heavy extraction stage — the only shuffle the
+extraction pipeline has (metrics aggregation excepted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+SIZE_BUCKETS = 15
+
+
+def host_col(url_col: str = "url") -> F.Column:
+    """Registrable host of the url (JVM parse_url, no Python)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def salt_col(url_col: str = "url", buckets: int = DEFAULT_SALT_BUCKETS) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets))
+
+
+def size_bucket_col(payload_col: str = "html") -> F.Column:
+    return F.width_bucket(
+        F.log2(F.length(F.col(payload_col)).cast("double") + F.lit(1.0)),
+        F.lit(0.0),
+        F.lit(30.0),
+        F.lit(SIZE_BUCKETS),
+    )
+
+
+def repartition_for_extraction(
+    df: DataFrame,
+    num_partitions: int,
+    url_col: str = "url",
+    payload_col: str = "html",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """The one pre-extraction shuffle: spread hot hosts and giant
+    documents so every task carries ~equal bytes of UDF work."""
+    return df.repartition(
+        num_partitions,
+        size_bucket_col(payload_col),
+        host_col(url_col),
+        salt_col(url_col, salt_buckets),
+    )
+
+
+def partition_key_col(
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    host_buckets: int = 64,
+) -> F.Column:
+    """Stable work-unit key for checkpoint/resume (A12): day x host
+    bucket. Small enough to broadcast as a done-manifest, coarse
+    enough that one unit is a meaningful chunk of work."""
+    return F.concat_ws(
+        "|",
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"),
+        F.pmod(F.xxhash64(host_col(url_col)), F.lit(host_buckets)).cast("string"),
+    )

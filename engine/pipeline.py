@@ -1,0 +1,121 @@
+"""The extraction pipeline DAG (SURVEY.md §3.1).
+
+build_extracted / build_chunks / build_vectors compose the full
+ingest: dedup -> salt/size repartition -> fused route+extract ->
+chunk -> embed. All transforms are lazy DataFrame ops; the only
+Python crossings are the Arrow-batched UDFs in engine/udfs.py.
+
+Scale notes:
+  * per-url latest-capture dedup (A10) uses a window over
+    (url) — at 10^12 rows this is the unavoidable shuffle on the
+    dedup key; it reuses AQE sizing. The extraction stage itself is
+    map-only after its single repartition.
+  * content_sha256 / n_chars are computed JVM-side (sha2/length)
+    so whole-stage codegen covers them.
+  * `html` never survives past the extract projection — downstream
+    stages carry only text, keeping shuffle bytes bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from engine.partitioning import (
+    partition_key_col,
+    repartition_for_extraction,
+)
+from engine.udfs import (
+    CHUNKS_DDL,
+    chunk_map_in_pandas,
+    embed_udf,
+    langid_udf,
+    n_sentences_udf,
+    route_extract_udf,
+)
+
+EXTRACTED_COLS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "path",
+    "text",
+    "n_chars",
+    "n_sents",
+    "content_sha256",
+    "error",
+]
+
+
+def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
+    """A10: one row per url — the latest capture wins (ties broken by
+    payload hash so the winner is deterministic even at equal ts)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64(F.col("html")))
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def build_extracted(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+    with_lang_guess: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> extracted table."""
+    if num_partitions is None:
+        num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
+    df = dedup_latest_per_url(pages) if dedup else pages
+    df = repartition_for_extraction(df, num_partitions)
+    df = df.withColumn("_ex", route_extract_udf(F.col("html")))
+    df = df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("_ex.path").alias("path"),
+        F.col("_ex.text").alias("text"),
+        F.col("_ex.error").alias("error"),
+    )
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    df = df.withColumn("n_sents", n_sentences_udf(F.col("text")))
+    df = df.withColumn("content_sha256", F.sha2(F.col("text"), 256))
+    if with_lang_guess:
+        df = df.withColumn("lang_guess", langid_udf(F.col("text")))
+    return df.select(*EXTRACTED_COLS, *(
+        ["lang_guess"] if with_lang_guess else []
+    ))
+
+
+def build_chunks(extracted: DataFrame) -> DataFrame:
+    """extracted -> chunks via mapInPandas fan-out (A7)."""
+    src = extracted.filter(
+        (F.col("error").isNull()) & (F.length("text") > 0)
+    ).select("url", "text")
+    chunks = src.mapInPandas(chunk_map_in_pandas, CHUNKS_DDL)
+    return chunks.withColumn("chunk_sha256", F.sha2(F.col("chunk_text"), 256))
+
+
+def build_vectors(chunks: DataFrame) -> DataFrame:
+    """chunks -> vectors mirroring the embeddings table shape (A8)."""
+    return chunks.select(
+        F.xxhash64("url", "chunk_ix").alias("vec_id"),
+        "url",
+        "chunk_ix",
+        embed_udf(F.col("chunk_text")).alias("embedding"),
+        F.pmod(F.xxhash64("chunk_text"), F.lit(10)).cast("int").alias("label"),
+    )
+
+
+def with_partition_key(pages: DataFrame, host_buckets: int = 64) -> DataFrame:
+    """Attach the checkpoint work-unit key (A12)."""
+    return pages.withColumn("part_key", partition_key_col(host_buckets=host_buckets))
+
+
+def build_pipeline(pages: DataFrame, num_partitions: int | None = None) -> dict:
+    extracted = build_extracted(pages, num_partitions)
+    chunks = build_chunks(extracted)
+    vectors = build_vectors(chunks)
+    return {"extracted": extracted, "chunks": chunks, "vectors": vectors}

@@ -1,0 +1,39 @@
+"""SparkSession factory with the pinned configuration for this
+engine (SURVEY.md §4). One place so jobs, tests and bench agree."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str = "local[*]",
+    app_name: str = "webtext-engine",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # oracle comparison + determinism: duckdb timestamps are UTC-naive
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow at every Python boundary; blob-heavy rows need small batches
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # amortize Python worker startup across tasks
+        .config("spark.python.worker.reuse", "true")
+        # AQE: runtime coalesce + skew backstop (SURVEY.md §4)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # idempotent per-partition overwrite (checkpoint/resume A12)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

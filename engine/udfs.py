@@ -1,0 +1,147 @@
+"""Vectorized pandas/Arrow UDF wrappers around the pure kernels
+(SURVEY.md §2.E). Hard constraint from BASELINE.json:15: no per-row
+Python — every Python crossing here is an Arrow-batched pandas UDF.
+
+Design notes (scale):
+  * route+extract are FUSED into one scalar struct UDF so each PDF is
+    parsed once, one Arrow round-trip per batch (SURVEY.md §4
+    "co-locate kernels").
+  * chunking is mapInPandas (1->N fan-out without materializing an
+    array column of a whole document's chunks).
+  * all UDFs are total: any kernel exception becomes an `error`
+    value, never a task failure (a single poisoned page must not
+    kill a 10^12-row job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from engine.kernels.embed import embed_text
+from engine.kernels.html_extract import extract_html
+from engine.kernels.langid import guess_lang
+from engine.kernels.ocr import extract_ocr_text
+from engine.kernels.pdf_textlayer import (
+    extract_pdf_text,
+    is_pdf,
+    text_layer_coverage,
+)
+from engine.kernels.chunker import chunk_rows
+from engine.kernels import fingerprint as fp
+
+EXTRACT_STRUCT = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+CHUNKS_DDL = (
+    "url string, chunk_ix int, chunk_text string, "
+    "char_start int, char_end int, sent_start int, sent_end int"
+)
+
+
+def _route_and_extract_one(raw) -> tuple[str, str, str | None]:
+    if raw is None or len(raw) == 0:
+        return ("error", "", "empty_payload")
+    try:
+        if is_pdf(raw):
+            if text_layer_coverage(raw) >= 1:
+                return ("pdf_text", extract_pdf_text(raw), None)
+            return ("pdf_ocr", extract_ocr_text(raw), None)
+        return ("html", extract_html(raw), None)
+    except Exception as exc:  # total: poisoned rows -> error column
+        return ("error", "", f"{type(exc).__name__}")
+
+
+@pandas_udf(EXTRACT_STRUCT)
+def route_extract_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused media-router + three-path extractor (A1+A2+A4+A5)."""
+    out = [_route_and_extract_one(raw) for raw in html]
+    return pd.DataFrame(out, columns=["path", "text", "error"])
+
+
+@pandas_udf(StringType())
+def langid_udf(text: pd.Series) -> pd.Series:
+    return text.map(guess_lang)
+
+
+@pandas_udf(ArrayType(FloatType()))
+def embed_udf(text: pd.Series) -> pd.Series:
+    return text.map(embed_text)
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    # signatures are < 2^61 so they fit in signed int64
+    return text.map(lambda t: fp.minhash_sig(t or ""))
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    # fold to signed 64-bit for Spark LongType
+    def f(t):
+        v = fp.simhash64(t or "")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(f)
+
+
+@pandas_udf(LongType())
+def rolling_fp_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: fp.rolling_fingerprint(t or ""))
+
+
+@pandas_udf(IntegerType())
+def n_sentences_udf(text: pd.Series) -> pd.Series:
+    from engine.kernels.sentences import sentence_spans
+
+    return text.map(lambda t: len(sentence_spans(t or "")))
+
+
+def chunk_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fn: (url, text) batches -> CHUNKS_DDL rows (A7)."""
+    for pdf in batches:
+        urls: list[str] = []
+        rows: list[tuple] = []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            for r in chunk_rows(text or ""):
+                urls.append(url)
+                rows.append(r)
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "chunk_ix",
+                "char_start",
+                "char_end",
+                "sent_start",
+                "sent_end",
+                "chunk_text",
+            ],
+        )
+        out.insert(0, "url", urls)
+        yield out[
+            [
+                "url",
+                "chunk_ix",
+                "chunk_text",
+                "char_start",
+                "char_end",
+                "sent_start",
+                "sent_end",
+            ]
+        ]

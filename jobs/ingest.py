@@ -1,0 +1,106 @@
+"""Batch ingest job — the spark-submit entry point (SURVEY.md §3.1).
+
+    spark-submit --py-files engine.zip jobs/ingest.py \
+        --n-pages 50000 --output /data/out --run-id r1 [--resume]
+
+Stages: corpus/table scan -> partition-key attach -> resume anti-join
+-> dedup -> salted/size-bucketed repartition -> fused route+extract
+(Arrow UDF) -> chunk (mapInPandas) -> embed -> partitioned writes +
+lineage + manifest commit. Works identically from `python jobs/ingest.py`
+in local mode (the sandbox has no cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from engine import checkpoint
+from engine.corpus import gen_pages_df
+from engine.io.tables import write_table
+from engine.lineage import build_lineage, observe_extraction
+from engine.pipeline import (
+    build_chunks,
+    build_extracted,
+    build_vectors,
+    with_partition_key,
+)
+from engine.session import get_spark
+
+
+def run(args) -> dict:
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name="webtext-ingest",
+    )
+    t0 = time.monotonic()
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
+
+    pages = with_partition_key(pages)
+    if args.resume:
+        pages = checkpoint.filter_not_done(pages, args.output, args.run_id)
+
+    extracted = build_extracted(pages.drop("part_key"), num_partitions=args.partitions)
+    extracted, obs = observe_extraction(extracted)
+    extracted = extracted.withColumn(
+        "day", F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd")
+    )
+
+    ex_path = os.path.join(args.output, "extracted")
+    write_table(extracted, ex_path, partition_by=["day"])
+    metrics = obs.get
+
+    extracted_rd = spark.read.parquet(ex_path)
+    chunks = build_chunks(extracted_rd)
+    ch_path = os.path.join(args.output, "chunks")
+    write_table(chunks, ch_path)
+
+    vectors = build_vectors(spark.read.parquet(ch_path))
+    write_table(vectors, os.path.join(args.output, "vectors"))
+
+    lineage = build_lineage(extracted_rd, args.run_id)
+    write_table(lineage, os.path.join(args.output, "lineage"), mode="append")
+
+    done_keys = [
+        r["part_key"]
+        for r in pages.select("part_key").distinct().collect()
+    ]
+    checkpoint.mark_done(args.output, args.run_id, done_keys)
+
+    wall = time.monotonic() - t0
+    result = {
+        "wall_s": round(wall, 2),
+        "docs": int(metrics["rows"]),
+        "docs_per_s": round(metrics["rows"] / wall, 1),
+        **{k: int(v) for k, v in metrics.items()},
+    }
+    print(result)
+    return result
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None, help="pages parquet (else synthesize)")
+    p.add_argument("--n-pages", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", default="run1")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()
