@@ -66,16 +66,39 @@ def repartition_for_extraction(
     )
 
 
+def day_col(ts_col: str = "warc_ts") -> F.Column:
+    return F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+
+
+def host_bucket_col(url_col: str = "url", host_buckets: int = 64) -> F.Column:
+    return F.pmod(F.xxhash64(host_col(url_col)), F.lit(host_buckets)).cast("int")
+
+
+def with_write_partitions(
+    df, url_col: str = "url", ts_col: str = "warc_ts", host_buckets: int = 64
+):
+    """Attach (day, pbucket) — the physical write-partition columns.
+    These MUST equal the checkpoint work-unit key components
+    (partition_key_col): dynamic partition overwrite is idempotent
+    per work unit only if the write partitioning matches the resume
+    granularity."""
+    return df.withColumn("day", day_col(ts_col)).withColumn(
+        "pbucket", host_bucket_col(url_col, host_buckets)
+    )
+
+
 def partition_key_col(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     host_buckets: int = 64,
 ) -> F.Column:
-    """Stable work-unit key for checkpoint/resume (A12): day x host
-    bucket. Small enough to broadcast as a done-manifest, coarse
-    enough that one unit is a meaningful chunk of work."""
-    return F.concat_ws(
-        "|",
-        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"),
-        F.pmod(F.xxhash64(host_col(url_col)), F.lit(host_buckets)).cast("string"),
-    )
+    """Stable work-unit key for checkpoint/resume (A12): the host
+    bucket. The key must be a function of the URL ONLY (not warc_ts):
+    re-crawls of a url carry different capture days, and per-url
+    latest-capture dedup (A10) is only global if every capture of a
+    url lands in the same resume work unit. Host is stable per url,
+    so bucket(host) co-locates them; `day` remains a write-layout
+    partition column for time-range pruning, never a work-unit key.
+    At 10^12 rows raise host_buckets (e.g. 4096) for finer resume
+    granularity — the manifest stays broadcastable either way."""
+    return F.pmod(F.xxhash64(host_col(url_col)), F.lit(host_buckets)).cast("string")

@@ -19,8 +19,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from engine import checkpoint
 from engine.corpus import gen_pages_df
 from engine.io.tables import write_table
@@ -50,14 +48,14 @@ def run(args) -> dict:
     if args.resume:
         pages = checkpoint.filter_not_done(pages, args.output, args.run_id)
 
+    from engine.partitioning import with_write_partitions
+
     extracted = build_extracted(pages.drop("part_key"), num_partitions=args.partitions)
     extracted, obs = observe_extraction(extracted)
-    extracted = extracted.withColumn(
-        "day", F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd")
-    )
+    extracted = with_write_partitions(extracted)
 
     ex_path = os.path.join(args.output, "extracted")
-    write_table(extracted, ex_path, partition_by=["day"])
+    write_table(extracted, ex_path, partition_by=["day", "pbucket"])
     metrics = obs.get
 
     extracted_rd = spark.read.parquet(ex_path)

@@ -1,0 +1,44 @@
+"""T2 (SURVEY.md §5): parallelism-invariance — identical output under
+different partition counts and shuffled input order. The cross-process
+local[8]-vs-local[32] check lives in bench.py / BENCH (§6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.corpus import gen_pages_df
+from engine.pipeline import build_chunks, build_extracted
+
+N = 300
+
+
+def _sig(extracted_df):
+    return {
+        r["url"]: r["content_sha256"]
+        for r in extracted_df.select("url", "content_sha256").collect()
+    }
+
+
+def test_partition_count_invariance(spark):
+    pages = gen_pages_df(spark, N).cache()
+    pages.count()
+    s2 = _sig(build_extracted(pages, num_partitions=2))
+    s16 = _sig(build_extracted(pages, num_partitions=16))
+    assert s2 == s16
+
+
+def test_input_order_invariance(spark):
+    pages = gen_pages_df(spark, N).cache()
+    shuffled = pages.orderBy(F.xxhash64("url", "warc_ts"))
+    a = _sig(build_extracted(pages, num_partitions=4))
+    b = _sig(build_extracted(shuffled, num_partitions=4))
+    assert a == b
+
+
+def test_chunk_table_invariance(spark):
+    pages = gen_pages_df(spark, N).cache()
+    c4 = build_chunks(build_extracted(pages, num_partitions=4))
+    c9 = build_chunks(build_extracted(pages, num_partitions=9))
+    # exceptAll both ways == empty (exact multiset equality)
+    assert c4.exceptAll(c9).isEmpty()
+    assert c9.exceptAll(c4).isEmpty()

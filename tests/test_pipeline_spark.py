@@ -1,0 +1,97 @@
+"""T1 (SURVEY.md §5): the Spark pipeline must equal the pure kernels
+applied row-wise — byte-identical text per url (BASELINE.json:14)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from engine.corpus import page_row
+from engine.kernels.chunker import chunk_rows
+from engine.pipeline import build_chunks, build_extracted, build_vectors
+from engine.udfs import _route_and_extract_one
+
+N = 400
+SEED = 42
+
+
+def _expected_extraction():
+    """Driver-side reference: dedup latest-per-url, then kernel extract."""
+    best: dict[str, tuple] = {}
+    for i in range(N):
+        url, ts, html, text, lang = page_row(SEED, i)
+        key = url
+        tie = int.from_bytes(
+            hashlib.sha256(html or b"").digest()[:8], "big"
+        )  # not used by pipeline; ties broken by ts then xxhash64(html)
+        if key not in best or ts > best[key][0]:
+            best[key] = (ts, html, lang)
+    out = {}
+    for url, (ts, html, lang) in best.items():
+        path, text, err = _route_and_extract_one(html)
+        out[url] = (path, text, err)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    from engine.corpus import gen_pages_df
+
+    df = gen_pages_df(spark, N, seed=SEED).cache()
+    df.count()
+    return df
+
+
+def test_extracted_matches_kernels_bytewise(spark, pages_df):
+    expected = _expected_extraction()
+    got = {
+        r["url"]: (r["path"], r["text"], r["error"])
+        for r in build_extracted(pages_df).collect()
+    }
+    assert set(got) == set(expected)
+    mismatches = [u for u in expected if got[u] != expected[u]]
+    assert mismatches == [], f"byte mismatch for {mismatches[:5]}"
+
+
+def test_chunks_match_kernel_chunker(spark, pages_df):
+    expected = _expected_extraction()
+    exp_chunks = {}
+    for url, (path, text, err) in expected.items():
+        if err is None and text:
+            for ci, cs, ce, ss, se, ctext in chunk_rows(text):
+                exp_chunks[(url, ci)] = (cs, ce, ss, se, ctext)
+    extracted = build_extracted(pages_df)
+    got = {
+        (r["url"], r["chunk_ix"]): (
+            r["char_start"],
+            r["char_end"],
+            r["sent_start"],
+            r["sent_end"],
+            r["chunk_text"],
+        )
+        for r in build_chunks(extracted).collect()
+    }
+    assert got == exp_chunks
+
+
+def test_sha256_jvm_matches_python(spark, pages_df):
+    """JVM sha2() must agree with hashlib over utf-8 — the lineage and
+    dedup keys depend on it."""
+    rows = build_extracted(pages_df).select("url", "text", "content_sha256").collect()
+    for r in rows[:50]:
+        if r["text"] is not None:
+            assert (
+                hashlib.sha256(r["text"].encode("utf-8")).hexdigest()
+                == r["content_sha256"]
+            )
+
+
+def test_vectors_schema_and_determinism(spark, pages_df):
+    extracted = build_extracted(pages_df)
+    vecs = build_vectors(build_chunks(extracted))
+    a = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    assert a == b and len(a) > 0
+    one = next(iter(a.values()))
+    assert len(one) == 64
