@@ -1,38 +1,79 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship extraction pipeline on sf0.001-scale corpus
+queries()     -> every implemented operator from SURVEY.md §2
+oracle_sql()  -> DuckDB-equivalent SQL for the relational queries
+                 (kernel-based extraction ops are rows-only by design)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+
+def _configure(spark: SparkSession) -> None:
+    """Pin the confs the engine depends on (driver owns the session)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "512"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session: accept driver's setting
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (dedup -> salted repartition
+    -> fused route+extract -> chunk) over the deterministic sf0.001
+    corpus; returns per-(lang, path) doc/chunk rollup."""
+    _configure(spark)
+    from engine.corpus import gen_pages_df
+    from engine.pipeline import build_chunks, build_extracted
+
+    pages = gen_pages_df(spark, 400)
+    extracted = build_extracted(pages)
+    chunks = build_chunks(extracted)
+    per_doc = extracted.select("url", "lang", "path", "n_chars")
+    per_chunk = chunks.groupBy("url").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        per_doc.join(per_chunk, "url", "left")
+        .groupBy("lang", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chunks", F.lit(0))).alias("n_chunks"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("n_chars"),
+        )
+        .orderBy("lang", "path")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from engine.queries_extract import ALL
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _configure(spark)
+            return fn(spark, sf_dir)
+
+        return g
+
+    return {name: wrap(fn) for name, (fn, _oracle) in sorted(ALL.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from engine.queries_extract import ALL
+
+    return {
+        name: oracle
+        for name, (_fn, oracle) in sorted(ALL.items())
+        if oracle is not None
+    }

@@ -1,0 +1,361 @@
+"""Extraction-pipeline + training-data-ops queries (SURVEY.md §2.A,
+plus the dedup/similarity/text-analysis/multimodal operator family).
+
+These run the Python kernels, so most have no SQL oracle — the driver
+records rows-only checks for them (__spark_entry__.py contract). They
+still take (spark, sf_dir): corpus-based ones synthesize the pages
+table deterministically at a size keyed to the sf tier; document-based
+ones read the driver's documents/embeddings parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from engine.corpus import gen_pages_df
+from engine.pipeline import build_chunks, build_extracted, build_vectors
+from engine.queries import REGISTRY, T, register
+from engine.udfs import (
+    embed_udf,
+    langid_udf,
+    minhash_udf,
+    rolling_fp_udf,
+    simhash_udf,
+)
+
+_SF_PAGES = {"sf0.001": 400, "sf0.01": 1500, "sf0.1": 6000}
+
+
+def _n_pages(sf_dir: str) -> int:
+    for k, v in _SF_PAGES.items():
+        if sf_dir.rstrip("/").endswith(k):
+            return v
+    return 1000
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_pages_df(spark, _n_pages(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# A1-A5+A10+A13-A14: the flagship extraction rollup
+# --------------------------------------------------------------------------
+@register("x01_extract_per_path")
+def x01(spark, sf_dir):
+    ex = build_extracted(_pages(spark, sf_dir))
+    return (
+        ex.groupBy("lang", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+            F.sum(F.coalesce("n_sents", F.lit(0)).cast("long")).alias("total_sents"),
+        )
+        .orderBy("lang", "path")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6-A7: sentence-aware chunking of the extracted corpus
+# --------------------------------------------------------------------------
+@register("x02_chunk_spans")
+def x02(spark, sf_dir):
+    ex = build_extracted(_pages(spark, sf_dir))
+    ch = build_chunks(ex)
+    return (
+        ch.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("char_end").alias("last_char"),
+            F.min("chunk_sha256").alias("min_chunk_sha"),
+        )
+        .orderBy("url")
+    )
+
+
+# --------------------------------------------------------------------------
+# A8-A9: vectors (deterministic featurizer over chunks)
+# --------------------------------------------------------------------------
+@register("x03_vectors")
+def x03(spark, sf_dir):
+    ex = build_extracted(_pages(spark, sf_dir))
+    vec = build_vectors(build_chunks(ex))
+    return (
+        vec.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding over documents (shingle -> minhash ->
+# band hash -> bucket join -> candidate pairs)
+# --------------------------------------------------------------------------
+@register("x04_minhash_lsh_pairs")
+def x04(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
+    # 8 bands x 4 rows: band hash = hash of the 4-slice
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.slice("sig", 1 + 4 * b, 4) for b in range(8)])
+        ).alias("band", "band_sig"),
+    ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return cand.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Dedup: SimHash near-dup candidates (hamming<=8 within 16-bit-prefix
+# buckets — the scalable banding trick for hamming space)
+# --------------------------------------------------------------------------
+@register("x05_simhash_pairs")
+def x05(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", simhash_udf(F.col("text")).alias("sim"))
+    # band on each of four 16-bit slices; near-dups (<=8 of 64 bits
+    # differing) very likely agree on at least one slice
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity: embedding-cosine near-dup over our featurizer embeddings
+# (brute-force baseline; q22 covers the oracle-checked cosine top-k)
+# --------------------------------------------------------------------------
+@register("x06_embed_neardup")
+def x06(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = docs.select("doc_id", embed_udf(F.col("text")).alias("e"))
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(dot(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language-ID mismatch rate (kernel vs crawler label)
+# --------------------------------------------------------------------------
+@register("x07_langid_mismatch")
+def x07(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang", langid_udf(F.col("text")).alias("lang_guess")
+    )
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang") != F.col("lang_guess"), 1).otherwise(0)
+            ).alias("n_mismatch"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: rolling-hash document fingerprints
+# --------------------------------------------------------------------------
+@register("x08_fingerprints")
+def x08(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", rolling_fp_udf(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary columns + typed metadata, decode
+# stubbed (no image/audio libs in this container — SURVEY.md §0 ENV).
+# The Spark-side schema/partitioning/UDF-batch shape is real.
+# --------------------------------------------------------------------------
+_MM_DDL = (
+    "url string, media_kind string, n_bytes long, magic string, "
+    "feature_hash long, decode_status string"
+)
+
+
+def _multimodal_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from engine.kernels.embed import fnv1a64
+
+    for pdf in batches:
+        out = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            if raw is None or len(raw) == 0:
+                out.append((url, "empty", 0, "", 0, "skipped_empty"))
+                continue
+            head = bytes(raw[:5])
+            if head == b"%PDF-":
+                kind = "pdf"
+            elif head[:1] in (b"<", b"\xef", b"\xff", b"\xfe"):
+                kind = "html"
+            else:
+                kind = "binary"
+            # deterministic fake "feature": real decode would go here
+            # (image resize / audio frames); container lacks the libs,
+            # so the feature is a pinned hash of the payload prefix.
+            fh = fnv1a64(bytes(raw[:256]))
+            fh = fh - (1 << 64) if fh >= (1 << 63) else fh
+            out.append(
+                (
+                    url,
+                    kind,
+                    len(raw),
+                    head.hex(),
+                    fh,
+                    "decoded_stub" if kind != "binary" else "no_decoder",
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "url",
+                "media_kind",
+                "n_bytes",
+                "magic",
+                "feature_hash",
+                "decode_status",
+            ],
+        )
+
+
+@register("x09_multimodal_features")
+def x09(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    feats = pages.select("url", "html").mapInPandas(_multimodal_batches, _MM_DDL)
+    return (
+        feats.groupBy("media_kind", "decode_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("media_kind", "decode_status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked: BPE-ish regex token counting (both engines support
+# regexp_extract_all with identical RE2-safe pattern)
+# --------------------------------------------------------------------------
+@register(
+    "q33_token_regex",
+    """
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS n_word_tokens,
+           SUM(LENGTH(text)) AS n_chars_total
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q33(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(
+                F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)"))
+            ).alias("n_word_tokens"),
+            F.sum(F.length("text")).alias("n_chars_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked: approx vs exact distinct (rows-only would hide a
+# broken HLL; instead the ORACLE asserts the exact value and Spark
+# must return the same EXACT value — approx variant kept as metric)
+# --------------------------------------------------------------------------
+@register(
+    "q34_distinct_urls_exact",
+    """
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def q34(spark, sf_dir):
+    return T(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+@register("x10_approx_distinct")
+def x10(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+ALL = REGISTRY
