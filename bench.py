@@ -1,0 +1,137 @@
+"""Per-round benchmark (SURVEY.md §6, BASELINE.md protocol).
+
+Runs the headline extraction pipeline + representative heavy queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+  {"metric": "extraction_throughput_docs_per_sec", "value": N,
+   "unit": "docs/sec", "queries": {...per-query seconds...},
+   "sf": 0.1, ...}
+
+The pages corpus is deterministic (engine.corpus, seed 42) and cached
+as parquet under data/ so generation cost never pollutes timings.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
+
+
+def ensure_corpus(spark, n: int) -> str:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", f"bench_pages_{n}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from engine.corpus import gen_pages_df
+
+        gen_pages_df(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from engine.pipeline import build_chunks, build_extracted, build_vectors
+    from engine.queries_extract import ALL
+    from engine.session import get_spark
+
+    spark = get_spark(
+        f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench"
+    )
+    corpus_path = ensure_corpus(spark, BENCH_PAGES)
+    pages = spark.read.parquet(corpus_path)
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, action):
+        t0 = time.monotonic()
+        action()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # headline: full extraction pipeline (dedup -> salt -> extract).
+    # NOTE: a bare count() would let Catalyst prune the deterministic
+    # extraction UDFs — the aggregate below touches every computed
+    # column so the timing reflects real extraction work.
+    n_docs_holder = {}
+
+    def force(ex):
+        row = ex.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("c"),
+            F.sum(F.col("n_sents").cast("long")).alias("s"),
+            F.max("content_sha256").alias("h"),
+        ).collect()[0]
+        return row["n"]
+
+    def run_extract():
+        ex = build_extracted(pages, num_partitions=cpus * 2)
+        n_docs_holder["n"] = force(ex)
+
+    # warm-up (JVM + python workers), then timed
+    force(build_extracted(pages.limit(512), num_partitions=cpus))
+    timed("extract_pipeline", run_extract)
+
+    # stage-isolated timings: each stage reads its input from parquet
+    # (mirrors the production job, jobs/ingest.py) so a stage's number
+    # never includes recomputing its upstream
+    ex_path = os.path.join(os.path.dirname(corpus_path), "_bench_extracted")
+    build_extracted(pages, num_partitions=cpus * 2).write.mode(
+        "overwrite"
+    ).parquet(ex_path)
+    ex_rd = spark.read.parquet(ex_path)
+    ch_path = os.path.join(os.path.dirname(corpus_path), "_bench_chunks")
+    timed(
+        "chunk_pipeline",
+        lambda: build_chunks(ex_rd).write.mode("overwrite").parquet(ch_path),
+    )
+    ch_rd = spark.read.parquet(ch_path)
+    timed(
+        "vector_pipeline",
+        lambda: build_vectors(ch_rd)
+        .agg(F.count(F.lit(1)), F.sum(F.element_at("embedding", 1)))
+        .collect(),
+    )
+
+    # representative relational/heavy queries from the registry
+    for name in (
+        "q01_pricing_summary",
+        "q05_multiway_join",
+        "q08_window_topk_per_group",
+        "q22_cosine_topk",
+        "q23_asof_join",
+        "q26_ngram_jaccard_pairs",
+        "x04_minhash_lsh_pairs",
+        "x05_simhash_pairs",
+    ):
+        fn, _oracle = ALL[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
+    out = {
+        "metric": "extraction_throughput_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": BENCH_PAGES,
+        "n_docs_extracted": n_docs_holder["n"],
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,7 @@ _LANGS = ("en", "en", "en", "en", "en", "fr", "fr", "es", "es", "de", "de", "zh"
 
 def _sentence(rng: _Rng, lang: str) -> str:
     words = _WORDS[lang]
-    n = rng.randint(4, 14)
+    n = rng.randint(6, 18)
     toks = [rng.choice(words) for _ in range(n)]
     if lang == "zh":
         body = "".join(toks)
@@ -110,7 +110,7 @@ def _sentence(rng: _Rng, lang: str) -> str:
 
 
 def _paragraph(rng: _Rng, lang: str) -> str:
-    return " ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 7)))
+    return " ".join(_sentence(rng, lang) for _ in range(rng.randint(3, 10)))
 
 
 def _host(rng: _Rng) -> str:
@@ -161,22 +161,22 @@ def page_row(seed: int, i: int) -> tuple[str, dt.datetime, bytes | None, str | N
     media = rng.uniform()
     title_words = _sentence(rng, "en").rstrip(".!?")
 
-    if media < 0.80:  # HTML
-        paras = [_paragraph(rng, lang) for _ in range(rng.randint(2, 6))]
+    if media < 0.80:  # HTML — CC-realistic size: tens of KB of markup
+        paras = [_paragraph(rng, lang) for _ in range(rng.randint(10, 50))]
         html = _html_doc(rng, lang, paras, title_words)
         text = "\n".join(paras) if rng.uniform() < 0.7 else None
         return (url, ts, html, text, lang)
     if media < 0.92:  # text-layer PDF (latin-script langs only)
         plang = lang if lang != "zh" else "en"
-        npages = rng.randint(1, 3)
+        npages = rng.randint(2, 5)
         pages = []
         for _p in range(npages):
-            lines = [_sentence(rng, plang) for _ in range(rng.randint(2, 6))]
+            lines = [_sentence(rng, plang) for _ in range(rng.randint(8, 25))]
             pages.append("\n".join(lines))
         pdf = make_text_pdf(pages, compress=(rng.next() % 2 == 0))
         return (url, ts, pdf, None, plang)
     if media < 0.97:  # raster-only scan (ASCII font -> uppercase en)
-        lines = [_sentence(rng, "en").upper() for _ in range(rng.randint(1, 4))]
+        lines = [_sentence(rng, "en").upper() for _ in range(rng.randint(2, 8))]
         scan = make_scanned_pdf("\n".join(lines))
         return (url, ts, scan, None, "en")
     # error path: null or garbage payload

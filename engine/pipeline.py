@@ -20,16 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from engine.partitioning import (
-    partition_key_col,
-    repartition_for_extraction,
-)
+from engine.partitioning import partition_key_col
 from engine.udfs import (
     CHUNKS_DDL,
     chunk_map_in_pandas,
     embed_udf,
     langid_udf,
-    n_sentences_udf,
     route_extract_udf,
 )
 
@@ -65,11 +61,22 @@ def build_extracted(
     dedup: bool = True,
     with_lang_guess: bool = False,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> extracted table."""
+    """pages(url, warc_ts, html, text, lang) -> extracted table.
+
+    Shuffle plan (one exchange total): repartition(N, url) both
+    (a) satisfies the dedup window's required distribution — Catalyst
+    inserts NO second exchange for Window.partitionBy(url) — and
+    (b) spreads hot hosts at url granularity (finer than host+salt,
+    A13's goal) so the Python extraction stage is balanced. The
+    extraction itself is map-only after this single shuffle.
+    repartition_for_extraction (size buckets + host salt) remains for
+    payload-skewed corpora where url-hash balance isn't enough.
+    """
     if num_partitions is None:
         num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
-    df = dedup_latest_per_url(pages) if dedup else pages
-    df = repartition_for_extraction(df, num_partitions)
+    df = pages.repartition(num_partitions, "url")
+    if dedup:
+        df = dedup_latest_per_url(df)
     df = df.withColumn("_ex", route_extract_udf(F.col("html")))
     df = df.select(
         "url",
@@ -78,9 +85,9 @@ def build_extracted(
         F.col("_ex.path").alias("path"),
         F.col("_ex.text").alias("text"),
         F.col("_ex.error").alias("error"),
+        F.col("_ex.n_sents").alias("n_sents"),
     )
     df = df.withColumn("n_chars", F.length("text").cast("long"))
-    df = df.withColumn("n_sents", n_sentences_udf(F.col("text")))
     df = df.withColumn("content_sha256", F.sha2(F.col("text"), 256))
     if with_lang_guess:
         df = df.withColumn("lang_guess", langid_udf(F.col("text")))

@@ -12,9 +12,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    import os
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-mode JVM heap: default 1g OOMs on blob-heavy shuffles
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
         # oracle comparison + determinism: duckdb timestamps are UTC-naive
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow at every Python boundary; blob-heavy rows need small batches

@@ -46,6 +46,7 @@ EXTRACT_STRUCT = StructType(
         StructField("path", StringType()),
         StructField("text", StringType()),
         StructField("error", StringType()),
+        StructField("n_sents", IntegerType()),
     ]
 )
 
@@ -68,11 +69,21 @@ def _route_and_extract_one(raw) -> tuple[str, str, str | None]:
         return ("error", "", f"{type(exc).__name__}")
 
 
+def _extract_with_sents(raw) -> tuple[str, str, str | None, int]:
+    from engine.kernels.sentences import sentence_spans
+
+    path, text, err = _route_and_extract_one(raw)
+    return (path, text, err, len(sentence_spans(text)) if text else 0)
+
+
 @pandas_udf(EXTRACT_STRUCT)
 def route_extract_udf(html: pd.Series) -> pd.DataFrame:
-    """Fused media-router + three-path extractor (A1+A2+A4+A5)."""
-    out = [_route_and_extract_one(raw) for raw in html]
-    return pd.DataFrame(out, columns=["path", "text", "error"])
+    """Fused media-router + three-path extractor + sentence counter
+    (A1+A2+A4+A5+A6) — ONE Arrow crossing for the whole per-document
+    kernel chain; a separate n_sents UDF would re-ship every byte of
+    extracted text to Python a second time."""
+    out = [_extract_with_sents(raw) for raw in html]
+    return pd.DataFrame(out, columns=["path", "text", "error", "n_sents"])
 
 
 @pandas_udf(StringType())
