@@ -359,3 +359,40 @@ def x10(spark, sf_dir):
 
 
 ALL = REGISTRY
+
+
+# --------------------------------------------------------------------------
+# D1-D6: streaming extraction, surfaced as a batch-checkable query —
+# writes the corpus as files, consumes them with an availableNow
+# micro-batch stream (watermark + dedup-within-watermark + kernels +
+# idempotent foreachBatch sink), returns the landed rollup.
+# Stateful streaming is not SQL-expressible -> rows-only check.
+# --------------------------------------------------------------------------
+@register("x11_streaming_extract")
+def x11(spark, sf_dir):
+    import tempfile
+
+    from engine.streaming import PAGES_SCHEMA, start_ingest_stream
+
+    n = min(_n_pages(sf_dir), 600)
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    input_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    per = n // 3
+    for p in range(3):
+        pdf = __import__("engine.corpus", fromlist=["gen_pages_pandas"]).gen_pages_pandas(
+            42, p * per, (p + 1) * per
+        )
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+    q = start_ingest_stream(spark, input_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(600)
+    landed = spark.read.parquet(out_dir)
+    return (
+        landed.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("n_chars"),
+        )
+        .orderBy("path")
+    )

@@ -1,0 +1,184 @@
+"""Structured Streaming variant of the ingest (SURVEY.md §2.D).
+
+Batch is primary (BASELINE.json:14 describes spark-submit batch
+runs); this module covers continuous ingestion of new crawl
+partitions with the SAME kernels and the same idempotent-write
+semantics:
+
+  D1  file streaming source with the declared pages schema
+  D2  1-day watermark on warc_ts (late captures beyond it dropped
+      from stateful operators)
+  D3  streaming per-url dedup within the watermark
+  D4  tumbling / sliding / session windowed metrics
+  D5  stateful per-host running stats (applyInPandasWithState)
+  D6  exactly-once sink: foreachBatch + idempotent parquet writes +
+      checkpointLocation WAL (the streaming twin of engine.checkpoint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+WATERMARK = "1 day"
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """D1: new parquet files under input_dir become micro-batches."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def deduped_stream(pages: DataFrame) -> DataFrame:
+    """D2+D3: watermark + once-per-url-within-watermark."""
+    return pages.withWatermark("warc_ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
+def extracted_stream(pages: DataFrame) -> DataFrame:
+    """Same fused kernel UDF as batch — the kernels don't know or care
+    that the plan is streaming."""
+    from engine.udfs import route_extract_udf
+
+    df = deduped_stream(pages).withColumn("_ex", route_extract_udf(F.col("html")))
+    return df.select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("_ex.path").alias("path"),
+        F.col("_ex.text").alias("text"),
+        F.col("_ex.error").alias("error"),
+        F.col("_ex.n_sents").alias("n_sents"),
+        F.length("_ex.text").cast("long").alias("n_chars"),
+        F.sha2(F.col("_ex.text"), 256).alias("content_sha256"),
+    )
+
+
+def windowed_metrics(extracted: DataFrame, width: str = "1 hour") -> DataFrame:
+    """D4 tumbling windows: per-(window, path) throughput metrics.
+    Input must already carry a watermark (extracted_stream does);
+    redefining one downstream of a stateful operator is disallowed."""
+    return (
+        extracted
+        .groupBy(F.window("warc_ts", width).alias("w"), "path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "path",
+            "n_docs",
+            "n_chars",
+        )
+    )
+
+
+def session_bursts(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """D4 session windows: crawl bursts per host."""
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        pages.select(host, "warc_ts")
+        .withWatermark("warc_ts", WATERMARK)
+        .groupBy(F.session_window("warc_ts", gap).alias("s"), "host")
+        .agg(F.count(F.lit(1)).alias("n_captures"))
+        .select(
+            F.col("s.start").alias("burst_start"),
+            F.col("s.end").alias("burst_end"),
+            "host",
+            "n_captures",
+        )
+    )
+
+
+# --- D5: stateful per-host running stats -----------------------------------
+
+STATE_SCHEMA = "n_docs long, n_chars long"
+HOST_STATS_SCHEMA = "host string, n_docs long, n_chars long"
+
+
+def _host_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState fn: cumulative docs/chars per host."""
+    import pandas as pd
+
+    n_docs, n_chars = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n_docs += len(pdf)
+        n_chars += int(pdf["n_chars"].fillna(0).sum())
+    state.update((n_docs, n_chars))
+    yield pd.DataFrame(
+        [(key[0], n_docs, n_chars)], columns=["host", "n_docs", "n_chars"]
+    )
+
+
+def host_running_stats(extracted: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # NOTE: input already carries the stream's watermark
+    # (extracted_stream); re-applying one here is disallowed.
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        extracted.select(host, "warc_ts", "n_chars")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _host_stats_fn,
+            outputStructType=HOST_STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- D6: exactly-once sink ---------------------------------------------------
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """foreachBatch sink: per-micro-batch idempotent parquet append
+    keyed by batch_id (re-delivered batches overwrite their own
+    directory — the WAL under checkpointLocation guarantees a batch id
+    is never skipped, overwrite makes redelivery harmless)."""
+    ex = extracted_stream(read_pages_stream(spark, input_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}"
+            )
+        )
+
+    w = (
+        ex.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

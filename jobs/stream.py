@@ -1,0 +1,41 @@
+"""Structured-streaming ingest job (SURVEY.md §2.D, §7 M6).
+
+    python jobs/stream.py --input /data/incoming --output /data/out \
+        --checkpoint /data/ckpt [--once]
+
+Watches --input for new page parquet files; each micro-batch runs the
+same fused extraction kernels and lands idempotent per-batch parquet
+under --output. --once processes the current backlog and exits
+(availableNow trigger); omit it for continuous ingestion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.session import get_spark
+from engine.streaming import start_ingest_stream
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--once", action="store_true")
+    args = p.parse_args()
+
+    spark = get_spark(master=args.master, app_name="webtext-stream")
+    q = start_ingest_stream(
+        spark, args.input, args.output, args.checkpoint, available_now=args.once
+    )
+    q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
