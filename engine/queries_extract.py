@@ -358,6 +358,171 @@ def x10(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# ANN scale path #1 — IVF-style cell probe (oracle-checked).
+# Centroids are a deterministic subset of the vectors (stand-in for an
+# offline k-means); every vector is assigned to its nearest centroid
+# (broadcast of the tiny centroid set — ONE pass over the big table, no
+# N^2), queries probe only their nearest cell. At 10^12 scale the big
+# side shuffles once on cell id; centroid assignment stays map-side.
+# --------------------------------------------------------------------------
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        v,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "q35_ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 61 = 0),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_DUCK_COS.format(a='e.embedding', b='c.ce')}, 4) DESC, c.cid ASC
+               ) rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    cand AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({_DUCK_COS.format(a='q.qe', b='e.embedding')}, 4) AS cos_sim
+      FROM q JOIN a qa ON qa.vec_id = q.qid
+             JOIN a ON a.cid = qa.cid
+             JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def q35(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # assign: one broadcast pass over the big table (|c| rows per vector,
+    # reduced map-side by the window argmin after a cell-count-bounded
+    # expansion — never an N x N join)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(_cos(F.col("embedding"), F.col("ce")), 4).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qcell = q.join(
+        assign.withColumnRenamed("vec_id", "qid"), "qid"
+    )  # probe cell = own cell (queries are corpus vectors)
+    cand = (
+        qcell.join(assign, "cid")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cos(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN scale path #2 — LSH bucket join (oracle-checked). Hyperplane
+# family = coordinate signs of the first 8 dims (deterministic, so the
+# oracle can reproduce it); candidates are same-bucket pairs only, so
+# the N^2 cross join becomes an equi-join on bucket id (bucket-local
+# work; at 10^12 scale this is ONE shuffle on a 8-bit key + skew-salt).
+# --------------------------------------------------------------------------
+@register(
+    "q36_ann_lsh_bucket_topk",
+    f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(range(1, 9),
+               i -> CASE WHEN embedding[CAST(i AS INT)] > 0 THEN CAST(POWER(2, i - 1) AS BIGINT) ELSE 0 END)) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM h WHERE vec_id < 20),
+    cand AS (
+      SELECT q.qid, h.vec_id,
+             ROUND({_DUCK_COS.format(a='q.qe', b='h.embedding')}, 4) AS cos_sim
+      FROM q JOIN h ON q.bucket = h.bucket AND h.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def q36(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    terms = [
+        F.when(
+            F.element_at("embedding", F.lit(i)) > 0, F.lit(1 << (i - 1))
+        ).otherwise(F.lit(0))
+        for i in range(1, 9)
+    ]
+    bucket = sum(terms[1:], terms[0]).cast("long")
+    h = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = h.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cand = (
+        q.join(h, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cos(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
 ALL = REGISTRY
 
 
