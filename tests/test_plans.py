@@ -1,0 +1,87 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale properties the
+engine depends on — column pruning, predicate pushdown into parquet,
+broadcast of small sides, and the single-shuffle / fused-Arrow shape
+of the extraction stage — are locked in here so a regression shows up
+as a test failure, not as a 10x slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from engine.corpus import gen_pages_df
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    gen_pages_df(spark, 200).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_metric_query_prunes_html(spark, pages_path):
+    """A count/metric query over pages must never deserialize the
+    TB-scale `html` column (SURVEY.md §4 column pruning)."""
+    pages = spark.read.parquet(pages_path)
+    metric = pages.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    p = plan(metric)
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("html" not in ln for ln in read_schema), p
+
+
+def test_filter_pushdown_reaches_parquet(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p, p
+
+
+def test_small_dim_join_is_broadcast(spark):
+    from engine.queries import REGISTRY
+
+    fn, _ = REGISTRY["q03_broadcast_join"]
+    p = plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_extraction_stage_single_shuffle_single_arrow(spark, pages_path):
+    """build_extracted = exactly ONE Exchange (the url repartition,
+    reused by the dedup window) and ONE fused Arrow crossing."""
+    from engine.pipeline import build_extracted
+
+    pages = spark.read.parquet(pages_path)
+    p = plan(build_extracted(pages, num_partitions=4))
+    # formatted mode lists every node twice (tree + detail section)
+    assert p.count("Exchange") == 2, p
+    assert p.count("ArrowEvalPython") == 2, p
+
+
+def test_manifest_antijoin_is_broadcast(spark, pages_path, tmp_path):
+    """Resume anti-join against the done-manifest must broadcast the
+    manifest side (it is tiny even at 10^12 rows)."""
+    from engine import checkpoint
+    from engine.pipeline import with_partition_key
+
+    out = str(tmp_path / "out")
+    checkpoint.mark_done(out, "r1", ["3", "7"])
+    pages = with_partition_key(spark.read.parquet(pages_path))
+    p = plan(checkpoint.filter_not_done(pages, out, "r1"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from engine.queries import REGISTRY
+
+    fn, _ = REGISTRY["q22_cosine_topk"]
+    p = plan(fn(spark, SF_DIR))
+    assert "Broadcast" in p, p
