@@ -1,0 +1,250 @@
+"""Multimodal kernels: media sniffing, metadata parse, decode,
+resize, frame-sampling, perceptual hashing (SURVEY.md §2 scope note;
+driver brief: "treat image/audio/video as opaque binary columns with
+typed metadata").
+
+Pure stdlib, deterministic, total over bytes — same contract as the
+text kernels. What is REAL vs STUBBED in this container:
+
+  REAL   PNG:  signature/IHDR parse + full decode of non-interlaced
+               8-bit GRAYSCALE images (zlib inflate + all five PNG
+               row filters), nearest-neighbor resize, 8x8 aHash.
+  REAL   WAV:  RIFF/fmt/data parse + PCM16 mono decode + integer
+               frame sampling (hop mean-abs energy).
+  STUB   JPEG/MP3/MP4: sniffed + typed metadata only; decode raises
+               NotImplementedError("codec not available in this
+               container") — production would slot Pillow/ffmpeg in
+               at exactly this seam. Callers map the exception into a
+               decode_status column, never a task failure.
+
+No floats anywhere in an output value (byte-stable goldens).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------------
+# sniffing
+# --------------------------------------------------------------------------
+def sniff_media(raw: bytes | None) -> str:
+    if not raw:
+        return "empty"
+    if raw[:8] == PNG_SIG:
+        return "png"
+    if raw[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
+    if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        return "mp3"
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        return "mp4"
+    if raw[:5] == b"%PDF-":
+        return "pdf"
+    return "unknown"
+
+
+# --------------------------------------------------------------------------
+# PNG: metadata + real grayscale-8 decode
+# --------------------------------------------------------------------------
+def _png_chunks(raw: bytes):
+    pos = 8
+    n = len(raw)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def png_meta(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from IHDR."""
+    if raw[:8] != PNG_SIG:
+        raise ValueError("not_png")
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            return (w, h, depth, color)
+    raise ValueError("png_no_ihdr")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
+    """Real decode of a non-interlaced 8-bit grayscale PNG:
+    concatenated IDAT -> zlib inflate -> per-row unfilter (all five
+    filter types). Returns (width, height, row-major pixel bytes)."""
+    w, h, depth, color = png_meta(raw)
+    if depth != 8 or color != 0:
+        raise NotImplementedError("png_decoder_supports_gray8_only")
+    ihdr = next(d for t, d in _png_chunks(raw) if t == b"IHDR")
+    if ihdr[12] != 0:
+        raise NotImplementedError("png_interlace_unsupported")
+    idat = b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
+    flat = zlib.decompress(idat)
+    stride = w  # bpp = 1
+    if len(flat) != h * (stride + 1):
+        raise ValueError("png_idat_size_mismatch")
+    out = bytearray(w * h)
+    prev = bytes(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = flat[off]
+        row = bytearray(flat[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(1, stride):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - 1] if x else 0
+                ul = prev[x - 1] if x else 0
+                row[x] = (row[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png_bad_filter_{ftype}")
+        out[y * w : (y + 1) * w] = row
+        prev = row
+    return (w, h, bytes(out))
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample (integer source indexing — exact)."""
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = (y * h) // new_h
+        base = sy * w
+        oy = y * new_w
+        for x in range(new_w):
+            out[oy + x] = pixels[base + (x * w) // new_w]
+    return bytes(out)
+
+
+def ahash64(pixels: bytes, w: int, h: int) -> int:
+    """8x8 average-hash: downsample, threshold on the integer mean.
+    Returns an unsigned 64-bit int (row-major, MSB = top-left)."""
+    small = resize_nearest(pixels, w, h, 8, 8)
+    mean = sum(small) // 64
+    bits = 0
+    for i, v in enumerate(small):
+        if v > mean:
+            bits |= 1 << (63 - i)
+    return bits
+
+
+# --------------------------------------------------------------------------
+# WAV: metadata + real PCM16 decode + frame sampling
+# --------------------------------------------------------------------------
+def wav_meta(raw: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, n_samples)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not_wav")
+    pos = 12
+    rate = channels = bits = 0
+    n_samples = 0
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data" and bits:
+            n_samples = clen // (channels * (bits // 8))
+        pos += 8 + clen + (clen & 1)
+    if not rate:
+        raise ValueError("wav_no_fmt")
+    return (rate, channels, bits, n_samples)
+
+
+def decode_wav_pcm16(raw: bytes) -> list[int]:
+    """Mono PCM16 sample values (signed ints)."""
+    rate, channels, bits, _ = wav_meta(raw)
+    if bits != 16 or channels != 1:
+        raise NotImplementedError("wav_decoder_supports_pcm16_mono_only")
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        if cid == b"data":
+            body = raw[pos + 8 : pos + 8 + clen]
+            return list(struct.unpack(f"<{clen // 2}h", body[: clen & ~1]))
+        pos += 8 + clen + (clen & 1)
+    return []
+
+
+def frame_sample(samples: list[int], hop: int) -> list[tuple[int, int]]:
+    """Every `hop` samples emit (frame_ix, mean_abs) — the audio twin
+    of video frame-sampling; integer math only."""
+    out = []
+    for ix, start in enumerate(range(0, len(samples), hop)):
+        win = samples[start : start + hop]
+        out.append((ix, sum(abs(s) for s in win) // max(1, len(win))))
+    return out
+
+
+# --------------------------------------------------------------------------
+# unified decode dispatch (the seam where Pillow/ffmpeg would slot in)
+# --------------------------------------------------------------------------
+def media_features(raw: bytes | None) -> dict:
+    """Total feature extraction: one dict per payload, exceptions
+    folded into decode_status."""
+    kind = sniff_media(raw)
+    feat = {
+        "kind": kind,
+        "n_bytes": len(raw) if raw else 0,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "ahash": None,
+        "px_mean": None,
+        "decode_status": "ok",
+    }
+    try:
+        if kind == "png":
+            w, h, px = decode_png_gray8(raw)
+            feat["width"], feat["height"] = w, h
+            feat["ahash"] = ahash64(px, w, h) - (1 << 63)  # signed for Spark
+            feat["px_mean"] = sum(px) // max(1, len(px))
+        elif kind == "wav":
+            rate, ch, bits, n = wav_meta(raw)
+            feat["sample_rate"], feat["n_samples"] = rate, n
+            samples = decode_wav_pcm16(raw)
+            feat["px_mean"] = sum(abs(s) for s in samples) // max(1, len(samples))
+        elif kind in ("jpeg", "gif", "mp3", "mp4"):
+            raise NotImplementedError("codec_not_available_in_container")
+        elif kind == "empty":
+            feat["decode_status"] = "empty"
+        else:
+            feat["decode_status"] = "unknown_format"
+    except NotImplementedError as exc:
+        feat["decode_status"] = f"stub:{exc}"
+    except Exception as exc:
+        feat["decode_status"] = f"error:{type(exc).__name__}"
+    return feat

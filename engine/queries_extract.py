@@ -104,6 +104,10 @@ def x04(spark, sf_dir):
             F.array(*[F.slice("sig", 1 + 4 * b, 4) for b in range(8)])
         ).alias("band", "band_sig"),
     ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
+    # both sides of the self-join read this subtree: persist so the
+    # minhash UDF runs ONCE per document, not twice (at 10^12 scale
+    # the signature table is materialized to storage instead)
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -145,6 +149,8 @@ def x05(spark, sf_dir):
             )
         ).alias("band", "key"),
     )
+    # persist: the self-join otherwise evaluates the simhash UDF twice
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -178,7 +184,8 @@ def x05(spark, sf_dir):
 @register("x06_embed_neardup")
 def x06(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = docs.select("doc_id", embed_udf(F.col("text")).alias("e"))
+    # persist: embed UDF feeds both sides of the pair join
+    emb = docs.select("doc_id", embed_udf(F.col("text")).alias("e")).persist()
 
     def dot(u, v):
         return F.aggregate(
@@ -520,6 +527,56 @@ def q36(spark, sf_dir):
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("qid", "vec_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal (first-class): synthetic media corpus -> typed features
+# (real PNG gray-8 + WAV PCM16 decode, stubbed JPEG/MP4 codecs), and
+# the audio frame-sampling fan-out. Deterministic generation -> the
+# rows-only check is still exact across rounds.
+# --------------------------------------------------------------------------
+_SF_MEDIA = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 1500}
+
+
+def _media(spark, sf_dir):
+    from engine.synth.mediagen import gen_media_df
+
+    for k, v in _SF_MEDIA.items():
+        if sf_dir.rstrip("/").endswith(k):
+            return gen_media_df(spark, v)
+    return gen_media_df(spark, 300)
+
+
+@register("x12_media_features")
+def x12(spark, sf_dir):
+    from engine.ops.media import build_media_features
+
+    feats = build_media_features(_media(spark, sf_dir), num_partitions=8)
+    return (
+        feats.groupBy("kind", "decode_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count("ahash").alias("n_hashed"),
+            F.avg("px_mean").cast("long").alias("avg_px_mean"),
+        )
+        .orderBy("kind", "decode_status")
+    )
+
+
+@register("x13_media_frames")
+def x13(spark, sf_dir):
+    from engine.ops.media import build_media_frames
+
+    frames = build_media_frames(_media(spark, sf_dir), hop=256)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_energy").alias("peak_energy"),
+        )
+        .orderBy("media_id")
     )
 
 

@@ -1,0 +1,129 @@
+"""Deterministic synthetic media corpus (images + audio as opaque
+binary columns), mirroring engine/corpus.py: every row is a pure
+function of (seed, media_id) so any scale regenerates identically on
+any executor.
+
+Mix: ~45% PNG (gray-8, really decodable by the kernel), ~35% WAV
+(PCM16 mono, really decodable), ~10% JPEG-sniffable stubs, ~5% MP4
+stubs, ~5% garbage. Pixel/sample content is integer-only (no libm) so
+bytes are identical across platforms; PNG compressed bytes depend on
+the in-process zlib, so goldens pin DECODED pixels / hashes, not the
+container bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from engine.corpus import _Rng
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, url string, kind string, payload binary, label int"
+)
+
+
+def make_png_gray(seed: int, i: int, w: int = 32, h: int = 24) -> bytes:
+    rng = _Rng(seed, i)
+    base = rng.next() & 0xFF
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            # integer gradient + per-image offset: structured enough
+            # that aHash differs between images, no RNG per pixel
+            px[y * w + x] = (base + 3 * x + 5 * y) & 0xFF
+    raw = b"".join(
+        b"\x00" + bytes(px[y * w : (y + 1) * w]) for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav_pcm16(seed: int, i: int, n_samples: int = 2000) -> bytes:
+    rng = _Rng(seed, i)
+    period = 20 + (rng.next() % 80)
+    amp = 4000 + (rng.next() % 20000)
+    samples = []
+    for t in range(n_samples):
+        # integer triangle wave — deterministic without libm
+        phase = t % period
+        half = period // 2
+        v = (phase * 2 * amp) // max(1, half) - amp if phase < half else (
+            amp - ((phase - half) * 2 * amp) // max(1, period - half)
+        )
+        samples.append(max(-32768, min(32767, v)))
+    data = struct.pack(f"<{n_samples}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
+    rng = _Rng(seed, i)
+    r = rng.uniform()
+    if r < 0.45:
+        kind, payload = "png", make_png_gray(seed, i)
+    elif r < 0.80:
+        kind, payload = "wav", make_wav_pcm16(seed, i)
+    elif r < 0.90:  # sniffable JPEG stub (header only — decode is stubbed)
+        kind = "jpeg"
+        payload = b"\xff\xd8\xff\xe0" + b"\x00\x10JFIF\x00" + bytes(
+            (rng.next() & 0xFF for _ in range(64))
+        )
+    elif r < 0.95:  # MP4 stub
+        kind = "mp4"
+        payload = struct.pack(">I", 24) + b"ftypisom" + bytes(16)
+    else:
+        kind, payload = "garbage", bytes((rng.next() & 0xFF for _ in range(32)))
+    url = f"https://media{(rng.next() % 50):02d}.example.com/m/{i}.{kind}"
+    return (i, url, kind, payload, i % 10)
+
+
+def gen_media_pandas(seed: int, start: int, end: int):
+    import pandas as pd
+
+    rows = [make_media_row(seed, i) for i in range(start, end)]
+    return pd.DataFrame(
+        rows, columns=["media_id", "url", "kind", "payload", "label"]
+    )
+
+
+def gen_media_df(spark, n: int, seed: int = 42):
+    """Distributed generation: spark.range + mapInPandas (same
+    pattern as engine.corpus.gen_pages_df)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            if ids:
+                yield pd.DataFrame(
+                    [make_media_row(seed, int(i)) for i in ids],
+                    columns=["media_id", "url", "kind", "payload", "label"],
+                )
+
+    return spark.range(n).mapInPandas(fn, MEDIA_SCHEMA_DDL)

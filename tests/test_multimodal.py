@@ -1,0 +1,184 @@
+"""Multimodal kernels + Spark plumbing (driver brief: image/audio as
+opaque binary columns; decode/resize/frame-sample; deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.kernels import multimodal as mm
+from engine.synth.mediagen import (
+    gen_media_pandas,
+    make_png_gray,
+    make_wav_pcm16,
+)
+
+
+# ---------------------------------------------------------------- kernels
+def test_png_roundtrip_exact():
+    raw = make_png_gray(42, 7, w=32, h=24)
+    assert mm.sniff_media(raw) == "png"
+    assert mm.png_meta(raw) == (32, 24, 8, 0)
+    w, h, px = mm.decode_png_gray8(raw)
+    assert (w, h, len(px)) == (32, 24, 32 * 24)
+    # pixel formula from the generator: (base + 3x + 5y) & 0xFF
+    from engine.corpus import _Rng
+
+    base = _Rng(42, 7).next() & 0xFF
+    assert px[0] == base and px[5] == (base + 15) & 0xFF
+    assert px[32 * 3 + 4] == (base + 12 + 15) & 0xFF
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-build a 3x3 PNG exercising filters 1/2/4 and check the
+    decoder reconstructs the intended pixels."""
+    import struct
+    import zlib
+
+    rows = [bytes([10, 20, 30]), bytes([40, 50, 60]), bytes([70, 80, 90])]
+    # encode: row0 Sub, row1 Up, row2 Paeth
+    enc = bytearray()
+    enc += b"\x01" + bytes([10, (20 - 10) & 0xFF, (30 - 20) & 0xFF])
+    enc += b"\x02" + bytes([(40 - 10) & 0xFF, (50 - 20) & 0xFF, (60 - 30) & 0xFF])
+
+    def paeth_enc(x, left, up, ul):
+        return (x - mm._paeth(left, up, ul)) & 0xFF
+
+    enc += b"\x04" + bytes(
+        [
+            paeth_enc(70, 0, 40, 0),
+            paeth_enc(80, 70, 50, 40),
+            paeth_enc(90, 80, 60, 50),
+        ]
+    )
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = mm.decode_png_gray8(raw)
+    assert bytes(px) == b"".join(rows)
+
+
+def test_resize_and_ahash_deterministic():
+    raw = make_png_gray(42, 3)
+    w, h, px = mm.decode_png_gray8(raw)
+    small = mm.resize_nearest(px, w, h, 8, 8)
+    assert len(small) == 64
+    a1 = mm.ahash64(px, w, h)
+    a2 = mm.ahash64(px, w, h)
+    assert a1 == a2 and 0 <= a1 < (1 << 64)
+    # different image -> different hash (structured gradient differs)
+    _, _, px2 = mm.decode_png_gray8(make_png_gray(42, 4))
+    assert mm.ahash64(px2, w, h) != a1 or px2 != px
+
+
+def test_wav_roundtrip_and_frames():
+    raw = make_wav_pcm16(42, 5, n_samples=1000)
+    assert mm.sniff_media(raw) == "wav"
+    rate, ch, bits, n = mm.wav_meta(raw)
+    assert (rate, ch, bits, n) == (16000, 1, 16, 1000)
+    samples = mm.decode_wav_pcm16(raw)
+    assert len(samples) == 1000
+    frames = mm.frame_sample(samples, 256)
+    assert [ix for ix, _ in frames] == [0, 1, 2, 3]
+    assert all(e >= 0 for _, e in frames)
+
+
+def test_decode_stubs_are_total():
+    jpeg = b"\xff\xd8\xff\xe0" + bytes(32)
+    f = mm.media_features(jpeg)
+    assert f["kind"] == "jpeg" and f["decode_status"].startswith("stub:")
+    assert mm.media_features(None)["decode_status"] == "empty"
+    assert mm.media_features(b"\x00\x01")["decode_status"] == "unknown_format"
+    # truncated png -> error, not exception
+    bad = make_png_gray(42, 1)[:40]
+    assert mm.media_features(bad)["decode_status"].startswith(
+        ("error:", "stub:", "unknown_format")
+    )
+
+
+# ---------------------------------------------------------------- Spark
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from engine.synth.mediagen import gen_media_df
+
+    return gen_media_df(spark, 200).cache()
+
+
+def test_media_features_spark(spark, media_df):
+    from engine.ops.media import build_media_features
+
+    feats = build_media_features(media_df, num_partitions=4).toPandas()
+    assert len(feats) == 200
+    by_kind = feats.groupby("kind").size().to_dict()
+    assert by_kind.get("png", 0) > 50 and by_kind.get("wav", 0) > 30
+    ok = feats[feats.decode_status == "ok"]
+    assert (ok[ok.kind == "png"].width == 32).all()
+    assert (ok[ok.kind == "wav"].sample_rate == 16000).all()
+    stubs = feats[feats.kind.isin(["jpeg", "mp4"])]
+    assert (stubs.decode_status.str.startswith("stub:")).all()
+
+
+def test_media_features_match_local_kernel(spark, media_df):
+    """Spark mapInPandas output == kernel applied row-wise locally."""
+    from engine.ops.media import build_media_features
+
+    # collect() (not toPandas): nullable int64 -> float64 in pandas
+    # would silently round 64-bit hashes
+    got = {
+        r["media_id"]: r
+        for r in build_media_features(media_df).collect()
+    }
+    local = gen_media_pandas(42, 0, 200)
+    for _, row in local.iterrows():
+        f = mm.media_features(bytes(row["payload"]))
+        g = got[row["media_id"]]
+        assert g["kind"] == f["kind"]
+        assert g["decode_status"] == f["decode_status"]
+        if f["ahash"] is not None:
+            assert g["ahash"] == f["ahash"]
+
+
+def test_media_frames_fanout(spark, media_df):
+    from engine.ops.media import build_media_frames
+
+    frames = build_media_frames(media_df, hop=500).toPandas()
+    n_wav = media_df.filter("kind = 'wav'").count()
+    # 2000 samples / hop 500 = 4 frames per wav payload
+    assert len(frames) == 4 * n_wav
+    assert set(frames.frame_ix.unique()) == {0, 1, 2, 3}
+
+
+def test_media_thumbnails(spark, media_df):
+    from engine.ops.media import build_media_thumbnails
+
+    th = build_media_thumbnails(media_df, 8, 8).toPandas()
+    n_png = media_df.filter("kind = 'png'").count()
+    assert len(th) == n_png
+    assert all(len(bytes(b)) == 64 for b in th.thumb)
+
+
+def test_media_generation_partition_invariant(spark):
+    """Same media corpus regardless of partitioning (determinism)."""
+    from engine.ops.media import build_media_features
+    from engine.synth.mediagen import gen_media_df
+
+    a = (
+        build_media_features(gen_media_df(spark, 100).repartition(7))
+        .orderBy("media_id")
+        .toPandas()
+    )
+    b = (
+        build_media_features(gen_media_df(spark, 100).coalesce(1))
+        .orderBy("media_id")
+        .toPandas()
+    )
+    assert a.equals(b)
