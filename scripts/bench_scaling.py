@@ -130,7 +130,7 @@ def main() -> None:
 | Item | Value |
 |---|---|
 | Corpus | deterministic synthetic pages, n={args.pages} (seed 42), parquet-cached |
-| Job | single url-hash repartition -> window dedup -> fused route+extract+sents (one Arrow crossing) -> full-column force |
+| Job | map-side fused route+extract+sents on 16MB scan splits (html never shuffles) -> max_by latest-capture dedup agg (one exchange, extracted columns only) -> full-column force |
 | Parallelism A (N) | local[{args.low}] -> best of {args.runs} runs {t_lo:.2f}s -> **{d_lo:.1f} docs/s** |
 | Parallelism B (4N) | local[{args.high}] -> best of {args.runs} runs {t_hi:.2f}s -> **{d_hi:.1f} docs/s** |
 | Scaling efficiency | (docs/s@{args.high} / docs/s@{args.low}) / {args.high // args.low} = **{eff:.3f}** (target >= 0.8) |
