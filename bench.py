@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
 
+# bench-only: spill/shuffle on tmpfs (this sandbox's disk is shared
+# with other tenants; engine/session.py gates this behind the flag)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 
 def ensure_corpus(spark, n: int) -> str:
     path = os.path.join(

@@ -78,8 +78,12 @@ def build_extracted(
     which is far cheaper than shuffling every payload byte to
     co-locate urls before extracting.
 
-    num_partitions kept for API compat: when set AND dedup is off, it
-    repartitions *after* extraction for downstream balance.
+    num_partitions (both dedup modes): sets the partition count of the
+    OUTPUT for downstream balance. With dedup=True it is applied as the
+    shuffle-partition count of the dedup exchange itself (repartition on
+    url before the agg — the groupBy reuses that partitioning, so there
+    is still exactly ONE exchange); with dedup=False it is a plain
+    repartition after extraction.
     """
     df = pages.withColumn("_ex", route_extract_udf(F.col("html")))
     df = df.select(
@@ -94,6 +98,13 @@ def build_extracted(
     )
     if dedup:
         payload = F.struct("warc_ts", "lang", "path", "text", "error", "n_sents")
+        if num_partitions:
+            # HashPartitioning(url, N) satisfies the agg's required
+            # distribution, so this pins the dedup exchange's width
+            # without adding a second exchange. Urls are ~unique in CC
+            # (re-crawl rate ~2%), so losing map-side partial
+            # reduction costs nothing.
+            df = df.repartition(num_partitions, "url")
         df = (
             df.groupBy("url")
             .agg(

@@ -416,7 +416,7 @@ def q13(spark, sf_dir):
     "q14_cube",
     """
     SELECT COALESCE(lang, 'ALL') AS lang_d, COALESCE(source, 'ALL') AS source_d,
-           COUNT(*) AS n, SUM(n_chars) AS chars
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY CUBE(lang, source)
     ORDER BY lang_d, source_d
     """,
@@ -490,7 +490,7 @@ def q16(spark, sf_dir):
     "q17_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -782,10 +782,15 @@ def q25(spark, sf_dir):
 @register(
     "q26_ngram_jaccard_pairs",
     """
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       FROM documents WHERE doc_id < 200
     ),
+    hot AS (
+      SELECT tok FROM tok0 GROUP BY tok
+      HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM documents WHERE doc_id < 200)
+    ),
+    tok AS (SELECT * FROM tok0 WHERE tok NOT IN (SELECT tok FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -800,10 +805,28 @@ def q25(spark, sf_dir):
     """,
 )
 def q26(spark, sf_dir):
+    # Hot-token guard: a token present in df documents fans out to
+    # df*(df-1)/2 join rows, so one stop-word token with df ~= N makes
+    # the self-join quadratic in N. Dropping tokens with df > 50% of
+    # docs bounds per-token fanout to (N/2)^2/2 ~= N^2/8 worst case and,
+    # in a real (zipfian-vocabulary) corpus, removes exactly the head
+    # tokens that carry no similarity signal. The HOT list is tiny by
+    # construction (at most total_occurrences/(0.5*N) tokens), so the
+    # scale formulation is a BROADCAST anti-join against it — never a
+    # shuffle of the token table on a second key.
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    tok = docs.select(
+    tok0 = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    hot = (
+        tok0.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") > 0.5 * F.col("nd"))
+        .select("tok")
+    )
+    tok = tok0.join(F.broadcast(hot), "tok", "left_anti")
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -839,7 +862,7 @@ def q26(spark, sf_dir):
     "q27_token_stats",
     """
     SELECT lang,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
            MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang ORDER BY lang
@@ -898,7 +921,7 @@ def q28(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     )
-    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM g GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -930,11 +953,11 @@ def q29(spark, sf_dir):
     "q30_pivot_event_types",
     """
     SELECT user_id % 10 AS user_bucket,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
     FROM events GROUP BY user_id % 10 ORDER BY user_bucket
     """,
 )

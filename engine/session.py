@@ -41,11 +41,16 @@ def get_spark(
         # At 10^12 rows the same knob bounds per-task payload bytes.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        # shuffle spill dir on tmpfs: this sandbox has ONE shared
-        # virtual disk (a real 4N-executor cluster has 4N local
-        # disks); /dev/shm keeps shuffle I/O off the contended device
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # shuffle spill dir: tmpfs keeps shuffle I/O off this sandbox's one
+    # shared virtual disk, but tmpfs spill = spill-to-RAM, which breaks
+    # on hosts with a small /dev/shm. So: honor an explicit
+    # SPARK_LOCAL_DIRS, opt into tmpfs only via SPARK_GRAFT_TMPFS=1
+    # (bench harnesses set it), otherwise keep Spark's default.
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        b = b.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS"])
+    elif os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra or {}).items():

@@ -69,9 +69,16 @@ def run(args) -> dict:
     lineage = build_lineage(extracted_rd, args.run_id)
     write_table(lineage, os.path.join(args.output, "lineage"), mode="append")
 
+    # Resume keys come from the WRITTEN extracted table, not from a
+    # second pass over the (at target scale, 100 TB) input: pbucket is
+    # the same pmod(xxhash64(host), 64) as partition_key_col, it is a
+    # physical partition column of the parquet we just wrote, and every
+    # ingested page lands in extracted (errors included) — so distinct
+    # pbucket == the set of processed work units, answered from the
+    # written table's partition values (no payload bytes read).
     done_keys = [
-        r["part_key"]
-        for r in pages.select("part_key").distinct().collect()
+        str(r["pbucket"])
+        for r in extracted_rd.select("pbucket").distinct().collect()
     ]
     checkpoint.mark_done(args.output, args.run_id, done_keys)
 
