@@ -66,6 +66,47 @@ def repartition_for_extraction(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """B8: salted equi-join for hot join keys (SURVEY.md §2 B8).
+
+    A zipfian key (one host carrying a large share of a crawl) makes
+    one shuffle partition of a plain equi-join arbitrarily large; AQE's
+    skewJoin split is a runtime backstop, but only rebalances the SORT
+    side — it cannot split a hash partition whose single KEY VALUE
+    exceeds a task. Salting fixes it structurally:
+
+      * big side: one extra column `salt = pmod(xxhash64(<row id>), K)`
+        — derived from the whole row's unique-ish attributes, NOT the
+        join key, so a hot key's rows spread over K partitions;
+      * small side: exploded K times via explode(sequence(0, K-1)) so
+        every (key, salt) bucket finds its dim row;
+      * join on (key, salt): same rows as the plain join — salting is
+        result-invariant (verified against a plain-join oracle in
+        q39_salted_skew_join) — but the hottest key now occupies K
+        tasks instead of one.
+
+    Cost: the small side is duplicated K times (fine: it is the SMALL
+    side; K*|small| stays broadcastable in most uses) and the big side
+    shuffles the same bytes it would anyway. Use for fact-to-fact
+    joins where neither side broadcasts and the key histogram is
+    skewed; for broadcastable dims prefer F.broadcast (B5).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    ).alias("_salt")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
+
+
 def day_col(ts_col: str = "warc_ts") -> F.Column:
     return F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
 

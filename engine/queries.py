@@ -1032,3 +1032,92 @@ def q32(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# B8: salted skew join — the oracle is the PLAIN join (salting must be
+# result-invariant); the Spark side goes through the salted operator.
+# --------------------------------------------------------------------------
+@register(
+    "q39_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.n_clicks
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q39(spark, sf_dir):
+    from engine.partitioning import salted_join
+
+    ev = T(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    big = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    return salted_join(big, dim, on="user_id", salt_buckets=8).select(
+        "event_id", "user_id", "n_clicks"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.C Map family: map_from_entries / map_concat / element_at over a
+# per-user event_type->count map (the lineage path_counts shape,
+# SURVEY.md §1.2). Outputs are scalars extracted from the map so the
+# value-hash compare is engine-portable (DuckDB element_at returns a
+# single-element LIST -> [1] unwraps it).
+# --------------------------------------------------------------------------
+@register(
+    "q40_map_functions",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    m AS (
+      SELECT user_id,
+             map_concat(
+               map_from_entries(list({'k': event_type, 'v': c} ORDER BY event_type)),
+               MAP {'_total': CAST(SUM(c) AS BIGINT)}
+             ) AS pc
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id,
+           COALESCE(element_at(pc, 'click')[1], 0) AS clicks,
+           COALESCE(element_at(pc, 'purchase')[1], 0) AS purchases,
+           element_at(pc, '_total')[1] AS total,
+           CAST(cardinality(pc) AS BIGINT) AS n_keys
+    FROM m ORDER BY user_id
+    """,
+)
+def q40(spark, sf_dir):
+    per = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_concat(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "c")))
+            ),
+            F.create_map(F.lit("_total"), F.sum("c")),
+        ).alias("pc")
+    )
+    pc = F.col("pc")
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at(pc, F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at(pc, F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.element_at(pc, F.lit("_total")).alias("total"),
+        F.size(pc).cast("long").alias("n_keys"),
+    ).orderBy("user_id")

@@ -10,8 +10,6 @@ ones read the driver's documents/embeddings parquet.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -19,7 +17,6 @@ from engine.corpus import gen_pages_df
 from engine.pipeline import build_chunks, build_extracted, build_vectors
 from engine.queries import REGISTRY, T, register
 from engine.udfs import (
-    embed_udf,
     langid_udf,
     minhash_udf,
     rolling_fp_udf,
@@ -40,6 +37,30 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_pages_df(spark, _n_pages(sf_dir))
 
 
+# cosine similarity, Spark-side (JVM higher-order fns, no Python) and
+# the DuckDB-dialect equivalent for oracles
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        v,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
 # --------------------------------------------------------------------------
 # A1-A5+A10+A13-A14: the flagship extraction rollup
 # --------------------------------------------------------------------------
@@ -58,35 +79,27 @@ def x01(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# A6-A7: sentence-aware chunking of the extracted corpus
+# A6-A9: sentence-aware chunking + deterministic featurizer, one
+# per-url rollup (chunks computed ONCE, persisted across both uses)
 # --------------------------------------------------------------------------
-@register("x02_chunk_spans")
+@register("x02_chunk_vectors")
 def x02(spark, sf_dir):
     ex = build_extracted(_pages(spark, sf_dir))
-    ch = build_chunks(ex)
-    return (
-        ch.groupBy("url")
+    ch = build_chunks(ex).persist()
+    per_chunk = ch.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("char_end").alias("last_char"),
+        F.min("chunk_sha256").alias("min_chunk_sha"),
+    )
+    per_vec = (
+        build_vectors(ch)
+        .groupBy("url")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.max("char_end").alias("last_char"),
-            F.min("chunk_sha256").alias("min_chunk_sha"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("label").alias("label_sum"),
         )
-        .orderBy("url")
     )
-
-
-# --------------------------------------------------------------------------
-# A8-A9: vectors (deterministic featurizer over chunks)
-# --------------------------------------------------------------------------
-@register("x03_vectors")
-def x03(spark, sf_dir):
-    ex = build_extracted(_pages(spark, sf_dir))
-    vec = build_vectors(build_chunks(ex))
-    return (
-        vec.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("label")
-    )
+    return per_chunk.join(per_vec, "url").orderBy("url")
 
 
 # --------------------------------------------------------------------------
@@ -178,135 +191,52 @@ def x05(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Similarity: embedding-cosine near-dup over our featurizer embeddings
-# (brute-force baseline; q22 covers the oracle-checked cosine top-k)
+# Similarity (oracle-checked): embedding-cosine near-dup pairs over the
+# embeddings table. Brute-force all-pairs on a bounded subset — the
+# documented baseline; x04/x05 (hash banding) and q35/q36 (IVF/LSH)
+# are the scale paths for the same question.
 # --------------------------------------------------------------------------
-@register("x06_embed_neardup")
-def x06(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    # persist: embed UDF feeds both sides of the pair join
-    emb = docs.select("doc_id", embed_udf(F.col("text")).alias("e")).persist()
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(dot(F.col("a.e"), F.col("b.e")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
+@register(
+    "q41_embed_neardup_pairs",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_COS.format(a='a.embedding', b='b.embedding')}, 4) >= 0.4
+    """,
+)
+def q41(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(_cos(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.4).orderBy("vec_a", "vec_b")
 
 
 # --------------------------------------------------------------------------
-# Text analysis: language-ID mismatch rate (kernel vs crawler label)
+# Text analysis: per-doc rolling-hash fingerprint + language-ID guess
+# vs the crawler label (two kernels, one Arrow crossing each)
 # --------------------------------------------------------------------------
-@register("x07_langid_mismatch")
+@register("x07_text_metrics")
 def x07(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    g = docs.select(
-        "lang", langid_udf(F.col("text")).alias("lang_guess")
-    )
-    return (
-        g.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("lang") != F.col("lang_guess"), 1).otherwise(0)
-            ).alias("n_mismatch"),
-        )
-        .orderBy("lang")
-    )
-
-
-# --------------------------------------------------------------------------
-# Text analysis: rolling-hash document fingerprints
-# --------------------------------------------------------------------------
-@register("x08_fingerprints")
-def x08(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
-        "doc_id", rolling_fp_udf(F.col("text")).alias("fingerprint")
+        "doc_id",
+        rolling_fp_udf(F.col("text")).alias("fingerprint"),
+        "lang",
+        langid_udf(F.col("text")).alias("lang_guess"),
+    ).withColumn(
+        "mismatch", (F.col("lang") != F.col("lang_guess")).cast("int")
     ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# Multimodal plumbing: opaque binary columns + typed metadata, decode
-# stubbed (no image/audio libs in this container — SURVEY.md §0 ENV).
-# The Spark-side schema/partitioning/UDF-batch shape is real.
-# --------------------------------------------------------------------------
-_MM_DDL = (
-    "url string, media_kind string, n_bytes long, magic string, "
-    "feature_hash long, decode_status string"
-)
-
-
-def _multimodal_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from engine.kernels.embed import fnv1a64
-
-    for pdf in batches:
-        out = []
-        for url, raw in zip(pdf["url"], pdf["html"]):
-            if raw is None or len(raw) == 0:
-                out.append((url, "empty", 0, "", 0, "skipped_empty"))
-                continue
-            head = bytes(raw[:5])
-            if head == b"%PDF-":
-                kind = "pdf"
-            elif head[:1] in (b"<", b"\xef", b"\xff", b"\xfe"):
-                kind = "html"
-            else:
-                kind = "binary"
-            # deterministic fake "feature": real decode would go here
-            # (image resize / audio frames); container lacks the libs,
-            # so the feature is a pinned hash of the payload prefix.
-            fh = fnv1a64(bytes(raw[:256]))
-            fh = fh - (1 << 64) if fh >= (1 << 63) else fh
-            out.append(
-                (
-                    url,
-                    kind,
-                    len(raw),
-                    head.hex(),
-                    fh,
-                    "decoded_stub" if kind != "binary" else "no_decoder",
-                )
-            )
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "url",
-                "media_kind",
-                "n_bytes",
-                "magic",
-                "feature_hash",
-                "decode_status",
-            ],
-        )
-
-
-@register("x09_multimodal_features")
-def x09(spark, sf_dir):
-    pages = _pages(spark, sf_dir)
-    feats = pages.select("url", "html").mapInPandas(_multimodal_batches, _MM_DDL)
-    return (
-        feats.groupBy("media_kind", "decode_status")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_bytes").alias("total_bytes"),
-        )
-        .orderBy("media_kind", "decode_status")
-    )
 
 
 # --------------------------------------------------------------------------
@@ -356,15 +286,6 @@ def q34(spark, sf_dir):
     )
 
 
-@register("x10_approx_distinct")
-def x10(spark, sf_dir):
-    ev = T(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-
-
 # --------------------------------------------------------------------------
 # ANN scale path #1 — IVF-style cell probe (oracle-checked).
 # Centroids are a deterministic subset of the vectors (stand-in for an
@@ -373,28 +294,6 @@ def x10(spark, sf_dir):
 # N^2), queries probe only their nearest cell. At 10^12 scale the big
 # side shuffles once on cell id; centroid assignment stays map-side.
 # --------------------------------------------------------------------------
-def _cos(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda v: F.aggregate(  # noqa: E731
-        v,
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
-
-
-_DUCK_COS = (
-    "list_sum(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
-)
-
-
 @register(
     "q35_ann_ivf_topk",
     f"""
@@ -730,8 +629,8 @@ ALL = REGISTRY
 # idempotent foreachBatch sink), returns the landed rollup.
 # Stateful streaming is not SQL-expressible -> rows-only check.
 # --------------------------------------------------------------------------
-@register("x11_streaming_extract")
-def x11(spark, sf_dir):
+@register("x03_streaming_extract")
+def x03_streaming(spark, sf_dir):
     import tempfile
 
     from engine.streaming import PAGES_SCHEMA, start_ingest_stream

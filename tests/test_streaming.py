@@ -162,6 +162,65 @@ def test_foreachbatch_idempotent_redelivery(spark, tmp_path):
     assert n1 == n2
 
 
+def test_session_bursts_boundaries(spark, tmp_path):
+    """D4 session windows: hand-computed burst fixture. Host a bursts
+    at 00:00/00:10/00:20 (one 30-min-gap session ending 00:50) and
+    again at 03:00; host b at 01:00/01:25 (one session ending 01:55).
+    A straggler row 3 days later pushes the 1-day watermark past every
+    real session so append mode emits them all as closed."""
+    import datetime as dt
+
+    from engine.streaming import session_bursts
+
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def row(host, minutes):
+        return (
+            f"https://{host}/p{minutes}",
+            base + dt.timedelta(minutes=minutes),
+            None,
+            None,
+            "en",
+        )
+
+    rows = [
+        row("a.example.com", 0),
+        row("a.example.com", 10),
+        row("a.example.com", 20),
+        row("a.example.com", 180),
+        row("b.example.com", 60),
+        row("b.example.com", 85),
+        row("z.example.com", 3 * 24 * 60),  # watermark pusher
+    ]
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]),
+        PAGES_SCHEMA,
+    ).coalesce(1).write.parquet(input_dir)
+
+    stream = read_pages_stream(spark, input_dir)
+    q = (
+        session_bursts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("bursts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["host"], r["burst_start"], r["burst_end"]): r["n_captures"]
+        for r in spark.sql("SELECT * FROM bursts").collect()
+    }
+    m = dt.timedelta
+    exp = {
+        ("a.example.com", base, base + m(minutes=50)): 3,
+        ("a.example.com", base + m(minutes=180), base + m(minutes=210)): 1,
+        ("b.example.com", base + m(minutes=60), base + m(minutes=115)): 2,
+    }
+    assert got == exp, got
+
+
 def test_host_running_stats(spark, tmp_path):
     pytest.importorskip("pyspark.sql.streaming.state")
     from engine.streaming import host_running_stats
