@@ -77,13 +77,28 @@ def _extract_with_sents(raw) -> tuple[str, str, str | None, int]:
 
 
 @pandas_udf(EXTRACT_STRUCT)
-def route_extract_udf(html: pd.Series) -> pd.DataFrame:
+def route_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """Fused media-router + three-path extractor + sentence counter
     (A1+A2+A4+A5+A6) — ONE Arrow crossing for the whole per-document
     kernel chain; a separate n_sents UDF would re-ship every byte of
-    extracted text to Python a second time."""
-    out = [_extract_with_sents(raw) for raw in html]
-    return pd.DataFrame(out, columns=["path", "text", "error", "n_sents"])
+    extracted text to Python a second time.
+
+    Iterator form (SURVEY.md §2.E): the kernel-dispatch setup below —
+    module resolution for the router, parsers, OCR font table and
+    sentence splitter — runs ONCE PER TASK and is amortized across
+    every Arrow batch the task processes, instead of re-resolving per
+    batch (or per row, as the old `from ... import` inside the helper
+    did)."""
+    from engine.kernels.sentences import sentence_spans
+
+    route = _route_and_extract_one  # bind once per task
+    cols = ["path", "text", "error", "n_sents"]
+    for html in batches:
+        out = []
+        for raw in html:
+            path, text, err = route(raw)
+            out.append((path, text, err, len(sentence_spans(text)) if text else 0))
+        yield pd.DataFrame(out, columns=cols)
 
 
 @pandas_udf(StringType())
