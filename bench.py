@@ -80,21 +80,23 @@ def main() -> None:
         ).collect()[0]
         return row["n"]
 
+    # num_partitions deliberately NOT set: the dedup exchange is AQE-
+    # sized (advisory 64m + coalesce), which measured faster than an
+    # explicit repartition(cpus*2) by ~30% at 100k pages — the knob is
+    # for callers that need a specific downstream layout, not for
+    # throughput.
     def run_extract():
-        ex = build_extracted(pages, num_partitions=cpus * 2)
-        n_docs_holder["n"] = force(ex)
+        n_docs_holder["n"] = force(build_extracted(pages))
 
     # warm-up (JVM + python workers), then timed
-    force(build_extracted(pages.limit(512), num_partitions=cpus))
+    force(build_extracted(pages.limit(512)))
     timed("extract_pipeline", run_extract)
 
     # stage-isolated timings: each stage reads its input from parquet
     # (mirrors the production job, jobs/ingest.py) so a stage's number
     # never includes recomputing its upstream
     ex_path = os.path.join(os.path.dirname(corpus_path), "_bench_extracted")
-    build_extracted(pages, num_partitions=cpus * 2).write.mode(
-        "overwrite"
-    ).parquet(ex_path)
+    build_extracted(pages).write.mode("overwrite").parquet(ex_path)
     ex_rd = spark.read.parquet(ex_path)
     ch_path = os.path.join(os.path.dirname(corpus_path), "_bench_chunks")
     timed(
@@ -117,6 +119,10 @@ def main() -> None:
         "q22_cosine_topk",
         "q23_asof_join",
         "q26_ngram_jaccard_pairs",
+        "q35_ann_ivf_topk",
+        "q36_ann_lsh_bucket_topk",
+        "q39_salted_skew_join",
+        "q41_embed_neardup_pairs",
         "x04_minhash_lsh_pairs",
         "x05_simhash_pairs",
     ):

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 LINEAGE_DDL = (
     "run_id string, partition_id int, n_rows long, n_ok long, n_err long, "
     "bytes_in long, n_html long, n_pdf_text long, n_pdf_ocr long, "
-    "wall_ms long"
+    "wall_ms long, path_counts map<string,long>"
 )
 
 
@@ -75,6 +75,11 @@ def lineage_map_in_pandas(run_id: str):
                     paths["pdf_text"],
                     paths["pdf_ocr"],
                     int((time.monotonic() - t0) * 1000),
+                    # §1.2 shape: per-path counters ALSO as a proper
+                    # map<string,long> column (flat columns kept for
+                    # cheap dashboard scans; the map is what a
+                    # variable-path deployment consumes)
+                    dict(sorted(paths.items())),
                 )
             ],
             columns=[
@@ -88,6 +93,7 @@ def lineage_map_in_pandas(run_id: str):
                 "n_pdf_text",
                 "n_pdf_ocr",
                 "wall_ms",
+                "path_counts",
             ],
         )
 

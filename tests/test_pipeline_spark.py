@@ -95,3 +95,25 @@ def test_vectors_schema_and_determinism(spark, pages_df):
     assert a == b and len(a) > 0
     one = next(iter(a.values()))
     assert len(one) == 64
+
+
+def test_lineage_trailers_with_map_counts(spark, pages_df):
+    """A11: one trailer row per task; path_counts map<string,long>
+    (SURVEY.md §1.2) agrees with the flat columns and with the data."""
+    from pyspark.sql import functions as F
+
+    from engine.lineage import build_lineage
+
+    extracted = build_extracted(pages_df)
+    lin = build_lineage(extracted, "t-run")
+    assert dict(lin.dtypes)["path_counts"] == "map<string,bigint>"
+    agg = lin.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_html").alias("flat_html"),
+        F.sum(F.element_at("path_counts", F.lit("html"))).alias("map_html"),
+        F.sum(F.element_at("path_counts", F.lit("pdf_ocr"))).alias("map_ocr"),
+        F.sum("n_pdf_ocr").alias("flat_ocr"),
+    ).collect()[0]
+    assert agg["rows"] == extracted.count()
+    assert agg["map_html"] == agg["flat_html"] > 0
+    assert agg["map_ocr"] == agg["flat_ocr"]
