@@ -112,18 +112,44 @@ _RUNS_RE = re.compile(r"[ \t]+")
 _TRAIL_RE = re.compile(r" +\n")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
 
+# one-pass table for the non-ASCII path (space folds and control
+# drops are disjoint code-point sets, so merging is order-free)
+_FOLD_TRANSLATE = {**_SPACE_TRANSLATE, **_CTRL_TRANSLATE}
+
 
 def canonicalize(text: str) -> str:
-    """Apply pinned steps 2-9 to an already-decoded string."""
+    """Apply pinned steps 2-9 to an already-decoded string.
+
+    Behavior is byte-identical to the naive step list (pinned by the
+    golden fixtures); the guards below are identity-preserving fast
+    paths only:
+      * str.isascii() is O(1) (cached flag) — NFC and the unicode
+        space folds (all code points >= U+00A0) are identities on
+        ASCII, so ASCII text skips both;
+      * each regex pass runs only if a cheap substring probe shows a
+        possible match site ('[ \\t]+' -> ' ' can only change the
+        string where a tab or a double space exists, ' +\\n' -> '\\n'
+        only where ' \\n' exists, '\\n{3,}' only where '\\n\\n\\n'
+        exists).
+    """
     if not text:
         return ""
-    s = unicodedata.normalize("NFC", text)
-    s = s.replace("\r\n", "\n").replace("\r", "\n")
-    s = s.translate(_SPACE_TRANSLATE)
-    s = s.translate(_CTRL_TRANSLATE)
-    s = _RUNS_RE.sub(" ", s)
-    s = _TRAIL_RE.sub("\n", s)
-    s = _MULTI_NL_RE.sub("\n\n", s)
+    if text.isascii():
+        s = text
+        if "\r" in s:
+            s = s.replace("\r\n", "\n").replace("\r", "\n")
+        s = s.translate(_CTRL_TRANSLATE)
+    else:
+        s = unicodedata.normalize("NFC", text)
+        if "\r" in s:
+            s = s.replace("\r\n", "\n").replace("\r", "\n")
+        s = s.translate(_FOLD_TRANSLATE)
+    if "\t" in s or "  " in s:
+        s = _RUNS_RE.sub(" ", s)
+    if " \n" in s:
+        s = _TRAIL_RE.sub("\n", s)
+    if "\n\n\n" in s:
+        s = _MULTI_NL_RE.sub("\n\n", s)
     return s.strip()
 
 

@@ -102,6 +102,14 @@ def page_content_streams(raw: bytes) -> list[bytes]:
 
 def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
     """Parse a PDF literal string starting at data[i] == '('."""
+    # fast path: no escapes and no nesting before the closing paren —
+    # the bytes up to it ARE the string (identical to what the loop
+    # below would produce); covers the vast majority of real strings
+    j = data.find(b")", i + 1)
+    if j != -1:
+        seg = data[i + 1 : j]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, j + 1
     out = bytearray()
     depth = 1
     i += 1

@@ -33,11 +33,7 @@ from engine.kernels.embed import embed_text
 from engine.kernels.html_extract import extract_html
 from engine.kernels.langid import guess_lang
 from engine.kernels.ocr import extract_ocr_text
-from engine.kernels.pdf_textlayer import (
-    extract_pdf_text,
-    is_pdf,
-    text_layer_coverage,
-)
+from engine.kernels.pdf_textlayer import extract_pdf_text, is_pdf
 from engine.kernels.chunker import chunk_rows
 from engine.kernels import fingerprint as fp
 
@@ -61,8 +57,15 @@ def _route_and_extract_one(raw) -> tuple[str, str, str | None]:
         return ("error", "", "empty_payload")
     try:
         if is_pdf(raw):
-            if text_layer_coverage(raw) >= 1:
-                return ("pdf_text", extract_pdf_text(raw), None)
+            # Route on the extraction result itself: canonicalized
+            # text is non-empty iff text_layer_coverage(raw) >= 1
+            # (both reduce to "some run contains a non-whitespace
+            # char"), so one parse decides the path AND produces the
+            # output — the old coverage probe tokenized every content
+            # stream a second time.
+            text = extract_pdf_text(raw)
+            if text:
+                return ("pdf_text", text, None)
             return ("pdf_ocr", extract_ocr_text(raw), None)
         return ("html", extract_html(raw), None)
     except Exception as exc:  # total: poisoned rows -> error column
