@@ -60,7 +60,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, action):
+    def wait_quiet(max_wait: float = 120.0, thresh: float = 6.0) -> None:
+        """Bounded load gate: this sandbox shares 32 cores with
+        external tenants whose bursts (1-min load 2 -> 13 within
+        minutes) would be attributed to the engine. Wait briefly for
+        a quiet window; proceed regardless after max_wait."""
+        deadline = time.monotonic() + max_wait
+        while os.getloadavg()[0] > thresh and time.monotonic() < deadline:
+            time.sleep(5)
+
+    def timed(name: str, action, gate: float = 0.0):
+        if gate:
+            wait_quiet(max_wait=gate)
         t0 = time.monotonic()
         action()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -88,9 +99,10 @@ def main() -> None:
     def run_extract():
         n_docs_holder["n"] = force(build_extracted(pages))
 
-    # warm-up (JVM + python workers), then timed
+    # warm-up (JVM + python workers), then timed (load-gated: the
+    # headline number should measure the engine, not tenant bursts)
     force(build_extracted(pages.limit(512)))
-    timed("extract_pipeline", run_extract)
+    timed("extract_pipeline", run_extract, gate=120.0)
 
     # stage-isolated timings: each stage reads its input from parquet
     # (mirrors the production job, jobs/ingest.py) so a stage's number
@@ -102,6 +114,7 @@ def main() -> None:
     timed(
         "chunk_pipeline",
         lambda: build_chunks(ex_rd).write.mode("overwrite").parquet(ch_path),
+        gate=30.0,
     )
     ch_rd = spark.read.parquet(ch_path)
     timed(

@@ -55,15 +55,17 @@ def test_small_dim_join_is_broadcast(spark):
 
 
 def test_extraction_stage_single_shuffle_single_arrow(spark, pages_path):
-    """build_extracted = exactly ONE Exchange (the url repartition,
-    reused by the dedup window) and ONE fused Arrow crossing."""
+    """build_extracted = exactly ONE Exchange (the dedup agg's — with
+    num_partitions set, the explicit url repartition is REUSED by the
+    agg, never added to it) and ONE fused Arrow crossing."""
     from engine.pipeline import build_extracted
 
     pages = spark.read.parquet(pages_path)
-    p = plan(build_extracted(pages, num_partitions=4))
-    # formatted mode lists every node twice (tree + detail section)
-    assert p.count("Exchange") == 2, p
-    assert p.count("ArrowEvalPython") == 2, p
+    for kwargs in ({}, {"num_partitions": 4}):
+        p = plan(build_extracted(pages, **kwargs))
+        # formatted mode lists every node twice (tree + detail section)
+        assert p.count("Exchange") == 2, (kwargs, p)
+        assert p.count("ArrowEvalPython") == 2, (kwargs, p)
 
 
 def test_manifest_antijoin_is_broadcast(spark, pages_path, tmp_path):
