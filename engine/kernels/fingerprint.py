@@ -64,6 +64,119 @@ def minhash_sig(text: str, k: int = MINHASH_K) -> list[int]:
     return sig
 
 
+# ---------------------------------------------------------------------------
+# numpy fast paths — bit-identical to the scalar spec above (fuzz-tested
+# in tests/test_kernels.py); the scalar versions remain the definition.
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+
+_np_A = np.array([a for a, _ in _MINHASH_AB], dtype=np.uint64)  # a < 2^61
+_np_B = np.array([b for _, b in _MINHASH_AB], dtype=np.uint64)
+_np_P = np.uint64(_MERSENNE61)
+_M31 = np.uint64((1 << 31) - 1)
+_M30 = np.uint64((1 << 30) - 1)
+
+
+def _mulmod61(a: "np.ndarray", x: "np.ndarray") -> "np.ndarray":
+    """(a * x) mod (2^61-1) for a < 2^61, x < 2^64, exactly, in uint64.
+
+    Split a = a1*2^31 + a0 (a1 < 2^30, a0 < 2^31) and
+          x = x1*2^31 + x0 (x1 < 2^33, x0 < 2^31); every partial
+    product then fits uint64, and 2^61 ≡ 1 (mod p) folds the high
+    parts back down without overflow.
+    """
+    p = _np_P
+    a1, a0 = a >> np.uint64(31), a & _M31
+    x1, x0 = x >> np.uint64(31), x & _M31
+    hi = a1 * x1  # < 2^63, carries weight 2^62 ≡ 2 (mod p)
+    t_hi = hi << np.uint64(1)  # < 2^64
+    t_hi = (t_hi >> np.uint64(61)) + (t_hi & p)
+    # mid carries weight 2^31; a1*x0 < 2^61 and a0*x1 < 2^64 can
+    # overflow when summed, so reduce each term separately
+    t_mid = np.uint64(0)
+    for m in (a1 * x0, a0 * x1):
+        m1, m0 = m >> np.uint64(30), m & _M30  # m = m1*2^30 + m0
+        # m*2^31 = m1*2^61 + m0*2^31 ≡ m1 + m0*2^31 (mod p)
+        t_mid = t_mid + m1 + (m0 << np.uint64(31))  # each term < 2^61
+    lo = a0 * x0  # < 2^62
+    t_lo = (lo >> np.uint64(61)) + (lo & p)
+    s = t_hi + t_mid + t_lo  # < 8p < 2^64
+    s = (s >> np.uint64(61)) + (s & p)
+    s = (s >> np.uint64(61)) + (s & p)
+    return np.where(s >= p, s - p, s)
+
+
+from engine.kernels.embed import _FNV_OFFSET, _FNV_PRIME  # noqa: E402
+
+
+def _fnv1a64_batch(strs: list[bytes]) -> "np.ndarray":
+    """FNV-1a of many byte strings at once: one (n, maxlen) byte
+    matrix, FNV stepped column-wise with a length mask. Bit-identical
+    to fnv1a64 per string."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint64)
+    flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(starts, lens)
+    buf[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(maxlen):
+        alive = j < lens
+        h = np.where(alive, (h ^ buf[:, j]) * prime, h)
+    return h
+
+
+def _shingle_hashes(text: str, w: int = SHINGLE_W) -> "np.ndarray":
+    """uint64 FNV hashes of the w-word shingles (multiset — duplicates
+    are harmless for min-based signatures). Same strings as shingles()."""
+    toks = tokenize(text or "")
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < w:
+        strs = [" ".join(toks).encode("utf-8")]
+    else:
+        strs = [
+            " ".join(toks[i : i + w]).encode("utf-8")
+            for i in range(len(toks) - w + 1)
+        ]
+    return _fnv1a64_batch(strs)
+
+
+def minhash_sig_np(text: str, k: int = MINHASH_K) -> list[int]:
+    """Vectorized minhash_sig — same (a*x+b) mod 2^61-1 family, same
+    pinned constants, min over shingles done as one (k, |sh|) uint64
+    matrix instead of k Python passes. Bit-identical to minhash_sig."""
+    x = _shingle_hashes(text)
+    if not len(x):
+        return [_MERSENNE61 - 1] * k
+    h = _mulmod61(_np_A[:k, None], x[None, :]) + _np_B[:k, None]  # < 2p
+    h = np.where(h >= _np_P, h - _np_P, h)
+    return h.min(axis=1).astype(np.int64).tolist()
+
+
+_np_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64_np(text: str) -> int:
+    """Vectorized simhash64: one (|toks|, 64) bit matrix sum instead of
+    a 64-iteration Python loop per token. Bit-identical to simhash64."""
+    toks = tokenize(text or "")
+    if not toks:
+        return 0
+    h = _fnv1a64_batch([t.encode("utf-8") for t in toks])
+    ones = ((h[:, None] >> _np_BITS[None, :]) & np.uint64(1)).sum(
+        axis=0, dtype=np.int64
+    )
+    # counts[i] = ones - (n - ones) > 0  <=>  2*ones > n
+    bits = (2 * ones > len(toks)).astype(np.uint64)
+    return int((bits << _np_BITS).sum(dtype=np.uint64))
+
+
 def simhash64(text: str) -> int:
     toks = tokenize(text or "")
     if not toks:

@@ -326,37 +326,44 @@ def q34(spark, sf_dir):
 )
 def q35(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
-    c = e.filter(F.col("vec_id") % 61 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # Assignment is MAP-ONLY: the centroid codebook is the one part of
+    # an IVF index that is always small (k-means output, |c| << N even
+    # at 10^12 vectors), so we collect it once to the driver and ship
+    # it to executors inside the UDF closure — one BLAS matmul per
+    # Arrow batch, no N x |c| expansion, no shuffle, no Window. The
+    # round-to-4 before argmax makes the numpy result identical to the
+    # oracle's sequential-sum arithmetic (1e-15 reorder noise cannot
+    # flip a 4-decimal value off a boundary). Tiebreak: argmax returns
+    # the FIRST max and centroids are sorted by cid asc == oracle's
+    # ORDER BY sim DESC, cid ASC.
+    import numpy as np
+
+    cent = (
+        e.filter(F.col("vec_id") % 61 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()  # bounded: the codebook, not the data
     )
-    # assign: one broadcast pass over the big table, argmin reduced by
-    # max_by PARTIAL+FINAL aggregation — the map side collapses each
-    # vector's |c| candidate rows to one before the exchange, so the
-    # shuffle carries N rows, not N x |centroids| (a window row_number
-    # here would sort the whole expansion through a full exchange).
-    # Tiebreak: higher c_sim wins, then LOWER cid — encoded as
-    # max of struct(c_sim, -cid).
-    assign = (
-        e.crossJoin(F.broadcast(c))
-        .select(
-            "vec_id",
-            "cid",
-            F.round(_cos(F.col("embedding"), F.col("ce")), 4).alias("c_sim"),
+    cids = np.array([r["vec_id"] for r in cent], dtype=np.int64)
+    C = np.array([list(r["embedding"]) for r in cent], dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def assign_cid(emb: pd.Series) -> pd.Series:
+        M = np.array(list(emb), dtype=np.float64)
+        sims = (M @ C.T) / (
+            np.sqrt((M * M).sum(axis=1, keepdims=True)) * c_norm[None, :]
         )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("c_sim"), -F.col("cid"))).alias("cid")
-        )
+        return pd.Series(cids[np.argmax(np.round(sims, 4), axis=1)])
+
+    ea = e.withColumn("cid", assign_cid("embedding"))
+    # probe cell = own cell (queries are corpus vectors); the vec_id<5
+    # filter pushes below the UDF so the query side assigns 5 rows.
+    q = ea.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid"
     )
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    qcell = q.join(
-        assign.withColumnRenamed("vec_id", "qid"), "qid"
-    )  # probe cell = own cell (queries are corpus vectors)
     cand = (
-        qcell.join(assign, "cid")
-        .join(e, "vec_id")
+        ea.join(F.broadcast(q), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

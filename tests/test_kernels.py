@@ -146,6 +146,29 @@ def test_fingerprints():
     assert fp.rolling_fingerprint("") == 0
 
 
+def test_fingerprint_np_paths_bit_identical():
+    """The numpy fast paths (used by the Spark UDFs) must be
+    bit-identical to the scalar definitions, including empty/short/
+    multibyte inputs."""
+    import random
+    import string
+
+    rng = random.Random(7)
+
+    def rand_text(n):
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 10)))
+            for _ in range(n)
+        )
+
+    texts = ["", "a", "one two", "héllo wörld ünïcode ß test"] + [
+        rand_text(rng.randint(0, 200)) for _ in range(150)
+    ]
+    for t in texts:
+        assert fp.minhash_sig(t) == fp.minhash_sig_np(t), repr(t[:60])
+        assert fp.simhash64(t) == fp.simhash64_np(t), repr(t[:60])
+
+
 def test_langid():
     assert guess_lang("the cat sat on the mat and it was happy there with all of them") == "en"
     assert guess_lang("le chien est dans le jardin avec les enfants et il ne veut pas") == "fr"

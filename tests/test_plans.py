@@ -121,20 +121,23 @@ def test_salted_join_result_invariant_and_spreads_hot_key(spark):
     assert len(dist) == 8 and max(r["count"] for r in dist) < 400, dist
 
 
-def test_ivf_assignment_is_partial_agg_not_window(spark):
-    """q35's centroid assignment must reduce the N x |centroids|
-    expansion with a partial+final max_by aggregation (map-side
-    combine), not a row_number window (full sort of the expansion).
-    The only Window in the plan is the final per-query top-k."""
+def test_ivf_assignment_is_map_only(spark):
+    """q35's centroid assignment must be MAP-ONLY: a vectorized Arrow
+    UDF against the broadcast codebook — no N x |centroids| crossJoin
+    expansion, no assignment aggregation, no assignment window. The
+    only Window in the plan is the final per-query top-k, and the only
+    join is the broadcast of the 5 probe rows."""
     from engine.queries_extract import ALL
 
     fn, _ = ALL["q35_ann_ivf_topk"]
     p = plan(fn(spark, SF_DIR))
-    assert "partial_max_by" in p, p
-    # ONE Window node (listed twice: tree + detail section)
+    assert "ArrowEvalPython" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
     import re
 
+    # ONE Window node (listed twice: tree + detail section)
     assert len(re.findall(r"\bWindow\b", p)) <= 2, p
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_approx_count_distinct_close_to_exact(spark):
