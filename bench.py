@@ -37,7 +37,13 @@ def ensure_corpus(spark, n: int) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from engine.corpus import gen_pages_df
 
-        gen_pages_df(spark, n).write.mode("overwrite").parquet(path)
+        # ~400 docs per file: enough uniform row groups that the scan
+        # can balance at any local[N] (a row group is the atomic
+        # split — few/uneven files cap wide parallelism at the
+        # largest file, which is a corpus artifact, not engine cost)
+        gen_pages_df(spark, n, partitions=max(64, n // 400)).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

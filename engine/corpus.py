@@ -196,17 +196,27 @@ def gen_pages_pandas(seed: int, start: int, end: int):
 
 
 def gen_pages_df(spark, n: int, seed: int = SEED, partitions: int | None = None):
-    """Distributed corpus: spark.range + mapInPandas (scale path)."""
+    """Distributed corpus: spark.range + mapInPandas (scale path).
+
+    spark.range(0, p, 1, p) pins EXACTLY one chunk id per partition —
+    a hash repartition of the chunk ids (the previous approach)
+    collides for small p, yielding uneven multi-chunk partitions and
+    empty ones; written as parquet those become uneven single-row-
+    group files, and since a row group is the atomic scan-split unit,
+    the resulting skewed scan caps wide-parallelism extraction at the
+    largest file. Content is a pure function of (seed, row id) —
+    independent of `partitions`."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
+    partitions = max(1, min(partitions, n))
 
     def gen(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield gen_pages_pandas(seed, int(row["lo"]), int(row["hi"]))
+            for k in pdf["id"]:
+                k = int(k)
+                yield gen_pages_pandas(
+                    seed, k * n // partitions, (k + 1) * n // partitions
+                )
 
-    bounds = [
-        (k * n // partitions, (k + 1) * n // partitions) for k in range(partitions)
-    ]
-    bdf = spark.createDataFrame(bounds, "lo long, hi long").repartition(partitions, "lo")
+    bdf = spark.range(0, partitions, 1, partitions)
     return bdf.mapInPandas(gen, PAGES_SCHEMA_DDL)

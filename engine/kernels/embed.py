@@ -45,3 +45,37 @@ def embed_text(text: str | None, dim: int = DIM) -> list[float]:
     if norm > 0.0:
         vec = [v / norm for v in vec]
     return vec
+
+
+# ---------------------------------------------------------------------------
+# numpy fast paths — bit-identical to the scalar spec above (fuzz-tested
+# in tests/test_kernels.py); the scalar versions remain the definition.
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+
+
+def fnv1a64_batch(strs: list[bytes]) -> "np.ndarray":
+    """FNV-1a of many byte strings at once: one (n, maxlen) byte
+    matrix, FNV stepped column-wise with a length mask. Bit-identical
+    to fnv1a64 per string."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint64)
+    flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(starts, lens)
+    buf[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(maxlen):
+        alive = j < lens
+        h = np.where(alive, (h ^ buf[:, j]) * prime, h)
+    return h
+
+
+# (An embed_text fast path was measured and rejected: chunk tokens are
+# short, so scalar FNV ties the batched matrix version — the batch FNV
+# above only pays off for the longer shingle strings in fingerprint.py.)

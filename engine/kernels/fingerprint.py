@@ -106,29 +106,7 @@ def _mulmod61(a: "np.ndarray", x: "np.ndarray") -> "np.ndarray":
     return np.where(s >= p, s - p, s)
 
 
-from engine.kernels.embed import _FNV_OFFSET, _FNV_PRIME  # noqa: E402
-
-
-def _fnv1a64_batch(strs: list[bytes]) -> "np.ndarray":
-    """FNV-1a of many byte strings at once: one (n, maxlen) byte
-    matrix, FNV stepped column-wise with a length mask. Bit-identical
-    to fnv1a64 per string."""
-    n = len(strs)
-    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
-    total = int(lens.sum())
-    maxlen = int(lens.max()) if n else 0
-    buf = np.zeros((n, maxlen), dtype=np.uint64)
-    flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    rows = np.repeat(np.arange(n), lens)
-    cols = np.arange(total) - np.repeat(starts, lens)
-    buf[rows, cols] = flat
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    prime = np.uint64(_FNV_PRIME)
-    for j in range(maxlen):
-        alive = j < lens
-        h = np.where(alive, (h ^ buf[:, j]) * prime, h)
-    return h
+from engine.kernels.embed import fnv1a64_batch as _fnv1a64_batch  # noqa: E402
 
 
 def _shingle_hashes(text: str, w: int = SHINGLE_W) -> "np.ndarray":

@@ -49,21 +49,12 @@ def size_bucket_col(payload_col: str = "html") -> F.Column:
     )
 
 
-def repartition_for_extraction(
-    df: DataFrame,
-    num_partitions: int,
-    url_col: str = "url",
-    payload_col: str = "html",
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
-) -> DataFrame:
-    """The one pre-extraction shuffle: spread hot hosts and giant
-    documents so every task carries ~equal bytes of UDF work."""
-    return df.repartition(
-        num_partitions,
-        size_bucket_col(payload_col),
-        host_col(url_col),
-        salt_col(url_col, salt_buckets),
-    )
+# (A13/A14 note: an explicit pre-extraction repartition on
+# (size_bucket, host, salt) was superseded by running extraction
+# directly on bounded scan splits — see build_extracted's shuffle
+# plan. The column builders above remain the salting/bucketing
+# primitives for callers that do need an explicit spread, e.g.
+# engine/ops/media.py's decode repartition.)
 
 
 def salted_join(

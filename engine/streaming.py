@@ -26,6 +26,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from engine.partitioning import host_col
+
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -97,7 +99,7 @@ def windowed_metrics(extracted: DataFrame, width: str = "1 hour") -> DataFrame:
 
 def session_bursts(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """D4 session windows: crawl bursts per host."""
-    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    host = host_col("url").alias("host")
     return (
         pages.select(host, "warc_ts")
         .withWatermark("warc_ts", WATERMARK)
@@ -137,7 +139,7 @@ def host_running_stats(extracted: DataFrame) -> DataFrame:
 
     # NOTE: input already carries the stream's watermark
     # (extracted_stream); re-applying one here is disallowed.
-    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    host = host_col("url").alias("host")
     return (
         extracted.select(host, "warc_ts", "n_chars")
         .groupBy("host")
