@@ -645,25 +645,15 @@ def q21(spark, sf_dir):
     """,
 )
 def q22(spark, sf_dir):
+    from engine.udfs import cos_pairs_udf
+
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-
-    def sqnorm(a):
-        return F.aggregate(
-            a,
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-
+    # brute-force baseline (q35/q36 are the ANN scale paths): broadcast
+    # the query side, cosine via the vectorized Arrow UDF — one BLAS
+    # pass per batch instead of a per-row HOF lambda chain
     pairs = (
         F.broadcast(q)
         .crossJoin(e)
@@ -672,9 +662,7 @@ def q22(spark, sf_dir):
             "qid",
             "vec_id",
             F.round(
-                dot(F.col("qe"), F.col("embedding"))
-                / (F.sqrt(sqnorm(F.col("qe"))) * F.sqrt(sqnorm(F.col("embedding")))),
-                4,
+                cos_pairs_udf(F.col("qe"), F.col("embedding")), 4
             ).alias("cos_sim"),
         )
     )

@@ -207,17 +207,22 @@ def x05(spark, sf_dir):
     """,
 )
 def q41(spark, sf_dir):
+    from engine.udfs import cos_pairs_udf
+
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", "embedding"
     )
     a = e.alias("a")
     b = e.alias("b")
+    # bounded brute-force (the vec_id cap bounds the quadratic term;
+    # x04/x05/q36 are the banded scale paths); cosine via the
+    # vectorized Arrow UDF, not per-row HOF lambdas
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(_cos(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
-            "cos_sim"
-        ),
+        F.round(
+            cos_pairs_udf(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.4).orderBy("vec_a", "vec_b")
 

