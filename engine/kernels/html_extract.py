@@ -149,6 +149,20 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _VOID_TAGS:
             return
+        # fast path: well-nested end tag matches top of stack (== the
+        # i = len-1 iteration of the general loop below, verbatim)
+        if self._stack and self._stack[-1][0] == tag:
+            t, was_drop, was_block, was_a = self._stack.pop()
+            if was_drop or self._drop > 0:
+                if self._drop > 0:
+                    self._drop -= 1
+                return
+            if was_a and self._a > 0:
+                self._a -= 1
+            if was_block and self._open:
+                self._flush_top()
+                self._open.pop()
+            return
         # find the matching open element; ignore stray end tags
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
@@ -192,14 +206,240 @@ class _Extractor(HTMLParser):
             self._open.pop()
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a lean transcription of html.parser's goahead(end=1)
+# (convert_charrefs mode) that drives the SAME _Extractor handlers, so
+# all segment/drop/link logic above stays the single source of truth.
+# It uses the stdlib parser's own compiled regexes for the tolerant
+# paths, adds a single-regex fast path for clean start tags, and skips
+# what our extractor ignores (line/col tracking, comment/decl/pi
+# callbacks, attr processing when no id/class/role can occur). The one
+# construct not transcribed is the <![ marked section (_markupbase
+# raises on unknown keywords) — _drive_fast returns False there and
+# the caller re-runs the stdlib parser on a fresh extractor, which is
+# byte-identical by construction. Differential fuzz in
+# tests/test_kernels.py pins equality for everything else.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape  # noqa: E402
+from html.parser import (  # noqa: E402  (stdlib's own tolerant regexes)
+    attrfind_tolerant as _attrfind,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
+
+from _markupbase import _commentclose  # noqa: E402
+
+# clean start tag: wellformed space-separated attrs, one '>'. For any
+# string this matches, html.parser's locate+tagfind+attrfind pipeline
+# consumes exactly the same span and takes the same starttag path.
+_F_CLEAN_START = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[a-zA-Z_:][-.:a-zA-Z_0-9]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"=`<]+))?)*)"
+    r"\s*(/?)>"
+)
+_F_ATTR_HINT = re.compile(r"id|class|role", re.IGNORECASE)
+_F_CDATA_END = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+_LETTERS_EQ_SLASH = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
+)
+
+
+def _parse_attrs(s: str, k: int, endpos: int) -> tuple[list, int]:
+    """parse_starttag's attr loop, verbatim semantics."""
+    attrs = []
+    while k < endpos:
+        m = _attrfind.match(s, k)
+        if not m:
+            break
+        attrname, rest, attrvalue = m.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif (
+            attrvalue[:1] == "'" == attrvalue[-1:]
+            or attrvalue[:1] == '"' == attrvalue[-1:]
+        ):
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = m.end()
+    return attrs, k
+
+
+def _drive_fast(p: _Extractor, s: str) -> bool:
+    """Tokenize s, calling p.handle_*; False = bail to stdlib parser."""
+    i, n = 0, len(s)
+    handle_data = p.handle_data
+
+    def endpath(i: int) -> int:
+        # goahead's k<0 + end=True recovery: the unterminated construct
+        # becomes data up to the next '>' (inclusive) or '<' (exclusive)
+        k = s.find(">", i + 1)
+        if k < 0:
+            k = s.find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        txt = s[i:k]
+        handle_data(_unescape(txt) if "&" in txt else txt)
+        return k
+
+    while i < n:
+        j = s.find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            txt = s[i:j]
+            handle_data(_unescape(txt) if "&" in txt else txt)
+            i = j
+        if i == n:
+            break
+        nxt = s[i + 1] if i + 1 < n else ""
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # starttagopen is ASCII-only
+            m = _F_CLEAN_START.match(s, i)
+            if m:
+                tag = m.group(1).lower()
+                endpos = m.end()
+                selfclose = m.group(3) == "/"
+                region = m.group(2)
+                if region and "=" in region and _F_ATTR_HINT.search(region):
+                    # _tagfind consumes the post-name whitespace so the
+                    # attrfind lookbehind sees it, exactly as stdlib
+                    attrs, _ = _parse_attrs(s, _tagfind.match(s, i + 1).end(), endpos)
+                else:
+                    attrs = []
+            else:
+                # full parse_starttag transcription
+                lm = _locatestart.match(s, i)
+                jj = lm.end()
+                nc = s[jj : jj + 1]
+                if nc == ">":
+                    endpos = jj + 1
+                elif nc == "/":
+                    if s.startswith("/>", jj):
+                        endpos = jj + 2
+                    else:
+                        i = endpath(i)
+                        continue
+                elif nc == "" or nc in _LETTERS_EQ_SLASH:
+                    i = endpath(i)
+                    continue
+                else:
+                    endpos = jj if jj > i else i + 1
+                nm = _tagfind.match(s, i + 1)
+                tag = nm.group(1).lower()
+                attrs, k = _parse_attrs(s, nm.end(), endpos)
+                end = s[k:endpos].strip()
+                if end not in (">", "/>"):
+                    handle_data(s[i:endpos])  # raw, per parse_starttag
+                    i = endpos
+                    continue
+                selfclose = end.endswith("/>")
+            if selfclose:
+                p.handle_startendtag(tag, attrs)
+                i = endpos
+                continue
+            p.handle_starttag(tag, attrs)
+            i = endpos
+            cd = _F_CDATA_END.get(tag)
+            if cd is not None:
+                # CDATA mode: raw data until a clean end-tag token of
+                # the same element (html.parser's interesting regex);
+                # unterminated -> content silently discarded (goahead
+                # breaks without emitting, and the end-path skips
+                # cdata). Content is inside a dropped subtree either
+                # way, so only the resume point and end tag matter.
+                mm = cd.search(s, i)
+                if mm is None:
+                    i = n
+                    break
+                handle_data(s[i : mm.start()])
+                p.handle_endtag(tag)
+                i = mm.end()
+            continue
+        if nxt == "/":
+            gt = s.find(">", i + 1)
+            if gt < 0:
+                i = endpath(i)
+                continue
+            gtpos = gt + 1
+            em = _endtagfind.match(s, i)
+            if em:
+                p.handle_endtag(em.group(1).lower())
+                i = em.end()
+                continue
+            nm = _tagfind.match(s, i + 2)
+            if not nm:
+                if s[i : i + 3] == "</>":
+                    i = i + 3
+                    continue
+                # bogus comment: ends at first '>' after i+2
+                pos = s.find(">", i + 2)
+                if pos == -1:
+                    i = endpath(i)
+                    continue
+                i = pos + 1
+                continue
+            p.handle_endtag(nm.group(1).lower())
+            gt2 = s.find(">", nm.end())
+            i = gt2 + 1 if gt2 >= 0 else gtpos
+            continue
+        if nxt == "!":
+            if s.startswith("<!--", i):
+                cm = _commentclose.search(s, i + 4)
+                if not cm:
+                    i = endpath(i)
+                    continue
+                i = cm.end()
+                continue
+            if s.startswith("<![", i):
+                return False  # marked section: _markupbase exotica
+            if s[i : i + 9].lower() == "<!doctype":
+                gt = s.find(">", i + 9)
+            else:  # bogus comment
+                gt = s.find(">", i + 2)
+            if gt == -1:
+                i = endpath(i)
+                continue
+            i = gt + 1
+            continue
+        if nxt == "?":
+            gt = s.find(">", i + 2)
+            if gt < 0:
+                i = endpath(i)
+                continue
+            i = gt + 1
+            continue
+        if nxt == "":
+            handle_data("<")  # lone '<' at EOF: goahead's end block
+            break
+        handle_data("<")  # literal '<' before a non-construct char
+        i += 1
+    return True
+
+
 def extract_segments(html_text: str) -> list[tuple[int, str, str, int]]:
     """(order, tag, collapsed_text, linked_chars) per block segment."""
     p = _Extractor()
+    ok = False
     try:
-        p.feed(html_text)
-        p.close()
+        ok = _drive_fast(p, html_text)
     except Exception:
-        pass  # total function: salvage whatever was segmented
+        ok = False
+    if not ok:  # exotic construct: byte-identical stdlib path
+        p = _Extractor()
+        try:
+            p.feed(html_text)
+            p.close()
+        except Exception:
+            pass  # total function: salvage whatever was segmented
     p.close_all()
     return sorted(p.segments, key=lambda s: s[0])
 

@@ -42,3 +42,17 @@ def test_chunk_table_invariance(spark):
     # exceptAll both ways == empty (exact multiset equality)
     assert c4.exceptAll(c9).isEmpty()
     assert c9.exceptAll(c4).isEmpty()
+
+
+def test_corpus_partitions_uniform_and_content_invariant(spark):
+    """The generator must (a) honor the requested partition count with
+    one uniform chunk per partition — a hash repartition of chunk ids
+    collides and yields uneven multi-chunk files whose row groups cap
+    wide-parallelism scans (git e8592cf) — and (b) produce identical
+    content at any partition count."""
+    df = gen_pages_df(spark, 120, partitions=12)
+    sizes = [len(p) for p in df.rdd.glom().collect()]
+    assert len(sizes) == 12 and all(s == 10 for s in sizes), sizes
+    a = {r["url"]: r["warc_ts"] for r in gen_pages_df(spark, 60, partitions=3).collect()}
+    b = {r["url"]: r["warc_ts"] for r in gen_pages_df(spark, 60, partitions=11).collect()}
+    assert a == b

@@ -177,3 +177,44 @@ def test_langid():
     assert guess_lang("这是一个用于测试语言识别的中文句子，包含足够多的汉字。") == "zh"
     assert guess_lang("") == "und"
     assert guess_lang(None) == "und"
+
+
+def test_html_fast_tokenizer_differential():
+    """The fast goahead transcription (_drive_fast) must produce
+    segment tuples identical to the stdlib html.parser path on golden
+    fixtures, corpus docs, and seeded adversarial markup soup. The
+    heavy version of this fuzz (100k+ random docs across seeds) lives
+    in scripts/fuzz_html_fast.py; this pins a fixed slice of it."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+    import random
+
+    from fuzz_html_fast import gen_doc, stdlib_segments
+
+    from engine.corpus import SEED, page_row
+    from engine.kernels import html_extract as hx
+
+    inputs = []
+    fixdir = pathlib.Path(__file__).resolve().parent / "fixtures" / "html"
+    for f in sorted(fixdir.glob("*.html")):
+        inputs.append(f.read_text(errors="replace"))
+    for i in range(300):
+        row = page_row(SEED, i)
+        if row[2] is not None:
+            inputs.append(decode_bytes(row[2]))
+    rng = random.Random(20260817)
+    inputs += [gen_doc(rng) for _ in range(3000)]
+
+    bails = 0
+    for s in inputs:
+        p = hx._Extractor()
+        ok = hx._drive_fast(p, s)
+        if not ok:
+            bails += 1  # bail path re-runs stdlib: identical by construction
+            continue
+        p.close_all()
+        got = sorted(p.segments, key=lambda t: t[0])
+        assert got == stdlib_segments(s), repr(s[:300])
+    # the bail escape hatch must stay rare on realistic inputs
+    assert bails < len(inputs) * 0.2
