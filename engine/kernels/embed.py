@@ -31,16 +31,36 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+# token -> fnv1a64 memo. The corpus vocabulary is zipfian, so almost
+# every token hash is a repeat; caching the pure function is exact.
+# Bounded so adversarial vocabularies can't grow worker memory.
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_MAX = 1 << 20
+
+
 def embed_text(text: str | None, dim: int = DIM) -> list[float]:
-    """Signed hashing-trick embedding; zero vector for empty text."""
+    """Signed hashing-trick embedding; zero vector for empty text.
+
+    Accumulation note: counts per unique token are added as one
+    sign*count float op. All intermediate values are small integers
+    (< 2^53), where float addition is exact, so the result is
+    bit-identical to adding ±1 per occurrence in stream order.
+    """
     vec = [0.0] * dim
     if not text:
         return vec
+    counts: dict[str, int] = {}
     for tok in tokenize(text):
-        h = fnv1a64(tok.encode("utf-8"))
+        counts[tok] = counts.get(tok, 0) + 1
+    memo = _HASH_MEMO
+    for tok, cnt in counts.items():
+        h = memo.get(tok)
+        if h is None:
+            h = fnv1a64(tok.encode("utf-8"))
+            if len(memo) < _HASH_MEMO_MAX:
+                memo[tok] = h
         idx = h % dim
-        sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
-        vec[idx] += sign
+        vec[idx] += float(cnt) if (h >> 63) & 1 == 0 else -float(cnt)
     norm = math.sqrt(sum(v * v for v in vec))
     if norm > 0.0:
         vec = [v / norm for v in vec]
