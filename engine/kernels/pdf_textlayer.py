@@ -150,57 +150,37 @@ def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 # single master scanner (alternation order == the old per-byte
-# dispatch priority); ws runs collapse into one match, and matching
-# at a position (re.match(data, i)) avoids the per-token data[i:]
-# slice copies of the old loop — semantics pinned by the PDF goldens
+# dispatch priority). Each match consumes any leading whitespace PLUS
+# one token, so whitespace runs never cost a Python loop iteration;
+# the common escape-free literal string is matched in C (group 'str'
+# captures the inner bytes), with _read_string as the fallback for
+# strings containing '\\' or nested parens (group 'lparen').
+# Matching at a position (re.match(data, i)) avoids per-token
+# data[i:] slice copies — semantics pinned by the PDF goldens and a
+# full-corpus differential check.
 _TOKEN_RE = re.compile(
-    rb"[ \t\r\n\x0c\x00]+"
+    rb"[ \t\r\n\x0c\x00]*"
+    rb"(?:\((?P<str>[^()\\]*)\)"
+    rb"|(?P<arro>\[)"
+    rb"|(?P<arrc>\])"
     rb"|(?P<name>/[^\s\[\]()<>/]*)"
     rb"|(?P<hex><[^>]*>?)"
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<op>[A-Za-z'\"*]+)"
+    rb"|(?P<lparen>\())"
 )
 
 
-def tokenize(data: bytes):
-    """Yield ('num', float) | ('str', bytes) | ('name', bytes) |
-    ('op', bytes) | ('arr_open'/'arr_close', None)."""
-    i, n = 0, len(data)
-    while i < n:
-        c = data[i]
-        if c == 0x28:  # (
-            s, i = _read_string(data, i)
-            yield ("str", s)
-            continue
-        if c == 0x5B:  # [
-            yield ("arr_open", None)
-            i += 1
-            continue
-        if c == 0x5D:  # ]
-            yield ("arr_close", None)
-            i += 1
-            continue
-        m = _TOKEN_RE.match(data, i)
-        if m is None:
-            i += 1  # unknown byte: skip
-            continue
-        g = m.lastgroup
-        if g == "num":
-            yield ("num", float(m.group(0)))
-        elif g == "op":
-            yield ("op", m.group(0))
-        elif g == "name":
-            yield ("name", m.group(0))
-        # whitespace runs and hex strings/dicts: skipped
-        i = m.end()
-
-
-def _decode_pdf_string(b: bytes) -> str:
-    return b.decode("latin-1")
-
-
 def extract_page_runs(stream: bytes) -> list[tuple[float, float, int, str]]:
-    """(x, y, seq, text) for each text-showing op in one content stream."""
+    """(x, y, seq, text) for each text-showing op in one content stream.
+
+    The tokenizer loop from tokenize() is fused inline: profiling showed
+    ~40% of kernel time was generator yield overhead at ~half a million
+    tokens per bench batch. Token semantics are identical (same master
+    regex, same dispatch priority); equality vs the generator-driven
+    version is pinned by the PDF goldens and a differential check over
+    the full synthetic corpus.
+    """
     runs: list[tuple[float, float, int, str]] = []
     stack: list = []
     in_array: list | None = None
@@ -208,27 +188,43 @@ def extract_page_runs(stream: bytes) -> list[tuple[float, float, int, str]]:
     leading = 0.0
     seq = 0
 
-    def show(text: str):
-        nonlocal seq
-        if text:
-            runs.append((line_x, line_y, seq, text))
-            seq += 1
-
-    for kind, val in tokenize(stream):
-        if kind == "arr_open":
+    data = stream
+    i, n = 0, len(data)
+    match = _TOKEN_RE.match
+    while i < n:
+        m = match(data, i)
+        if m is None:
+            i += 1  # unknown byte: skip
+            continue
+        g = m.lastgroup
+        i = m.end()
+        if g == "num":
+            v = float(m.group("num"))
+            if in_array is not None:
+                in_array.append(("num", v))
+            else:
+                stack.append(("num", v))
+        elif g == "str":  # escape-free literal string, matched in C
+            s = m.group("str")
+            if in_array is not None:
+                in_array.append(("str", s))
+            else:
+                stack.append(("str", s))
+        elif g == "lparen":  # string with escapes/nesting: slow path
+            s, i = _read_string(data, m.start("lparen"))
+            if in_array is not None:
+                in_array.append(("str", s))
+            else:
+                stack.append(("str", s))
+        elif g == "arro":
             in_array = []
-        elif kind == "arr_close":
+        elif g == "arrc":
             stack.append(("arr", in_array))
             in_array = None
-        elif kind in ("num", "str"):
-            if in_array is not None:
-                in_array.append((kind, val))
-            else:
-                stack.append((kind, val))
-        elif kind == "name":
-            stack.append(("name", val))
-        elif kind == "op":
-            op = val
+        elif g == "name":
+            stack.append(("name", m.group("name")))
+        elif g == "op":
+            op = m.group("op")
             if op == b"Td" or op == b"TD":
                 if len(stack) >= 2:
                     ty = _num(stack[-1])
@@ -248,24 +244,36 @@ def extract_page_runs(stream: bytes) -> list[tuple[float, float, int, str]]:
                     leading = _num(stack[-1])
             elif op == b"Tj":
                 if stack and stack[-1][0] == "str":
-                    show(_decode_pdf_string(stack[-1][1]))
+                    text = stack[-1][1].decode("latin-1")
+                    if text:
+                        runs.append((line_x, line_y, seq, text))
+                        seq += 1
             elif op == b"'":
                 line_y -= leading
                 if stack and stack[-1][0] == "str":
-                    show(_decode_pdf_string(stack[-1][1]))
+                    text = stack[-1][1].decode("latin-1")
+                    if text:
+                        runs.append((line_x, line_y, seq, text))
+                        seq += 1
             elif op == b'"':
                 line_y -= leading
                 if stack and stack[-1][0] == "str":
-                    show(_decode_pdf_string(stack[-1][1]))
+                    text = stack[-1][1].decode("latin-1")
+                    if text:
+                        runs.append((line_x, line_y, seq, text))
+                        seq += 1
             elif op == b"TJ":
                 if stack and stack[-1][0] == "arr":
                     parts: list[str] = []
                     for k, v in stack[-1][1]:
                         if k == "str":
-                            parts.append(_decode_pdf_string(v))
+                            parts.append(v.decode("latin-1"))
                         elif k == "num" and v <= WORD_GAP_KERN:
                             parts.append(" ")
-                    show("".join(parts))
+                    text = "".join(parts)
+                    if text:
+                        runs.append((line_x, line_y, seq, text))
+                        seq += 1
             elif op == b"BT":
                 line_x = line_y = 0.0
             stack.clear()
