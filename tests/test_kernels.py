@@ -218,3 +218,61 @@ def test_html_fast_tokenizer_differential():
         assert got == stdlib_segments(s), repr(s[:300])
     # the bail escape hatch must stay rare on realistic inputs
     assert bails < len(inputs) * 0.2
+
+
+def test_ocr_decode_np_bit_identical():
+    """The numpy decode fast path must reproduce the scalar spec
+    byte-for-byte — fixture scans plus random bitmaps covering the
+    zero-padding branches (dims not multiples of the cell grid,
+    truncated payloads, empty grids)."""
+    import random
+
+    from engine.kernels.ocr import (
+        decode_bitmap,
+        decode_bitmap_np,
+        find_image_bitmaps,
+    )
+
+    n_bitmaps = 0
+    for path in _cases("ocr"):
+        for w, h, b in find_image_bitmaps(path.read_bytes()):
+            assert decode_bitmap_np(w, h, b) == decode_bitmap(w, h, b)
+            n_bitmaps += 1
+    assert n_bitmaps > 0
+
+    rng = random.Random(7)
+    for _ in range(200):
+        w = rng.randrange(0, 40)
+        h = rng.randrange(0, 40)
+        rb = (w + 7) // 8
+        size = max(0, rb * h + rng.randrange(-2, 3)) if rb * h else 0
+        packed = bytes(rng.randrange(256) for _ in range(size))
+        assert decode_bitmap_np(w, h, packed) == decode_bitmap(w, h, packed), (
+            w,
+            h,
+            size,
+        )
+
+
+def test_sentence_spans_ascii_fast_path_identical():
+    """sentence_spans dispatches ASCII input to the regex-anchored
+    fast path; it must be span-identical to the general reference
+    implementation (full fuzz: scripts/fuzz_sentences.py)."""
+    from engine.kernels.sentences import (
+        _sentence_spans_ascii,
+        _sentence_spans_general,
+    )
+
+    cases = [
+        "Dr. Smith went home. He slept.",
+        "See e.g. the U.S. No. 5 case. Next!",
+        'He said "stop". ("Why?") [Note.] {x.} Done...',
+        "pi is 3.14. And 3. 5 follows. v1.2.3 ships",
+        "J. Smith met x. then Q. Last.",
+        "End.\nNew line\n\nPara. \nTrailing. ",
+        "tab.\tafter", "cr.\rafter", "ff.\x0cafter", "fs.\x1cafter",
+        "end. )paren", "end.) Paren", "done.\") Quote",
+        "", " ", "...", "!?", "a.", ".",
+    ]
+    for t in cases:
+        assert _sentence_spans_ascii(t) == _sentence_spans_general(t), repr(t)
