@@ -1,0 +1,90 @@
+"""Single-process cProfile of the per-document kernel chain.
+
+Reads the parquet-cached bench corpus directly with pyarrow (no Spark,
+no Arrow IPC, no scheduler) so the profile shows pure kernel cost —
+the same code the fused route_extract_udf runs per document — plus the
+downstream chunk/embed/fingerprint kernels. Use this to pick the next
+constant-factor target; bench.py measures the end-to-end effect.
+
+Usage: python scripts/profile_kernels.py [n_pages=2000] [stage=all]
+  stage in {extract, chunk, embed, fingerprint, all}
+"""
+
+from __future__ import annotations
+
+import cProfile
+import pathlib
+import pstats
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def load_pages(n: int) -> list[bytes]:
+    import pyarrow.dataset as ds
+
+    for cand in sorted(ROOT.glob("data/bench_pages_*")):
+        tab = ds.dataset(str(cand)).head(n, columns=["html"])
+        return [v.as_py() for v in tab["html"]]
+    raise SystemExit("no data/bench_pages_* corpus; run bench.py once")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    stage = sys.argv[2] if len(sys.argv) > 2 else "all"
+    pages = load_pages(n)
+
+    from engine.kernels import fingerprint as fp
+    from engine.kernels.chunker import chunk_rows
+    from engine.kernels.embed import embed_text
+    from engine.udfs import _route_and_extract_one
+    from engine.kernels.sentences import sentence_spans
+
+    texts: list[str] = []
+
+    def run_extract():
+        for raw in pages:
+            path, text, err = _route_and_extract_one(raw)
+            sentence_spans(text)
+            texts.append(text)
+
+    def run_chunk():
+        for t in texts:
+            chunk_rows(t)
+
+    def run_embed():
+        for t in texts:
+            embed_text(t[:2000])
+
+    def run_fingerprint():
+        for t in texts:
+            fp.minhash_sig_np(t)
+            fp.simhash64_np(t)
+
+    stages = {
+        "extract": run_extract,
+        "chunk": run_chunk,
+        "embed": run_embed,
+        "fingerprint": run_fingerprint,
+    }
+    todo = list(stages) if stage == "all" else [stage]
+    if "extract" not in todo:  # downstream stages need texts
+        run_extract()
+
+    for name in todo:
+        prof = cProfile.Profile()
+        t0 = time.monotonic()
+        prof.enable()
+        stages[name]()
+        prof.disable()
+        dt = time.monotonic() - t0
+        print(f"\n=== {name}: {dt:.2f}s for {n} pages "
+              f"({n / dt:.0f} docs/s single-core) ===")
+        st = pstats.Stats(prof)
+        st.sort_stats("cumulative").print_stats(18)
+
+
+if __name__ == "__main__":
+    main()
