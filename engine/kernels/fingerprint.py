@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from engine.kernels.embed import fnv1a64, tokenize
+from engine.kernels.embed import _FNV_OFFSET, _FNV_PRIME, fnv1a64, tokenize
 
 MINHASH_K = 32
 SHINGLE_W = 3
@@ -106,6 +106,28 @@ def _mulmod61(a: "np.ndarray", x: "np.ndarray") -> "np.ndarray":
     return np.where(s >= p, s - p, s)
 
 
+_np_A1, _np_A0 = _np_A >> np.uint64(31), _np_A & _M31
+
+
+def _mulmod61_reduced(a1: "np.ndarray", a0: "np.ndarray", x: "np.ndarray") -> "np.ndarray":
+    """(a*x) mod (2^61-1) for PRE-REDUCED x < 2^61 and pre-split
+    a = a1*2^31 + a0. With x < 2^61 every partial product fits uint64
+    without the per-term folding _mulmod61 needs for x < 2^64 — ~25%
+    fewer vector ops on the hot (k, shingles) matrix. Bit-identical
+    (asserted against _mulmod61 in tests)."""
+    p = _np_P
+    x1, x0 = x >> np.uint64(31), x & _M31  # x1 < 2^30
+    t = (a1 * x1) << np.uint64(1)  # < 2^61: weight 2^62 === 2 (mod p)
+    m = a1 * x0 + a0 * x1  # < 2^62, weight 2^31
+    # m*2^31 = (m>>30)*2^61 + (m&M30)*2^31 === (m>>30) + (m&M30)<<31
+    t = t + ((m >> np.uint64(30)) + ((m & _M30) << np.uint64(31)))
+    lo = a0 * x0  # < 2^62
+    t = t + ((lo >> np.uint64(61)) + (lo & p))
+    t = (t >> np.uint64(61)) + (t & p)
+    t = (t >> np.uint64(61)) + (t & p)
+    return np.where(t >= p, t - p, t)
+
+
 from engine.kernels.embed import fnv1a64_batch as _fnv1a64_batch  # noqa: E402
 
 
@@ -135,6 +157,187 @@ def minhash_sig_np(text: str, k: int = MINHASH_K) -> list[int]:
     h = _mulmod61(_np_A[:k, None], x[None, :]) + _np_B[:k, None]  # < 2p
     h = np.where(h >= _np_P, h - _np_P, h)
     return h.min(axis=1).astype(np.int64).tolist()
+
+
+# ---------------------------------------------------------------------------
+# batch fast paths — one numpy pass over ALL documents of an Arrow
+# batch (flat shingle/token arrays + segment reduceat), amortizing
+# numpy call overhead that dominates the per-document fast paths.
+# Bit-identical to the scalar spec (fuzz-pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+def _fnv1a64_flat(flat: "np.ndarray", starts: "np.ndarray", lens: "np.ndarray") -> "np.ndarray":
+    """FNV-1a of n byte strings given as slices (starts, lens) into one
+    flat uint8 buffer. Bit-identical to fnv1a64 per slice; avoids
+    materializing per-string bytes objects."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = int(lens.max())
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    # column j of every string: flat[starts + j] where j < len
+    for j in range(maxlen):
+        alive = j < lens
+        idx = starts + j
+        # clamp dead indices to 0 (masked out by `alive`)
+        b = flat[np.where(alive, idx, 0)].astype(np.uint64)
+        h = np.where(alive, (h ^ b) * prime, h)
+    return h
+
+
+def _token_layout(joined: bytes):
+    """(buf, starts, lens) of the tokens inside " ".join(toks), found
+    from the space positions in one vectorized pass — tokenize()
+    emits pure-ASCII [a-z0-9]+ tokens, so tokens contain no spaces
+    and byte length == char length."""
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    sp = np.flatnonzero(buf == 0x20)
+    starts = np.empty(len(sp) + 1, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = sp + 1
+    ends = np.append(sp, len(buf))
+    return buf, starts, ends - starts
+
+
+def _shingle_layout(toks: list[str], w: int = SHINGLE_W):
+    """(joined_bytes, starts, lens) of the w-word shingle byte strings.
+
+    Every shingle string " ".join(toks[i:i+w]) is literally a byte
+    slice of " ".join(toks) — no per-shingle join/encode."""
+    joined = " ".join(toks).encode("utf-8")
+    _, tok_starts, tl = _token_layout(joined)
+    if len(toks) < w:
+        return joined, tok_starts[:1], np.array([len(joined)], dtype=np.int64)
+    sh_lens = tl[: -(w - 1)].copy()
+    for j in range(1, w):
+        sh_lens += tl[j : len(toks) - (w - 1) + j] + 1
+    return joined, tok_starts[: -(w - 1)], sh_lens
+
+
+def minhash_sigs(texts, k: int = MINHASH_K) -> list[list[int]]:
+    """Batched minhash_sig over many documents: ONE flat FNV pass over
+    every shingle of every doc, ONE (k, total_shingles) modmul matrix,
+    per-doc min via minimum.reduceat. Bit-identical to minhash_sig."""
+    bufs: list[bytes] = []
+    starts_l: list["np.ndarray"] = []
+    lens_l: list["np.ndarray"] = []
+    counts: list[int] = []  # shingles per doc (0 = empty doc)
+    off = 0
+    for t in texts:
+        toks = tokenize(t or "")
+        if not toks:
+            counts.append(0)
+            continue
+        joined, s, ln = _shingle_layout(toks)
+        bufs.append(joined)
+        starts_l.append(s + off)
+        lens_l.append(ln)
+        counts.append(len(s))
+        off += len(joined)
+    empty_sig = [_MERSENNE61 - 1] * k
+    if not bufs:
+        return [list(empty_sig) for _ in counts]
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(starts_l)
+    lens = np.concatenate(lens_l)
+    x = _fnv1a64_flat(flat, starts, lens)
+    x = (x >> np.uint64(61)) + (x & _np_P)  # pre-reduce < 2^61 once
+    x = np.where(x >= _np_P, x - _np_P, x)
+    nz = np.array([c for c in counts if c], dtype=np.int64)
+    bounds = np.zeros(len(nz) + 1, dtype=np.int64)
+    np.cumsum(nz, out=bounds[1:])
+    # cache-block the (k, shingles) modmul: one giant matrix spills
+    # every ~230MB temporary to RAM (measured 6x slower than per-doc);
+    # doc-aligned blocks of ~8k shingles keep all temps in L2/L3 and
+    # need no cross-block min merging.
+    mins_cols = []
+    d0 = 0
+    while d0 < len(nz):
+        d1 = d0 + 1
+        while d1 < len(nz) and bounds[d1 + 1] - bounds[d0] <= 8192:
+            d1 += 1
+        xb = x[bounds[d0] : bounds[d1]]
+        h = (
+            _mulmod61_reduced(_np_A1[:k, None], _np_A0[:k, None], xb[None, :])
+            + _np_B[:k, None]
+        )  # < 2p
+        h = np.where(h >= _np_P, h - _np_P, h)
+        seg = (bounds[d0:d1] - bounds[d0]).astype(np.int64)
+        mins_cols.append(np.minimum.reduceat(h, seg, axis=1))
+        d0 = d1
+    mins = np.concatenate(mins_cols, axis=1).astype(np.int64)  # (k, n_nz)
+    sig_rows = mins.T.tolist()  # one conversion, row-major per doc
+    out: list[list[int]] = []
+    col = 0
+    for c in counts:
+        if c:
+            out.append(sig_rows[col])
+            col += 1
+        else:
+            out.append(list(empty_sig))
+    return out
+
+
+def simhash64_many(texts) -> list[int]:
+    """Batched simhash64: ONE flat FNV pass over every token of every
+    doc, one (total_tokens, 64) bit matrix, per-doc sums via
+    add.reduceat. Bit-identical to simhash64 (returns unsigned ints)."""
+    bufs: list[bytes] = []
+    starts_l: list["np.ndarray"] = []
+    lens_l: list["np.ndarray"] = []
+    counts: list[int] = []
+    off = 0
+    for t in texts:
+        toks = tokenize(t or "")
+        counts.append(len(toks))
+        if not toks:
+            continue
+        joined = " ".join(toks).encode("utf-8")
+        _, s, tl = _token_layout(joined)
+        bufs.append(joined)
+        starts_l.append(s + off)
+        lens_l.append(tl)
+        off += len(joined)
+    if not bufs:
+        return [0] * len(counts)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    h = _fnv1a64_flat(flat, np.concatenate(starts_l), np.concatenate(lens_l))
+    # bit matrix as uint8 via unpackbits (little-endian bytes +
+    # bitorder='little' => column j is bit j of the uint64), 8x
+    # smaller than an int64 matrix so doc blocks stay in cache
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    nz = np.array([c for c in counts if c], dtype=np.int64)
+    bounds = np.zeros(len(nz) + 1, dtype=np.int64)
+    np.cumsum(nz, out=bounds[1:])
+    ones_parts = []
+    d0 = 0
+    while d0 < len(nz):
+        d1 = d0 + 1
+        while d1 < len(nz) and bounds[d1 + 1] - bounds[d0] <= 8192:
+            d1 += 1
+        seg = (bounds[d0:d1] - bounds[d0]).astype(np.int64)
+        ones_parts.append(
+            np.add.reduceat(
+                bits[bounds[d0] : bounds[d1]], seg, axis=0, dtype=np.int64
+            )
+        )
+        d0 = d1
+    ones = np.concatenate(ones_parts, axis=0)  # (n_nz, 64)
+    sel = (2 * ones > nz[:, None]).astype(np.uint64)
+    vals = (sel << _np_BITS[None, :]).sum(axis=1, dtype=np.uint64).tolist()
+    out: list[int] = []
+    col = 0
+    for c in counts:
+        if c:
+            out.append(vals[col])
+            col += 1
+        else:
+            out.append(0)
+    return out
 
 
 _np_BITS = np.arange(64, dtype=np.uint64)

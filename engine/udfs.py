@@ -117,19 +117,19 @@ def embed_udf(text: pd.Series) -> pd.Series:
 
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    # signatures are < 2^61 so they fit in signed int64; the _np fast
-    # path is fuzz-pinned bit-identical to the scalar spec
-    return text.map(lambda t: fp.minhash_sig_np(t or ""))
+    # signatures are < 2^61 so they fit in signed int64; the batch
+    # path (one flat FNV + modmul matrix + reduceat per Arrow batch)
+    # is fuzz-pinned bit-identical to the scalar spec
+    return pd.Series(fp.minhash_sigs(list(text)))
 
 
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     # fold to signed 64-bit for Spark LongType
-    def f(t):
-        v = fp.simhash64_np(t or "")
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return text.map(f)
+    vals = fp.simhash64_many(list(text))
+    return pd.Series(
+        [v - (1 << 64) if v >= (1 << 63) else v for v in vals], dtype="int64"
+    )
 
 
 @pandas_udf(LongType())

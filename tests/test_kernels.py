@@ -168,6 +168,28 @@ def test_fingerprint_np_paths_bit_identical():
         assert fp.minhash_sig(t) == fp.minhash_sig_np(t), repr(t[:60])
         assert fp.simhash64(t) == fp.simhash64_np(t), repr(t[:60])
 
+    # batch paths (used by the Spark UDFs): whole-list call must equal
+    # the scalar spec per element, including empty docs mid-batch
+    sigs = fp.minhash_sigs(texts)
+    sims = fp.simhash64_many(texts)
+    for t, sig, sim in zip(texts, sigs, sims):
+        assert sig == fp.minhash_sig(t), repr(t[:60])
+        assert sim == fp.simhash64(t), repr(t[:60])
+
+    # the lean modmul (pre-reduced x) must equal the general one on
+    # the full uint64 input range
+    import numpy as np
+
+    nprng = np.random.default_rng(11)
+    x = nprng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    xr = (x >> np.uint64(61)) + (x & fp._np_P)
+    xr = np.where(xr >= fp._np_P, xr - fp._np_P, xr)
+    ref = fp._mulmod61(fp._np_A[:, None], x[None, :])
+    lean = fp._mulmod61_reduced(
+        fp._np_A1[:, None], fp._np_A0[:, None], xr[None, :]
+    )
+    assert np.array_equal(ref, lean)
+
 
 def test_langid():
     assert guess_lang("the cat sat on the mat and it was happy there with all of them") == "en"
