@@ -46,10 +46,17 @@ def chunk_text(
     text: str,
     max_chars: int = MAX_CHARS,
     overlap_sents: int = OVERLAP_SENTS,
+    spans=None,
 ) -> list[Chunk]:
-    """Greedy sentence packing over canonicalized text."""
-    spans = sentence_spans(text)
-    if not spans:
+    """Greedy sentence packing over canonicalized text.
+
+    `spans`: precomputed sentence_spans(text) (any sequence of (a,b)
+    pairs, e.g. an (n,2) int array carried through the extracted
+    table); None recomputes. len(spans)==0 means "no sentences", not
+    "recompute"."""
+    if spans is None:
+        spans = sentence_spans(text)
+    if not len(spans):
         return []
     chunks: list[Chunk] = []
     i = 0  # sentence index where the current chunk starts
@@ -87,9 +94,9 @@ def chunk_text(
     return chunks
 
 
-def chunk_rows(text: str) -> list[tuple[int, int, int, int, int, str]]:
+def chunk_rows(text: str, spans=None) -> list[tuple[int, int, int, int, int, str]]:
     """Tuple form for Arrow/pandas interop (same order as Chunk fields)."""
     return [
         (c.chunk_ix, c.char_start, c.char_end, c.sent_start, c.sent_end, c.text)
-        for c in chunk_text(text)
+        for c in chunk_text(text, spans=spans)
     ]

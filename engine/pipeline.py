@@ -37,6 +37,7 @@ EXTRACTED_COLS = [
     "text",
     "n_chars",
     "n_sents",
+    "sent_spans",
     "content_sha256",
     "error",
 ]
@@ -94,10 +95,13 @@ def build_extracted(
         F.col("_ex.text").alias("text"),
         F.col("_ex.error").alias("error"),
         F.col("_ex.n_sents").alias("n_sents"),
+        F.col("_ex.sent_spans").alias("sent_spans"),
         F.xxhash64(F.col("html")).alias("_tb"),
     )
     if dedup:
-        payload = F.struct("warc_ts", "lang", "path", "text", "error", "n_sents")
+        payload = F.struct(
+            "warc_ts", "lang", "path", "text", "error", "n_sents", "sent_spans"
+        )
         if num_partitions:
             # HashPartitioning(url, N) satisfies the agg's required
             # distribution, so this pins the dedup exchange's width
@@ -132,7 +136,7 @@ def build_chunks(extracted: DataFrame) -> DataFrame:
     """extracted -> chunks via mapInPandas fan-out (A7)."""
     src = extracted.filter(
         (F.col("error").isNull()) & (F.length("text") > 0)
-    ).select("url", "text")
+    ).select("url", "text", "sent_spans")
     chunks = src.mapInPandas(chunk_map_in_pandas, CHUNKS_DDL)
     return chunks.withColumn("chunk_sha256", F.sha2(F.col("chunk_text"), 256))
 

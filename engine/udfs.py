@@ -44,6 +44,11 @@ EXTRACT_STRUCT = StructType(
         StructField("text", StringType()),
         StructField("error", StringType()),
         StructField("n_sents", IntegerType()),
+        # flattened [a0,b0,a1,b1,...] sentence spans: computed once
+        # here, carried through the dedup exchange so the chunker
+        # never re-runs sentence detection (it was 94% of chunk-stage
+        # CPU). ~1.1KB/doc vs ~9KB text — bounded shuffle overhead.
+        StructField("sent_spans", ArrayType(IntegerType())),
     ]
 )
 
@@ -93,15 +98,20 @@ def route_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     every Arrow batch the task processes, instead of re-resolving per
     batch (or per row, as the old `from ... import` inside the helper
     did)."""
+    from itertools import chain
+
     from engine.kernels.sentences import sentence_spans
 
     route = _route_and_extract_one  # bind once per task
-    cols = ["path", "text", "error", "n_sents"]
+    cols = ["path", "text", "error", "n_sents", "sent_spans"]
     for html in batches:
         out = []
         for raw in html:
             path, text, err = route(raw)
-            out.append((path, text, err, len(sentence_spans(text)) if text else 0))
+            spans = sentence_spans(text) if text else []
+            out.append(
+                (path, text, err, len(spans), list(chain.from_iterable(spans)))
+            )
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -164,12 +174,22 @@ def n_sentences_udf(text: pd.Series) -> pd.Series:
 
 
 def chunk_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas fn: (url, text) batches -> CHUNKS_DDL rows (A7)."""
+    """mapInPandas fn: (url, text, sent_spans) batches -> CHUNKS_DDL
+    rows (A7). Sentence spans were computed by the extract UDF and
+    ride along as a flat [a0,b0,...] array — the chunker packs them
+    without re-running sentence detection."""
+    import numpy as np
+
     for pdf in batches:
         urls: list[str] = []
         rows: list[tuple] = []
-        for url, text in zip(pdf["url"], pdf["text"]):
-            for r in chunk_rows(text or ""):
+        for url, text, flat in zip(pdf["url"], pdf["text"], pdf["sent_spans"]):
+            spans = (
+                np.asarray(flat, dtype=np.int64).reshape(-1, 2)
+                if flat is not None
+                else None  # legacy row without spans: recompute
+            )
+            for r in chunk_rows(text or "", spans=spans):
                 urls.append(url)
                 rows.append(r)
         out = pd.DataFrame(
