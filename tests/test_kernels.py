@@ -113,6 +113,29 @@ def test_chunker_invariants():
         assert b.sent_start in (a.sent_end - 1, a.sent_end)
 
 
+def test_chunker_precomputed_spans():
+    """chunk_text(spans=...) (the carried-spans pipeline path) must
+    equal the recompute path, for list-of-tuples AND the (n,2) numpy
+    array shape the Arrow crossing delivers; len(spans)==0 means 'no
+    sentences', not 'recompute'."""
+    import numpy as np
+
+    from engine.kernels.chunker import chunk_rows
+
+    text = (
+        ". ".join(f"Sentence number {i} with some padding words" for i in range(40))
+        + ".\n\nAnother paragraph. With two sentences!"
+    )
+    spans = sentence_spans(text)
+    base = chunk_rows(text)
+    assert chunk_rows(text, spans=spans) == base
+    arr = np.asarray([v for ab in spans for v in ab], dtype=np.int64).reshape(-1, 2)
+    got = chunk_rows(text, spans=arr)
+    assert [(int(a), int(b), int(c), int(d), int(e), t) for a, b, c, d, e, t in got] == base
+    assert chunk_text(text, spans=[]) == []
+    assert chunk_text("", spans=None) == []
+
+
 def test_router():
     from engine.synth.pdfgen import make_scanned_pdf, make_text_pdf
 

@@ -75,6 +75,41 @@ def test_chunks_match_kernel_chunker(spark, pages_df):
     assert got == exp_chunks
 
 
+def test_chunks_legacy_rows_without_spans(spark, pages_df):
+    """An extracted table written BEFORE sent_spans existed reads back
+    with null cells in that column — the chunk stage must recompute
+    sentence detection for those rows and produce identical chunks."""
+    from pyspark.sql import functions as F
+
+    extracted = build_extracted(pages_df)
+    legacy = extracted.withColumn(
+        "sent_spans", F.lit(None).cast("array<int>")
+    )
+    a = {
+        (r["url"], r["chunk_ix"]): r["chunk_sha256"]
+        for r in build_chunks(extracted).collect()
+    }
+    b = {
+        (r["url"], r["chunk_ix"]): r["chunk_sha256"]
+        for r in build_chunks(legacy).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_extracted_span_count_matches_n_sents(spark, pages_df):
+    """n_sents and the carried sent_spans must stay consistent — the
+    chunker trusts the spans without re-checking."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        build_extracted(pages_df)
+        .filter(F.col("error").isNull())
+        .filter(F.size("sent_spans") != F.col("n_sents") * 2)
+        .count()
+    )
+    assert bad == 0
+
+
 def test_sha256_jvm_matches_python(spark, pages_df):
     """JVM sha2() must agree with hashlib over utf-8 — the lineage and
     dedup keys depend on it."""
