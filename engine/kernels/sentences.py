@@ -132,14 +132,27 @@ def _sentence_spans_ascii(text: str) -> list[tuple[int, int]]:
             if m2 is None:
                 continue
             if ch == ".":
-                tok = _token_before(text, i).lstrip("(\"'[")
-                if tok in _ABBREVIATIONS:
-                    continue
-                if len(tok) == 1 and tok.isalpha() and text[i - 1].isupper():
-                    continue
-                nxt = m2.group(1)
-                if tok and tok[-1].isdigit() and nxt is not None and nxt.isdigit():
-                    continue
+                # exact fast form of: tok = _token_before(text, i)
+                #   .lstrip("(\"'[") + the three token rules. The
+                # slice/lower/hash is built ONLY when the stripped
+                # token is short enough (<= 6 chars = len('approx'))
+                # to possibly be an abbreviation; the digit rule needs
+                # just the last char, which is text[i-1].
+                j = i
+                while j > 0 and not text[j - 1].isspace():
+                    j -= 1
+                while j < i and text[j] in "(\"'[":
+                    j += 1  # lstrip of leading openers
+                if j < i:  # non-empty stripped token
+                    if i - j <= 6:
+                        tok = text[j:i].lower()
+                        if tok in _ABBREVIATIONS:
+                            continue
+                        if i - j == 1 and tok.isalpha() and text[i - 1].isupper():
+                            continue
+                    nxt = m2.group(1)
+                    if text[i - 1].isdigit() and nxt is not None and nxt.isdigit():
+                        continue
             end = m2.end()  # after trailing closers
             nxt_start = end
         # inline _emit([start, end))
