@@ -100,18 +100,20 @@ def route_extract_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     did)."""
     from itertools import chain
 
-    from engine.kernels.sentences import sentence_spans
+    from engine.kernels.sentences import sentence_spans_batch
 
     route = _route_and_extract_one  # bind once per task
     cols = ["path", "text", "error", "n_sents", "sent_spans"]
     for html in batches:
-        out = []
-        for raw in html:
-            path, text, err = route(raw)
-            spans = sentence_spans(text) if text else []
-            out.append(
-                (path, text, err, len(spans), list(chain.from_iterable(spans)))
-            )
+        routed = [route(raw) for raw in html]
+        # sentence detection over the WHOLE batch in one vectorized
+        # pass (ASCII docs joined + one numpy scan; bit-identical to
+        # the per-doc path — fuzz-pinned)
+        spans_list = sentence_spans_batch([t for _, t, _ in routed])
+        out = [
+            (path, text, err, len(spans), list(chain.from_iterable(spans)))
+            for (path, text, err), spans in zip(routed, spans_list)
+        ]
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -168,9 +170,11 @@ def cos_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(IntegerType())
 def n_sentences_udf(text: pd.Series) -> pd.Series:
-    from engine.kernels.sentences import sentence_spans
+    from engine.kernels.sentences import sentence_spans_batch
 
-    return text.map(lambda t: len(sentence_spans(t or "")))
+    return pd.Series(
+        [len(s) for s in sentence_spans_batch(list(text))], dtype="int32"
+    )
 
 
 def chunk_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -29,7 +29,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from engine.kernels.sentences import (  # noqa: E402
     _sentence_spans_ascii,
     _sentence_spans_general,
+    sentence_spans_batch,
 )
+
+_ALL_CASES: list[str] = []
 
 
 def check(text: str, where: str) -> None:
@@ -41,6 +44,30 @@ def check(text: str, where: str) -> None:
         print(f"  fast: {a}")
         print(f"  slow: {b}")
         raise SystemExit(1)
+    _ALL_CASES.append(text)
+
+
+def check_batched(rng: random.Random) -> int:
+    """Replay every scalar-checked case through sentence_spans_batch in
+    random batch groupings — the joined-buffer numpy path must be span-
+    identical to per-doc processing (doc-boundary rules, negative-index
+    digit quirk, workspace reuse across calls)."""
+    cases = list(_ALL_CASES)
+    rng.shuffle(cases)
+    i = 0
+    while i < len(cases):
+        k = rng.randrange(1, 17)
+        grp = cases[i : i + k]
+        i += k
+        got = sentence_spans_batch(grp)
+        for t, g in zip(grp, got):
+            want = _sentence_spans_ascii(t)
+            if [tuple(x) for x in g] != want:
+                print(f"BATCH MISMATCH: {t!r}")
+                print(f"  batch: {g}")
+                print(f"  scalar: {want}")
+                raise SystemExit(1)
+    return len(cases)
 
 
 def corpus_texts(n_pages: int):
@@ -99,6 +126,9 @@ def main() -> None:
             check(s[i:j], "random-slice")
         n += 2
     print(f"random: {n} OK")
+
+    n = check_batched(random.Random(99))
+    print(f"batched replay: {n} OK")
     print("ALL OK")
 
 

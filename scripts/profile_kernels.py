@@ -40,15 +40,17 @@ def main() -> None:
     from engine.kernels.chunker import chunk_rows
     from engine.kernels.embed import embed_text
     from engine.udfs import _route_and_extract_one
-    from engine.kernels.sentences import sentence_spans
+    from engine.kernels.sentences import sentence_spans_batch
 
     texts: list[str] = []
 
     def run_extract():
-        for raw in pages:
-            path, text, err = _route_and_extract_one(raw)
-            sentence_spans(text)
-            texts.append(text)
+        # mirrors route_extract_udf: per-doc route+parse, then ONE
+        # batched sentence pass per 512-doc Arrow-sized group
+        for i in range(0, len(pages), 512):
+            grp = [_route_and_extract_one(raw) for raw in pages[i : i + 512]]
+            sentence_spans_batch([t for _p, t, _e in grp])
+            texts.extend(t for _p, t, _e in grp)
 
     def run_chunk():
         for t in texts:
