@@ -44,22 +44,38 @@ def force():
     ).collect()[0]
     return row
 
+def steal_j():
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+def steal_rate(win=1.0):
+    # host steal never shows in this VM's loadavg (separate kernels);
+    # /proc/stat col 9 is the only external-contention signal
+    s0 = steal_j(); time.sleep(win)
+    return (steal_j() - s0) / 100.0 / (win * (os.cpu_count() or 32))
+
 force()  # warm-up discarded (BASELINE.md controls)
 times, loads = [], []
 for _ in range({runs}):
-    # load-gate: wait (up to 10 min) for a quiet window so the timed
-    # sample measures the engine, not external tenants. {cpus} cores
-    # must be ~free for the level to be physically runnable.
+    # contention gate: wait (up to 10 min) for a window quiet on BOTH
+    # this VM's loadavg and host steal rate. {cpus} cores must be
+    # ~free for the level to be physically runnable.
     deadline = time.monotonic() + 600
-    while os.getloadavg()[0] > {gate} and time.monotonic() < deadline:
-        time.sleep(10)
+    while time.monotonic() < deadline:
+        if os.getloadavg()[0] <= {gate} and steal_rate() < 0.05:
+            break
+        time.sleep(9)
     l0 = os.getloadavg()[0]
+    sj0 = steal_j()
     t0 = time.monotonic()
     row = force()
-    times.append(time.monotonic() - t0)
-    # record load at start AND end: a run that began quiet but shows a
-    # high end-load was contended mid-run by external tenants
-    loads.append((round(l0, 1), round(os.getloadavg()[0], 1)))
+    dt = time.monotonic() - t0
+    times.append(dt)
+    # record load at start AND end plus %steal over the run window: a
+    # quiet-start sample with high end-load / steal was contended
+    # mid-run by external tenants
+    spct = (steal_j() - sj0) / 100.0 / (dt * (os.cpu_count() or 32)) * 100
+    loads.append((round(l0, 1), round(os.getloadavg()[0], 1), round(spct, 1)))
 print("RESULT " + json.dumps({{
     "cpus": cpus, "times": times, "loads": loads, "n": row["n"],
     "chars": int(row["chars"]), "checksum": int(row["checksum"]),
@@ -176,7 +192,7 @@ def main() -> None:
 | Docs extracted | {first['n']} (chars={first['chars']}, sents={first['sents']}) |
 | Confs | arrow.maxRecordsPerBatch=512, python.worker.reuse=true, AQE on, shuffle.partitions=cores |
 
-Raw timings (1-min load avg at run start,end in parens — end >> start means the sample was contended mid-run by external tenants):
+Raw timings ((load@start, load@end, %host-steal over the run window) in parens — high end-load or steal means the sample was contended mid-run by external tenants):
 {raw_lines}
 Median is the headline statistic; best-of-N is reported alongside it
 because external-tenant load is bursty — runs whose load column is

@@ -96,6 +96,41 @@ def test_sentences_protected_spans():
     assert sentence_spans("   ") == []
 
 
+def test_sentence_spans_batch_matches_scalar():
+    """The joined-buffer numpy batch path must be span-identical to
+    per-doc sentence_spans (scripts/fuzz_sentences.py is the deep
+    fuzz; this pins the contract in the default test run)."""
+    import random
+
+    from engine.kernels.sentences import sentence_spans_batch
+
+    cases = [
+        "",
+        ".",
+        ". 5",  # empty-token dot at doc start: digit rule must NOT fire
+        "Dr. Smith saw 3.14 at e.g. noon. Next one. Then https://a.b/c x. End.",
+        'He said "stop." Then left.',
+        "(e.g. nested). Yes",
+        "A. B. initials stay. 9. 9",
+        "non-ascii café. Voilà. Done",  # general-path doc inside a batch
+        "tail no terminal",
+        "  \n\n  ",
+        "multi  space. After",
+    ]
+    rng = random.Random(5)
+    alphabet = list("Ab .!?\n\"'()3x")
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    for size in (1, 3, 7, len(cases)):
+        for i in range(0, len(cases), size):
+            grp = cases[i : i + size]
+            got = sentence_spans_batch(grp)
+            for t, g in zip(grp, got):
+                assert [tuple(x) for x in g] == sentence_spans(t), repr(t)
+
+
 def test_chunker_invariants():
     text = ". ".join(f"Sentence number {i} with some padding words" for i in range(50)) + "."
     chunks = chunk_text(text, max_chars=200)
