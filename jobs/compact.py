@@ -1,0 +1,142 @@
+"""Partition compaction job — small-file management for the
+extracted/chunks/vectors tables (SURVEY.md §2 B3/A12 extension).
+
+Resume re-writes and streaming micro-batches fragment partitions into
+many small files; a 10^12-row table then pays footer-per-file scan
+overhead and loses split balance. This job rewrites only the
+fragmented partitions, idempotently:
+
+  1. PLAN from file metadata only (counts + bytes per partition — no
+     data read). Here that is a filesystem walk of day=*/pbucket=*;
+     on a real Iceberg catalog the same numbers come from the manifest
+     (this module is behind the engine/io/tables.py seam like every
+     other table operation).
+  2. One job reads ONLY the selected partitions (partition-pruned
+     scan), assigns each row a file slot so every partition lands in
+     ceil(partition_bytes / target) output files, and shuffles once on
+     (partition cols, slot).
+  3. Dynamic partition overwrite replaces exactly the rewritten
+     partitions — crash mid-job leaves every partition either old or
+     new, never mixed, so re-running is safe (same idempotence
+     primitive as checkpoint/resume, A12).
+
+Usage:
+    python jobs/compact.py --table /data/out/extracted \
+        [--target-mb 128] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PARTITION_COLS = ["day", "pbucket"]
+
+
+def plan_compaction(
+    table_path: str, target_bytes: int, min_files: int = 2
+) -> list[dict]:
+    """Metadata-only plan: one entry per partition that has more files
+    than its ideal count (ceil(bytes/target)), with at least min_files.
+    Returns [{day, pbucket, n_files, bytes, n_slots}]."""
+    plan = []
+    for day_dir in sorted(os.listdir(table_path)):
+        if not day_dir.startswith("day="):
+            continue
+        day = day_dir.split("=", 1)[1]
+        day_path = os.path.join(table_path, day_dir)
+        for pb_dir in sorted(os.listdir(day_path)):
+            if not pb_dir.startswith("pbucket="):
+                continue
+            pb = pb_dir.split("=", 1)[1]
+            pb_path = os.path.join(day_path, pb_dir)
+            files = [
+                os.path.join(pb_path, f)
+                for f in os.listdir(pb_path)
+                if f.endswith(".parquet")
+            ]
+            nbytes = sum(os.path.getsize(f) for f in files)
+            ideal = max(1, math.ceil(nbytes / target_bytes))
+            if len(files) > max(ideal, min_files - 1) and len(files) > ideal:
+                plan.append(
+                    {
+                        "day": day,
+                        "pbucket": int(pb),
+                        "n_files": len(files),
+                        "bytes": nbytes,
+                        "n_slots": ideal,
+                    }
+                )
+    return plan
+
+
+def compact(spark, table_path: str, target_bytes: int = 128 << 20) -> dict:
+    """Rewrite fragmented partitions of a day/pbucket-partitioned
+    table. Returns {partitions, files_before, files_after_planned}."""
+    from pyspark.sql import functions as F
+
+    plan = plan_compaction(table_path, target_bytes)
+    if not plan:
+        return {"partitions": 0, "files_before": 0, "files_planned": 0}
+
+    from engine.io.tables import overwrite_partitions, read_table
+
+    # selected-partition pruning: an IN filter on the partition columns
+    # reaches the scan as partition pruning (no data files of other
+    # partitions are opened)
+    plan_df = spark.createDataFrame(
+        [(p["day"], p["pbucket"], p["n_slots"]) for p in plan],
+        "day string, pbucket int, n_slots int",
+    )
+    df = read_table(spark, table_path)
+    sel = df.join(F.broadcast(plan_df), on=PARTITION_COLS, how="inner")
+
+    # file-slot assignment: deterministic hash of the row key modulo
+    # this partition's ideal file count; one shuffle on (partition,
+    # slot) then each task writes one file of ~target size into its
+    # partition. Total tasks = sum of slots (hash collisions can merge
+    # two slots of different partitions into one task, which only
+    # merges files — never splits them).
+    total_slots = max(1, sum(p["n_slots"] for p in plan))
+    sel = sel.withColumn(
+        "_slot", F.pmod(F.xxhash64(F.col("url")), F.col("n_slots")).cast("int")
+    ).drop("n_slots")
+    sel = sel.repartition(total_slots, *PARTITION_COLS, F.col("_slot")).drop(
+        "_slot"
+    )
+    overwrite_partitions(sel, table_path, PARTITION_COLS)
+    return {
+        "partitions": len(plan),
+        "files_before": sum(p["n_files"] for p in plan),
+        "files_planned": sum(p["n_slots"] for p in plan),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+
+    target = args.target_mb << 20
+    if args.dry_run:
+        plan = plan_compaction(args.table, target)
+        for p in plan:
+            print(p)
+        print(f"{len(plan)} partitions would be compacted")
+        return
+
+    from engine.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="compact")
+    print(compact(spark, args.table, target))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,18 +43,23 @@ def main() -> None:
     from engine.kernels.sentences import sentence_spans_batch
 
     texts: list[str] = []
+    spans: list = []
 
     def run_extract():
         # mirrors route_extract_udf: per-doc route+parse, then ONE
         # batched sentence pass per 512-doc Arrow-sized group
         for i in range(0, len(pages), 512):
             grp = [_route_and_extract_one(raw) for raw in pages[i : i + 512]]
-            sentence_spans_batch([t for _p, t, _e in grp])
+            spans.extend(sentence_spans_batch([t for _p, t, _e in grp]))
             texts.extend(t for _p, t, _e in grp)
 
     def run_chunk():
-        for t in texts:
-            chunk_rows(t)
+        # mirrors chunk_map_in_pandas: spans were computed at extract
+        # time and carried along; the chunker only packs them
+        import numpy as np
+
+        for t, sp in zip(texts, spans):
+            chunk_rows(t, spans=np.asarray(sp, dtype=np.int64).reshape(-1, 2))
 
     def run_embed():
         for t in texts:
