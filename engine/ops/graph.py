@@ -1,0 +1,137 @@
+"""Connected components over a DataFrame edge list — the clustering
+step of a near-duplicate dedup pipeline (MinHash/SimHash/Jaccard
+PAIRS -> duplicate CLUSTERS -> one canonical doc per cluster).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC'14 — public literature). Each round is two
+DataFrame rounds of groupBy+join (pure shuffle-on-key relational
+ops, no driver-side graph state), and the edge set converges to star
+graphs centered at each component's minimum node in O(log n) rounds
+— this is the published 100-TB-scale formulation, unlike naive label
+propagation whose round count is the graph diameter.
+
+Scale notes:
+  * per round: one groupBy(u) agg + one equi-join on u — both
+    hash-shuffles on node id; AQE sizes/coalesces them.
+  * convergence check is a bounded `count()` of changed edges
+    (a scalar per round, not a collect of data rows).
+  * hot star centers (one node joined by millions) are exactly the
+    skew case engine/partitioning.salted_join handles if needed;
+    at dedup-cluster sizes (dozens of near-dup copies) AQE's skew
+    split is sufficient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _min_nbr(edges: DataFrame) -> DataFrame:
+    """(u, v) symmetric edge list -> (u, m) where m = min(N(u) ∪ {u})."""
+    return edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    m = _min_nbr(edges)
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v <= u (and u itself) to that min."""
+    # orient edges so v <= u, then group by the larger endpoint
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = _min_nbr(oriented)
+    out = oriented.join(m, "u")
+    return (
+        out.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(out.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """pairs(src, dst) undirected -> (node, component) with component
+    = the minimum node id of the node's connected component.
+    Isolated nodes (no pairs) are the caller's to union in — a dedup
+    pipeline left-joins this result and coalesces to the node itself.
+
+    Node ids must be orderable (long/int/string); `min` defines the
+    canonical representative deterministically.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # symmetrize once; stars keep the edge set implicitly symmetric
+    # enough for the alternation (per the paper, large-star input is
+    # the symmetric closure of the current edges)
+    for i in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ls = _large_star(sym).localCheckpoint(eager=True)
+        sym_ls = ls.unionByName(
+            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nxt = _small_star(sym_ls).localCheckpoint(eager=True)
+        # converged iff the (canonically oriented) edge sets are equal;
+        # both sides are already distinct, so compare via exceptAll
+        before = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        if (
+            nxt.exceptAll(before).isEmpty()
+            and before.exceptAll(nxt).isEmpty()
+        ):
+            edges = nxt
+            break
+        edges = nxt
+    # fixpoint is a star graph per component: (u, v=center) plus the
+    # centers themselves (appear only on the v side)
+    members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return members.unionByName(centers).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Full dedup-clustering step: docs + near-dup pairs ->
+    (doc_id, cluster_id, is_canonical). Docs in no pair form their own
+    singleton cluster. Canonical doc = minimum id in the cluster (the
+    component representative), so selection is deterministic."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    )

@@ -643,12 +643,15 @@ ALL = REGISTRY
 # --------------------------------------------------------------------------
 @register("x03_streaming_extract")
 def x03_streaming(spark, sf_dir):
+    import atexit
+    import shutil
     import tempfile
 
     from engine.streaming import PAGES_SCHEMA, start_ingest_stream
 
     n = min(_n_pages(sf_dir), 600)
     base = tempfile.mkdtemp(prefix="stream_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     input_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     per = n // 3
     for p in range(3):

@@ -212,11 +212,14 @@ KERNEL FLOOR scaling at 8->32 procs = 0.91 efficiency, so the
 pipeline's number above is dominated by Spark data-plane +
 scheduling, not the kernels.
 """
-    out_path = ROOT / "BENCH" / "BASELINE.md"
+    # Write to a scratch file, NOT BENCH/BASELINE.md: that file is the
+    # hand-curated multi-generation evidence report; a single ladder run
+    # (possibly contended) must not clobber it. Fold results in manually.
+    out_path = ROOT / "BENCH" / "LATEST_LADDER.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md, encoding="utf-8")
     print(md)
-    print(f"wrote {out_path}")
+    print(f"wrote {out_path} (fold into BENCH/BASELINE.md by hand)")
 
 
 if __name__ == "__main__":
