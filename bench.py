@@ -196,6 +196,21 @@ def main() -> None:
         fn, _oracle = ALL[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
+    # end-to-end dedup clustering: minhash-banded candidate pairs ->
+    # connected components (large-star/small-star) -> canonical doc
+    def run_cluster():
+        from engine.ops.graph import dedup_clusters
+        from engine.queries import T
+
+        fn, _ = ALL["x04_minhash_lsh_pairs"]
+        pairs = fn(spark, sf_dir)
+        docs = T(spark, sf_dir, "documents").select("doc_id")
+        dedup_clusters(docs, pairs).agg(
+            F.count(F.lit(1)), F.sum("is_canonical")
+        ).collect()
+
+    timed("dedup_cluster_pipeline", run_cluster)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",

@@ -39,3 +39,33 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
     """Iceberg overwritePartitions() equivalent: replace exactly the
     partitions present in df."""
     write_table(df, path, partition_by=partition_by, mode="overwrite")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed write: co-locates rows by hash(bucket_cols) at WRITE
+    time so every later equi-join/agg on those columns is exchange-free
+    (the scan itself carries HashPartitioning). This is the 100-TB plan
+    for the hot `extracted ⋈ chunks ⋈ vectors` joins on url: pay the
+    shuffle once when the table is written, never again per query.
+
+    Uses the session catalog (saveAsTable — bucketing metadata lives in
+    the catalog, plain .parquet(path) cannot carry it); Iceberg's
+    equivalent is a `bucket(N, col)` partition transform on the same
+    seam. sort_cols additionally sorts within buckets so sort-merge
+    joins skip their Sort too.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)

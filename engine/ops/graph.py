@@ -93,18 +93,16 @@ def connected_components(
             ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         nxt = _small_star(sym_ls).localCheckpoint(eager=True)
-        # converged iff the (canonically oriented) edge sets are equal;
-        # both sides are already distinct, so compare via exceptAll
+        # converged iff the (canonically oriented) edge sets are equal.
+        # Both sides are distinct sets, so equality == equal counts +
+        # empty one-way diff; the count shortcut skips the set-diff
+        # shuffle on the (common) not-yet-converged rounds.
         before = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        if (
-            nxt.exceptAll(before).isEmpty()
-            and before.exceptAll(nxt).isEmpty()
-        ):
-            edges = nxt
-            break
         edges = nxt
+        if nxt.count() == before.count() and nxt.exceptAll(before).isEmpty():
+            break
     # fixpoint is a star graph per component: (u, v=center) plus the
     # centers themselves (appear only on the v side)
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -150,3 +150,59 @@ def test_approx_count_distinct_close_to_exact(spark):
         F.count_distinct("user_id").alias("e"),
     ).collect()[0]
     assert abs(row["a"] - row["e"]) <= max(1, 0.05 * row["e"]), row
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Bucketed tables (engine/io/tables.write_bucketed) must join on
+    their bucket key WITHOUT an Exchange: the write paid the shuffle
+    once, every later extracted⋈chunks join rides the scan's
+    HashPartitioning. The unbucketed control join must show Exchanges
+    — proving the assertion bites."""
+    from engine.io.tables import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 2000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            (F.col("id") % 7).alias("n_chunks"),
+        )
+        b = spark.range(0, 4000).select(
+            F.concat(F.lit("u"), (F.col("id") % 2000)).alias("url"),
+            F.col("id").alias("chunk_ix"),
+        )
+        write_bucketed(a, "t_ex_b", ["url"], n_buckets=8, sort_cols=["url"])
+        write_bucketed(b, "t_ch_b", ["url"], n_buckets=8, sort_cols=["url"])
+        j = read_bucketed(spark, "t_ex_b").join(
+            read_bucketed(spark, "t_ch_b"), "url"
+        )
+        p = plan(j)
+        assert "Exchange" not in p, p
+        assert j.count() == 4000
+
+        control = a.join(b, "url")
+        assert "Exchange" in plan(control)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_ex_b")
+        spark.sql("DROP TABLE IF EXISTS t_ch_b")
+
+
+def test_dynamic_partition_pruning_on_day_join(spark, tmp_path):
+    """At 10^12 rows the pages table is laid out partitioned by day
+    (SURVEY.md §4); a join against a filtered dim of days must prune
+    fact partitions at RUNTIME (dynamic partition pruning), not scan
+    them all. The plan must carry a dynamicpruning filter on `day`."""
+    fact_path = str(tmp_path / "fact_days")
+    days = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).cast("string").alias("day"),
+    )
+    days.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 20).select(
+        F.col("id").cast("string").alias("day"),
+        (F.col("id") % 2 == 0).alias("keep"),
+    )
+    j = fact.join(F.broadcast(dim), "day").filter(F.col("keep"))
+    p = plan(j)
+    assert "dynamicpruning" in p.lower(), p
