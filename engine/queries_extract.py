@@ -108,33 +108,12 @@ def x02(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("x04_minhash_lsh_pairs")
 def x04(spark, sf_dir):
+    # 8 bands x 4 rows; the operator itself lives in engine/ops/dedup.py
+    # (shared with jobs/dedup.py)
+    from engine.ops.dedup import minhash_candidate_pairs
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
-    # 8 bands x 4 rows: band hash = hash of the 4-slice
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.slice("sig", 1 + 4 * b, 4) for b in range(8)])
-        ).alias("band", "band_sig"),
-    ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
-    # both sides of the self-join read this subtree: persist so the
-    # minhash UDF runs ONCE per document, not twice (at 10^12 scale
-    # the signature table is materialized to storage instead)
-    bands = bands.persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = minhash_candidate_pairs(docs, n_bands=8, rows_per_band=4)
     return cand.orderBy("doc_a", "doc_b")
 
 

@@ -1,0 +1,115 @@
+"""Near-dup dedup job — spark-submit entry for the clustering pipeline.
+
+    spark-submit --py-files engine.zip jobs/dedup.py \
+        --input /data/documents --output /data/dedup \
+        [--verify-jaccard 0.5] [--bands 8] [--rows-per-band 4]
+
+Stages: documents scan -> MinHash+LSH candidate pairs (banded
+equi-join, never all-pairs) -> optional exact shingle-Jaccard
+verification over the candidates -> connected-components clustering
+(large-star/small-star) -> writes:
+
+    <output>/pairs       (doc_a, doc_b[, jaccard])
+    <output>/clusters    (doc_id, cluster_id, is_canonical)
+    <output>/canonical   the deduplicated documents table
+
+Works identically from `python jobs/dedup.py` in local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.io.tables import write_table  # noqa: E402
+from engine.ops.dedup import jaccard_verify, minhash_candidate_pairs  # noqa: E402
+from engine.ops.graph import dedup_clusters  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def run(args) -> dict:
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name="webtext-dedup",
+    )
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+
+    pairs = minhash_candidate_pairs(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_bands=args.bands,
+        rows_per_band=args.rows_per_band,
+    )
+    if args.verify_jaccard is not None:
+        pairs = jaccard_verify(
+            pairs,
+            docs,
+            threshold=args.verify_jaccard,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+    # pairs feed clustering twice (edge list + convergence); write once
+    # and read back — the 10^12-scale equivalent of the persist() seam
+    pairs_path = os.path.join(args.output, "pairs")
+    write_table(pairs, pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+
+    clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
+    cl_path = os.path.join(args.output, "clusters")
+    write_table(clusters, cl_path)
+    clusters = spark.read.parquet(cl_path)
+
+    canonical = docs.join(
+        clusters.filter(F.col("is_canonical") == 1).select(args.id_col),
+        args.id_col,
+        "semi",
+    )
+    write_table(canonical, os.path.join(args.output, "canonical"))
+
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+    n_kept = canonical.count()
+    wall = time.monotonic() - t0
+    result = {
+        "wall_s": round(wall, 2),
+        "docs": n_docs,
+        "candidate_pairs": n_pairs,
+        "kept": n_kept,
+        "removed": n_docs - n_kept,
+        "dup_rate": round((n_docs - n_kept) / n_docs, 4) if n_docs else 0.0,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument(
+        "--verify-jaccard",
+        type=float,
+        default=None,
+        help="exact-Jaccard threshold to confirm LSH candidates",
+    )
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()
