@@ -206,3 +206,22 @@ def test_dynamic_partition_pruning_on_day_join(spark, tmp_path):
     j = fact.join(F.broadcast(dim), "day").filter(F.col("keep"))
     p = plan(j)
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_lsh_candidate_join_is_hash_equi_join(spark):
+    """The MinHash-LSH self-join must stay a hash/merge EQUI-join on
+    (band, band_hash) — a regression to BroadcastNestedLoopJoin or
+    CartesianProduct (e.g. someone moving the doc_a < doc_b predicate
+    into the only equi-condition) is the difference between a bucketed
+    join and all-pairs O(N^2) at 100 TB."""
+    from engine.ops.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan(minhash_candidate_pairs(docs))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
