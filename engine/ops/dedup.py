@@ -86,6 +86,71 @@ def minhash_candidate_pairs(
     )
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    bits_per_band: int = 16,
+) -> DataFrame:
+    """(id, text) -> near-dup pairs (doc_a < doc_b, hamming) whose
+    64-bit SimHash fingerprints differ in <= max_hamming bits.
+
+    Banding trick for hamming space: two hashes within max_hamming of
+    each other very likely agree exactly on at least one of the
+    n_bands bit slices (guaranteed when max_hamming < n_bands), so the
+    self-join is an equi-join on (band, slice) — bucketed, never
+    all-pairs — with the exact hamming filter applied to candidates.
+    """
+    from engine.udfs import simhash_udf
+
+    if n_bands * bits_per_band > 64:
+        raise ValueError("bands exceed the 64-bit fingerprint")
+    mask = (1 << bits_per_band) - 1
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
+    )
+    bands = sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), bits_per_band * i)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    # persist: the self-join otherwise evaluates the simhash UDF twice
+    bands = bands.persist()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 @pandas_udf(DoubleType())
 def _jaccard_udf(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
     out = []

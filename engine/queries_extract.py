@@ -16,12 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from engine.corpus import gen_pages_df
 from engine.pipeline import build_chunks, build_extracted, build_vectors
 from engine.queries import REGISTRY, T, register
-from engine.udfs import (
-    langid_udf,
-    minhash_udf,
-    rolling_fp_udf,
-    simhash_udf,
-)
+from engine.udfs import langid_udf, rolling_fp_udf
 
 _SF_PAGES = {"sf0.001": 400, "sf0.01": 1500, "sf0.1": 6000}
 
@@ -123,50 +118,13 @@ def x04(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("x05_simhash_pairs")
 def x05(spark, sf_dir):
+    # 4 x 16-bit slices, hamming <= 8; operator in engine/ops/dedup.py
+    # (shared with jobs/dedup.py --method simhash)
+    from engine.ops.dedup import simhash_candidate_pairs
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select("doc_id", simhash_udf(F.col("text")).alias("sim"))
-    # band on each of four 16-bit slices; near-dups (<=8 of 64 bits
-    # differing) very likely agree on at least one slice
-    bands = sh.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "key"),
-    )
-    # persist: the self-join otherwise evaluates the simhash UDF twice
-    bands = bands.persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
-    )
+    cand = simhash_candidate_pairs(docs, max_hamming=8)
+    return cand.orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------

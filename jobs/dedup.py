@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from engine.io.tables import write_table  # noqa: E402
-from engine.ops.dedup import jaccard_verify, minhash_candidate_pairs  # noqa: E402
+from engine.ops.dedup import (  # noqa: E402
+    jaccard_verify,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
 from engine.ops.graph import dedup_clusters  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 
@@ -43,13 +47,21 @@ def run(args) -> dict:
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
 
-    pairs = minhash_candidate_pairs(
-        docs,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        n_bands=args.bands,
-        rows_per_band=args.rows_per_band,
-    )
+    if args.method == "simhash":
+        pairs = simhash_candidate_pairs(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            max_hamming=args.max_hamming,
+        )
+    else:
+        pairs = minhash_candidate_pairs(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            n_bands=args.bands,
+            rows_per_band=args.rows_per_band,
+        )
     if args.verify_jaccard is not None:
         pairs = jaccard_verify(
             pairs,
@@ -98,8 +110,14 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--bands", type=int, default=8)
+    p.add_argument(
+        "--method", choices=["minhash", "simhash"], default="minhash"
+    )
+    p.add_argument("--bands", type=int, default=8, help="minhash LSH bands")
     p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument(
+        "--max-hamming", type=int, default=8, help="simhash bit distance"
+    )
     p.add_argument(
         "--verify-jaccard",
         type=float,

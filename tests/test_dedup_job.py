@@ -22,6 +22,15 @@ def test_x04_matches_shared_operator_pin(spark):
     assert fn(spark, SF_01).count() == 25
 
 
+def test_x05_matches_shared_operator_pin(spark):
+    """x05 delegates to simhash_candidate_pairs; pin the sf0.01 result
+    (389 pairs, CORRECTNESS_r01 value)."""
+    from engine.queries_extract import ALL
+
+    fn, _ = ALL["x05_simhash_pairs"]
+    assert fn(spark, SF_01).count() == 389
+
+
 def test_jaccard_verify_matches_bruteforce(spark):
     docs = (
         spark.read.parquet(f"{SF_001}/documents.parquet")
@@ -55,8 +64,10 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         output=out,
         id_col="doc_id",
         text_col="text",
+        method="minhash",
         bands=8,
         rows_per_band=4,
+        max_hamming=8,
         verify_jaccard=0.3,
         master="local[*]",
         shuffle_partitions=None,
