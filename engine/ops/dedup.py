@@ -33,29 +33,35 @@ from engine.kernels import fingerprint as fp
 from engine.udfs import minhash_udf
 
 
-def minhash_candidate_pairs(
+def minhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 8,
     rows_per_band: int = 4,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, text) -> candidate near-dup pairs (doc_a < doc_b).
+    """(id, text) -> the LSH band table (doc_id, band, bh[, carried]).
 
-    n_bands x rows_per_band must not exceed the minhash signature
-    length (engine.kernels.fingerprint.MINHASH_K). Two docs collide iff
-    they agree on ALL rows of at least one band — the standard S-curve
-    trade-off: more bands = higher recall, wider bands = higher
-    precision.
+    This is the materialization seam: batch dedup self-joins it
+    (minhash_candidate_pairs), streaming dedup stream-static-joins new
+    docs against a persisted copy of it (engine.streaming.
+    neardup_stream — which carries the event-time column through via
+    carry_cols so the stream's watermark survives). n_bands x
+    rows_per_band must not exceed the minhash signature length
+    (engine.kernels.fingerprint.MINHASH_K).
     """
     if n_bands * rows_per_band > fp.MINHASH_K:
         raise ValueError(
             f"{n_bands}x{rows_per_band} exceeds MINHASH_K={fp.MINHASH_K}"
         )
+    carry = [F.col(c) for c in carry_cols]
     sigs = docs.select(
-        F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("doc_id"),
+        minhash_udf(F.col(text_col)).alias("sig"),
+        *carry,
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -65,7 +71,24 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("band", "band_sig"),
-    ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
+        *carry,
+    ).select("doc_id", "band", F.hash("band_sig").alias("bh"), *carry)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, text) -> candidate near-dup pairs (doc_a < doc_b).
+
+    Two docs collide iff they agree on ALL rows of at least one band —
+    the standard S-curve trade-off: more bands = higher recall, wider
+    bands = higher precision.
+    """
+    bands = minhash_bands(docs, id_col, text_col, n_bands, rows_per_band)
     # both sides of the self-join read this subtree: persist so the
     # minhash UDF runs ONCE per document, not twice (at 10^12 scale
     # the signature table is materialized to storage instead)

@@ -153,6 +153,54 @@ def host_running_stats(extracted: DataFrame) -> DataFrame:
     )
 
 
+# --- Streaming near-dup: stream-static LSH bucket join ----------------------
+
+
+def neardup_stream(
+    docs: DataFrame,
+    static_bands: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental near-dup detection: each arriving doc's MinHash
+    bands join a STATIC signature-band table (built once from the
+    existing corpus via engine.ops.dedup.minhash_bands and persisted
+    to storage), emitting (id, matched_id) candidate matches.
+
+    Stream-static inner equi-join on (band, bh): per micro-batch Spark
+    joins only the new docs' bands against the static table — never
+    corpus x corpus — which is exactly the "check new crawl against
+    the index" shape a continuously-ingesting 100-TB pipeline needs.
+    Matches are deduped across bands within the watermark (a doc pair
+    colliding in 3 bands is one match). The static side is read fresh
+    per micro-batch, so compacting/re-bucketing the band table between
+    batches is picked up automatically.
+    """
+    from engine.ops.dedup import minhash_bands
+
+    bands = minhash_bands(
+        docs.withWatermark("warc_ts", WATERMARK),
+        id_col=id_col,
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        carry_cols=("warc_ts",),
+    ).withColumnRenamed("doc_id", "_new_id")
+    matches = (
+        bands.join(
+            static_bands.withColumnRenamed("doc_id", "matched_id"),
+            ["band", "bh"],
+        )
+        .filter(F.col("_new_id") != F.col("matched_id"))
+        .select(F.col("_new_id").alias(id_col), "matched_id", "warc_ts")
+    )
+    # one row per (new doc, matched doc) regardless of band-collision
+    # multiplicity; dedup state bounded by the carried watermark
+    return matches.dropDuplicatesWithinWatermark([id_col, "matched_id"])
+
+
 # --- D6: exactly-once sink ---------------------------------------------------
 
 

@@ -242,3 +242,52 @@ def test_host_running_stats(spark, tmp_path):
     got = {r["host"]: r["n_docs"] for r in spark.sql("SELECT * FROM host_stats").collect()}
     assert got and all(v > 0 for v in got.values())
     assert sum(got.values()) > 0
+
+
+def test_neardup_stream_flags_known_duplicates(spark, tmp_path):
+    """Stream-static LSH: docs arriving on the stream that duplicate a
+    doc in the static corpus are flagged against its id; novel docs
+    are not. Exact copies agree on every band, so the match is
+    deterministic; the novel text shares no shingles, so a false
+    positive would be a 32-bit band-hash collision."""
+    import datetime as dt
+
+    from engine.ops.dedup import minhash_bands
+    from engine.streaming import neardup_stream, read_pages_stream
+
+    text_a = " ".join(f"alpha{i} token{i} word{i}" for i in range(40))
+    text_b = " ".join(f"beta{i} item{i} thing{i}" for i in range(40))
+    text_c = " ".join(f"gamma{i} fresh{i} novel{i}" for i in range(40))
+
+    static_docs = spark.createDataFrame(
+        [("s_a", text_a), ("s_b", text_b)], "doc_id string, text string"
+    )
+    # the persisted-index seam: write the band table, read it back
+    bands_path = str(tmp_path / "bands")
+    minhash_bands(static_docs).write.parquet(bands_path)
+    static_bands = spark.read.parquet(bands_path)
+
+    ts = dt.datetime(2025, 5, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            ("http://h1/dup-of-a", ts, None, text_a, "en"),
+            ("http://h2/novel", ts, None, text_c, "en"),
+        ],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.parquet(in_dir)
+
+    matches = neardup_stream(read_pages_stream(spark, in_dir), static_bands)
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("neardup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["url"], r["matched_id"])
+        for r in spark.sql("SELECT * FROM neardup_test").collect()
+    }
+    assert got == {("http://h1/dup-of-a", "s_a")}
