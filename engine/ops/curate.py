@@ -1,0 +1,100 @@
+"""Training-corpus curation: quality metrics + filter verdicts.
+
+Everything except language-ID is built-in pyspark.sql.functions — the
+metrics run inside whole-stage codegen on the JVM, so curation adds
+zero Python crossings beyond the one langid Arrow UDF (and that one is
+skippable via check_lang=False). Metrics attach via withColumns, never
+a join: the whole operator is map-only — no shuffle, no state — which
+is the shape that matters at 100 TB.
+
+Heuristics follow the public web-corpus-curation playbook (C4/Gopher-
+style length, symbol/word-shape and stopword screens), tuned small and
+deterministic so tests can pin exact verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# the 25 most common English function words — enough signal for a
+# "does this look like running prose" screen without a model
+STOPWORDS = (
+    "the of and a to in is was he for it with as his on be at by i "
+    "this had not are but from or have an"
+).split()
+
+DEFAULT_RULES: dict[str, tuple[float, float]] = {
+    # metric -> (min, max) inclusive bounds
+    "n_tokens": (20, 100_000),
+    "mean_token_len": (2.0, 12.0),
+    "space_ratio": (0.05, 0.5),
+    "symbol_ratio": (0.0, 0.25),
+    "stopword_ratio": (0.01, 1.0),
+}
+
+
+def _metric_cols(text_col: str) -> dict[str, Column]:
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(text), r"\s+")
+    n_chars = F.length(text)
+    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: F.array_contains(stop_arr, t),
+        )
+    )
+    n_symbols = n_chars - F.length(
+        F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    )
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 4)
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": safe(n_chars - n_spaces, n_tokens),
+        "space_ratio": safe(n_spaces, n_chars),
+        "symbol_ratio": safe(n_symbols, n_chars),
+        "stopword_ratio": safe(n_stop, n_tokens),
+    }
+
+
+def quality_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, ...) -> (id, metrics...) — all JVM-side expressions."""
+    cols = _metric_cols(text_col)
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    rules: dict[str, tuple[float, float]] | None = None,
+    check_lang: bool = True,
+) -> DataFrame:
+    """Docs -> docs + metrics + `reasons` (array of failed rules) +
+    `keep` (no rule failed). Filter rules are data, not code, so a
+    pipeline can tighten thresholds without touching the operator.
+    Map-only: metrics attach via withColumns, no join, no shuffle."""
+    rules = DEFAULT_RULES if rules is None else rules
+    out = docs.withColumns(_metric_cols(text_col))
+    reason_cols = [
+        F.when(~F.col(metric).between(float(lo), float(hi)), F.lit(metric))
+        for metric, (lo, hi) in sorted(rules.items())
+    ]
+    if check_lang and lang_col in docs.columns:
+        from engine.udfs import langid_udf
+
+        out = out.withColumn("lang_guess", langid_udf(F.col(text_col)))
+        reason_cols.append(
+            F.when(
+                F.col("lang_guess") != F.col(lang_col), F.lit("lang_mismatch")
+            )
+        )
+    out = out.withColumn("reasons", F.array_compact(F.array(*reason_cols)))
+    return out.withColumn("keep", F.size("reasons") == 0)

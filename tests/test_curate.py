@@ -1,0 +1,93 @@
+"""Curation operator + job (engine/ops/curate.py, jobs/curate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.ops.curate import curate, quality_metrics
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and then it runs to "
+    "the river where it drinks from the water and rests in the shade "
+    "of an old tree for a while before it moves on."
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_quality_metrics_exact_values(spark):
+    docs = _docs(spark, [(1, "ab cd ef", "en"), (2, "", "en")])
+    m = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+    assert m[1]["n_chars"] == 8
+    assert m[1]["n_tokens"] == 3
+    assert m[1]["mean_token_len"] == 2.0
+    assert m[1]["space_ratio"] == 0.25
+    assert m[1]["symbol_ratio"] == 0.0
+    assert m[1]["stopword_ratio"] == 0.0
+    assert m[2]["n_tokens"] == 0 and m[2]["stopword_ratio"] == 0.0
+
+
+def test_curate_verdicts_and_reasons(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, GOOD, "en"),                     # passes everything
+            (2, "too short", "en"),              # n_tokens
+            (3, "x" * 500, "en"),                # no spaces, one giant token
+            (4, "!!! ??? *** ### $$$ " * 20, "en"),  # symbol soup
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["keep"], set(r["reasons"]))
+        for r in curate(docs, check_lang=False).collect()
+    }
+    assert got[1] == (True, set())
+    assert got[2][0] is False and "n_tokens" in got[2][1]
+    assert got[3][0] is False and {"mean_token_len", "space_ratio"} <= got[3][1]
+    assert got[4][0] is False and "symbol_ratio" in got[4][1]
+
+
+def test_curate_lang_mismatch(spark):
+    # GOOD is English prose; labeling it "de" must trip lang_mismatch
+    docs = _docs(spark, [(1, GOOD, "en"), (2, GOOD, "de")])
+    got = {r["doc_id"]: r for r in curate(docs).collect()}
+    assert bool(got[1]["keep"]) is True
+    assert got[2]["reasons"] == ["lang_mismatch"]
+
+
+def test_curate_is_map_only(spark):
+    """The curation plan must contain NO Exchange: metrics + verdicts
+    attach map-side (the property the 100-TB design depends on)."""
+    from tests.test_plans import plan
+
+    docs = _docs(spark, [(1, GOOD, "en")])
+    assert "Exchange" not in plan(curate(docs))
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    import types
+
+    from jobs.curate import run
+
+    out = str(tmp_path / "curated")
+    res = run(
+        types.SimpleNamespace(
+            input="/root/testdata/sf0.001/documents.parquet",
+            output=out,
+            text_col="text",
+            min_tokens=5,
+            no_check_lang=False,
+            master="local[*]",
+            shuffle_partitions=None,
+        )
+    )
+    kept = spark.read.parquet(f"{out}/kept")
+    rej = spark.read.parquet(f"{out}/rejected")
+    assert res["docs"] == res["kept"] + res["rejected"]
+    assert kept.count() == res["kept"] and rej.count() == res["rejected"]
+    assert res["kept"] > 0  # the synthetic corpus is mostly real prose
+    # every rejected row carries at least one reason; kept carry none
+    assert rej.filter(F.size("reasons") == 0).count() == 0
+    assert "reasons" not in kept.columns
