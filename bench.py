@@ -211,6 +211,20 @@ def main() -> None:
 
     timed("dedup_cluster_pipeline", run_cluster)
 
+    # map-only corpus curation over the documents table (quality
+    # metrics + rule verdicts; lang screen off — the synthetic table's
+    # lang labels are decorative)
+    def run_curate():
+        from engine.ops.curate import curate
+        from engine.queries import T
+
+        docs = T(spark, sf_dir, "documents")
+        curate(docs, check_lang=False).agg(
+            F.count(F.lit(1)), F.sum(F.col("keep").cast("long"))
+        ).collect()
+
+    timed("curate_pipeline", run_curate)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",

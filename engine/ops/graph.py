@@ -67,6 +67,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """pairs(src, dst) undirected -> (node, component) with component
     = the minimum node id of the node's connected component.
@@ -75,6 +76,10 @@ def connected_components(
 
     Node ids must be orderable (long/int/string); `min` defines the
     canonical representative deterministically.
+
+    If `stats` (a dict) is passed, stats["rounds"] records how many
+    large-star/small-star rounds ran before the fixpoint — the O(log n)
+    claim is measurable (scripts/exp_cc_scale.py).
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -101,6 +106,8 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         edges = nxt
+        if stats is not None:
+            stats["rounds"] = i + 1
         if nxt.count() == before.count() and nxt.exceptAll(before).isEmpty():
             break
     # fixpoint is a star graph per component: (u, v=center) plus the
