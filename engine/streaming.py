@@ -71,6 +71,7 @@ def extracted_stream(pages: DataFrame) -> DataFrame:
         F.col("_ex.text").alias("text"),
         F.col("_ex.error").alias("error"),
         F.col("_ex.n_sents").alias("n_sents"),
+        F.col("_ex.sent_spans").alias("sent_spans"),
         F.length("_ex.text").cast("long").alias("n_chars"),
         F.sha2(F.col("_ex.text"), 256).alias("content_sha256"),
     )
@@ -223,6 +224,48 @@ def start_ingest_stream(
                 f"{output_dir}/batch_id={batch_id}"
             )
         )
+
+    w = (
+        ex.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_vector_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    index: str = "vectors",
+    available_now: bool = False,
+):
+    """Continuous crawl -> vector-index ingestion: the streaming twin
+    of the batch extract -> chunk -> embed -> put_vectors pipeline
+    (the reference's whole purpose, as one streaming query).
+
+    foreachBatch runs the SAME batch operators per micro-batch —
+    build_chunks / build_vectors / sink_vectors don't know the plan is
+    streaming. Put requests are keyed (batch_id, partition, seq): the
+    sink writes under <index>/batch_id=N, so a redelivered micro-batch
+    (WAL replay after a crash) rewrites its own files byte-identically
+    — idempotent puts, the streaming analogue of the batch job's
+    dynamic-overwrite resume.
+    """
+    from engine.io.vector_sink import sink_vectors
+    from engine.pipeline import build_chunks, build_vectors
+
+    ex = extracted_stream(read_pages_stream(spark, input_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vectors = build_vectors(build_chunks(batch_df))
+        # forcing the receipts performs the puts executor-side
+        sink_vectors(
+            vectors, f"{index}/batch_id={batch_id}", index_dir
+        ).collect()
 
     w = (
         ex.writeStream.foreachBatch(write_batch)

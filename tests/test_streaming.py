@@ -291,3 +291,52 @@ def test_neardup_stream_flags_known_duplicates(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_test").collect()
     }
     assert got == {("http://h1/dup-of-a", "s_a")}
+
+
+def test_vector_stream_end_to_end_matches_batch(spark, tmp_path):
+    """Streaming extract->chunk->embed->put_vectors equals the batch
+    pipeline over the same pages: same vector keys, same embeddings
+    (both run the same kernels — the stream is just a different plan)."""
+    import json
+    import pathlib
+
+    from engine.pipeline import build_chunks, build_extracted, build_vectors
+    from engine.streaming import start_vector_stream
+
+    input_dir = str(tmp_path / "in")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages_files(spark, input_dir, parts=2)
+
+    q = start_vector_stream(
+        spark, input_dir, index_dir, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = {}
+    for p in pathlib.Path(index_dir).rglob("*.jsonl"):
+        for line in p.read_text().splitlines():
+            e = json.loads(line)
+            got[e["key"]] = e["data"]["float32"]
+
+    # batch reference (first capture per url, matching streaming dedup)
+    from pyspark.sql import Window
+
+    pages = spark.read.parquet(input_dir)
+    w = Window.partitionBy("url").orderBy(
+        F.asc("warc_ts"), F.asc(F.xxhash64("html"))
+    )
+    first = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    vec = build_vectors(build_chunks(build_extracted(first, dedup=False)))
+    exp = {
+        f"{r['url']}#{r['chunk_ix']}": [float(x) for x in r["embedding"]]
+        for r in vec.collect()
+    }
+    assert set(got) == set(exp)
+    sample = list(exp)[:25]
+    for k in sample:
+        assert got[k] == pytest.approx(exp[k]), k
