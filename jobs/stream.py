@@ -7,6 +7,10 @@ Watches --input for new page parquet files; each micro-batch runs the
 same fused extraction kernels and lands idempotent per-batch parquet
 under --output. --once processes the current backlog and exits
 (availableNow trigger); omit it for continuous ingestion.
+
+--vectors switches the sink to the full extract -> chunk -> embed ->
+put_vectors pipeline (engine/io/vector_sink.py): --output then is the
+vector-index directory, with per-batch idempotent put files.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from engine.session import get_spark
-from engine.streaming import start_ingest_stream
+from engine.streaming import start_ingest_stream, start_vector_stream
 
 
 def main() -> None:
@@ -28,10 +32,17 @@ def main() -> None:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--master", default="local[*]")
     p.add_argument("--once", action="store_true")
+    p.add_argument(
+        "--vectors",
+        action="store_true",
+        help="sink extract->chunk->embed into the vector index instead "
+        "of extracted parquet",
+    )
     args = p.parse_args()
 
     spark = get_spark(master=args.master, app_name="webtext-stream")
-    q = start_ingest_stream(
+    start = start_vector_stream if args.vectors else start_ingest_stream
+    q = start(
         spark, args.input, args.output, args.checkpoint, available_now=args.once
     )
     q.awaitTermination()
