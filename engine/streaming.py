@@ -235,6 +235,40 @@ def start_ingest_stream(
     return w.start()
 
 
+def start_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    static_bands: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous near-dup screening: new pages' matches against the
+    static LSH band index land as idempotent per-batch parquet (same
+    batch_id-keyed overwrite discipline as the ingest sink). Pages
+    with no text are dropped up front — every empty doc shares the
+    empty minhash signature, so without the filter they would all
+    "match" each other."""
+    pages = read_pages_stream(spark, input_dir).filter(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+    )
+    matches = neardup_stream(pages, static_bands)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    w = (
+        matches.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_vector_stream(
     spark: SparkSession,
     input_dir: str,

@@ -11,6 +11,11 @@ under --output. --once processes the current backlog and exits
 --vectors switches the sink to the full extract -> chunk -> embed ->
 put_vectors pipeline (engine/io/vector_sink.py): --output then is the
 vector-index directory, with per-batch idempotent put files.
+
+--neardup-index BANDS_PARQUET switches to near-dup screening: each
+arriving page's MinHash bands join the given static band table (built
+once with engine.ops.dedup.minhash_bands over the existing corpus) and
+matches land as per-batch parquet under --output.
 """
 
 from __future__ import annotations
@@ -38,13 +43,35 @@ def main() -> None:
         help="sink extract->chunk->embed into the vector index instead "
         "of extracted parquet",
     )
+    p.add_argument(
+        "--neardup-index",
+        default=None,
+        help="static minhash band table (parquet); switches to near-dup "
+        "screening of arriving pages against it",
+    )
     args = p.parse_args()
 
     spark = get_spark(master=args.master, app_name="webtext-stream")
-    start = start_vector_stream if args.vectors else start_ingest_stream
-    q = start(
-        spark, args.input, args.output, args.checkpoint, available_now=args.once
-    )
+    if args.neardup_index:
+        from engine.streaming import start_neardup_stream
+
+        q = start_neardup_stream(
+            spark,
+            args.input,
+            spark.read.parquet(args.neardup_index),
+            args.output,
+            args.checkpoint,
+            available_now=args.once,
+        )
+    else:
+        start = start_vector_stream if args.vectors else start_ingest_stream
+        q = start(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            available_now=args.once,
+        )
     q.awaitTermination()
 
 

@@ -340,3 +340,47 @@ def test_vector_stream_end_to_end_matches_batch(spark, tmp_path):
     sample = list(exp)[:25]
     for k in sample:
         assert got[k] == pytest.approx(exp[k]), k
+
+
+def test_neardup_stream_job_sink(spark, tmp_path):
+    """start_neardup_stream: matches land as per-batch parquet; empty
+    pages are screened out (they would all share the empty minhash
+    signature and cross-match)."""
+    import datetime as dt
+
+    from engine.ops.dedup import minhash_bands
+    from engine.streaming import start_neardup_stream
+
+    text_a = " ".join(f"alpha{i} token{i} word{i}" for i in range(40))
+    static_docs = spark.createDataFrame(
+        [("s_a", text_a)], "doc_id string, text string"
+    )
+    bands_path = str(tmp_path / "bands")
+    minhash_bands(static_docs).write.parquet(bands_path)
+
+    ts = dt.datetime(2025, 5, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            ("http://h1/dup", ts, None, text_a, "en"),
+            ("http://h2/empty", ts, None, None, "en"),
+            ("http://h3/empty2", ts, None, "", "en"),
+        ],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.parquet(in_dir)
+
+    out = str(tmp_path / "matches")
+    q = start_neardup_stream(
+        spark,
+        in_dir,
+        spark.read.parquet(bands_path),
+        out,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["url"], r["matched_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("http://h1/dup", "s_a")}
