@@ -81,14 +81,24 @@ def connected_components(
     large-star/small-star rounds ran before the fixpoint — the O(log n)
     claim is measurable (scripts/exp_cc_scale.py).
     """
+    # canonical orientation (u > v) once at entry; _small_star output
+    # preserves it (both emitted edge kinds point at m = the group
+    # minimum, which is strictly below either endpoint), so `edges` is
+    # canonically oriented in EVERY round and the convergence check
+    # never needs to re-orient or re-distinct the previous edge set.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # symmetrize once; stars keep the edge set implicitly symmetric
-    # enough for the alternation (per the paper, large-star input is
-    # the symmetric closure of the current edges)
+    prev_n = edges.count()
+    # symmetrize per round; stars keep the edge set implicitly
+    # symmetric enough for the alternation (per the paper, large-star
+    # input is the symmetric closure of the current edges)
     for i in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -98,17 +108,19 @@ def connected_components(
             ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         nxt = _small_star(sym_ls).localCheckpoint(eager=True)
-        # converged iff the (canonically oriented) edge sets are equal.
-        # Both sides are distinct sets, so equality == equal counts +
-        # empty one-way diff; the count shortcut skips the set-diff
-        # shuffle on the (common) not-yet-converged rounds.
-        before = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        # converged iff the edge sets are equal. Both sides are
+        # distinct, canonically oriented sets, so equality == equal
+        # counts + empty one-way diff; the cached-count shortcut skips
+        # the set-diff shuffle on the (common) not-yet-converged
+        # rounds, and only nxt.count() (over checkpointed data) runs
+        # per round.
+        n = nxt.count()
+        converged = n == prev_n and nxt.exceptAll(edges).isEmpty()
         edges = nxt
+        prev_n = n
         if stats is not None:
             stats["rounds"] = i + 1
-        if nxt.count() == before.count() and nxt.exceptAll(before).isEmpty():
+        if converged:
             break
     # fixpoint is a star graph per component: (u, v=center) plus the
     # centers themselves (appear only on the v side)
