@@ -1,0 +1,79 @@
+"""Benchmark decontamination: flag training docs that overlap an
+evaluation set by n-gram collision (the standard 13-gram screen).
+
+Scale shape: the probe side (benchmark suites — thousands of docs) is
+tiny next to the corpus, so its distinct n-gram hashes BROADCAST; the
+corpus side explodes to (doc_id, ngram_hash) map-side and the
+broadcast hash join + partial count never shuffles the corpus. All
+n-gram construction is JVM expressions (split / sequence / slice /
+xxhash64 inside whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_N = 13
+
+
+def ngram_hash_col(text_col: str, n: int = DEFAULT_N) -> Column:
+    """array<long> of xxhash64 over the text's word n-grams
+    (lowercased, whitespace-tokenized). Texts shorter than n tokens
+    hash their full token run (so exact short-answer probes still
+    match)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+    return F.transform(
+        starts,
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, F.least(F.lit(n), k)))
+        ),
+    )
+
+
+def probe_hashes(
+    probes: DataFrame, text_col: str = "text", n: int = DEFAULT_N
+) -> DataFrame:
+    """Benchmark texts -> distinct n-gram hash table (one `h` column).
+    Materialize this once per eval suite and reuse across runs."""
+    return (
+        probes.select(F.explode(ngram_hash_col(text_col, n)).alias("h"))
+        .distinct()
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """docs + probe set -> (id, n_hits, contaminated).
+
+    n_hits counts the doc's n-gram positions that collide with any
+    probe n-gram; contaminated = n_hits > 0. The probe hash table is
+    broadcast, so the corpus-side plan is explode -> broadcast hash
+    join -> partial count: the corpus never shuffles.
+    """
+    ph = F.broadcast(probe_hashes(probes, probe_text_col, n))
+    grams = docs.select(
+        F.col(id_col), F.explode(ngram_hash_col(text_col, n)).alias("h")
+    )
+    hits = grams.join(ph, "h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    # hits holds only CONTAMINATED docs (a sliver of the corpus when
+    # the screen is doing its job) — broadcast it back so the verdict
+    # join is map-side too
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
