@@ -30,6 +30,7 @@ DEFAULT_RULES: dict[str, tuple[float, float]] = {
     "space_ratio": (0.05, 0.5),
     "symbol_ratio": (0.0, 0.25),
     "stopword_ratio": (0.01, 1.0),
+    "n_pii": (0, 0),  # any email/phone hit rejects (redact-or-drop policy)
 }
 
 
@@ -49,6 +50,17 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     n_symbols = n_chars - F.length(
         F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
     )
+    # PII screens (counts, JVM regexp_count): emails and phone-shaped
+    # digit runs. Deliberately high-recall patterns — a curation
+    # pipeline redacts or drops on ANY hit, so false positives cost a
+    # doc, false negatives leak PII.
+    n_emails = F.regexp_count(
+        text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    )
+    n_phones = F.regexp_count(
+        text,
+        F.lit(r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}(?!\d)"),
+    )
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 4)
     ).otherwise(F.lit(0.0))
@@ -59,6 +71,7 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
         "space_ratio": safe(n_spaces, n_chars),
         "symbol_ratio": safe(n_symbols, n_chars),
         "stopword_ratio": safe(n_stop, n_tokens),
+        "n_pii": (n_emails + n_phones).cast("long"),
     }
 
 

@@ -91,3 +91,21 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # every rejected row carries at least one reason; kept carry none
     assert rej.filter(F.size("reasons") == 0).count() == 0
     assert "reasons" not in kept.columns
+
+
+def test_pii_screen(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, GOOD, "en"),
+            (2, GOOD + " contact me at jane.doe@example.com for details", "en"),
+            (3, GOOD + " call 555-867-5309 x12 or +1 (212) 555-0173 now", "en"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["n_pii"], set(r["reasons"]))
+        for r in curate(docs, check_lang=False).collect()
+    }
+    assert got[1] == (True, 0, set())
+    assert got[2][1] == 1 and "n_pii" in got[2][2]
+    assert got[3][1] >= 2 and "n_pii" in got[3][2]
