@@ -1,0 +1,62 @@
+"""URL canonicalization (engine/ops/urlnorm.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.ops.urlnorm import canonical_url_col
+
+CASES = [
+    # fragment stripped
+    ("http://a.com/p#frag", "http://a.com/p"),
+    # host + scheme lowercased, path case preserved
+    ("HTTP://WWW.Ex.COM/Path", "http://www.ex.com/Path"),
+    # default ports dropped; non-default kept
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    # duplicate slashes collapsed; empty path -> /
+    ("http://a.com//x///y", "http://a.com/x/y"),
+    ("http://a.com", "http://a.com/"),
+    # tracking params dropped, survivors sorted, empty query dropped
+    (
+        "http://a.com/p?utm_source=tw&b=2&a=1&fbclid=XYZ",
+        "http://a.com/p?a=1&b=2",
+    ),
+    ("http://a.com/p?utm_campaign=x", "http://a.com/p"),
+    ("http://a.com/p?z=9&a=1", "http://a.com/p?a=1&z=9"),
+    # ref is a tracking param; refresh is NOT (prefix must not match)
+    ("http://a.com/p?ref=hn&refresh=1", "http://a.com/p?refresh=1"),
+    # non-http passthrough (trimmed only)
+    ("  ftp://a.com/x  ", "ftp://a.com/x"),
+    ("not a url", "not a url"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_url(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "url string")
+    got = df.select(canonical_url_col("url").alias("c")).collect()[0]["c"]
+    assert got == want, (raw, got, want)
+
+
+def test_recrawl_variants_collide(spark):
+    """The dedup-key property: all capture variants of one resource
+    canonicalize to the same key, distinct resources stay distinct."""
+    variants = [
+        "http://News.Site.com/story?id=7&utm_source=feed",
+        "http://news.site.com:80/story?id=7#comments",
+        "http://news.site.com//story?id=7",
+    ]
+    other = "http://news.site.com/story?id=8"
+    df = spark.createDataFrame([(v,) for v in variants + [other]], "url string")
+    got = [r["c"] for r in df.select(canonical_url_col("url").alias("c")).collect()]
+    assert len(set(got[:3])) == 1
+    assert got[3] != got[0]
+
+
+def test_map_only_plan(spark):
+    from tests.test_plans import plan
+
+    df = spark.createDataFrame([("http://a.com/x",)], "url string")
+    assert "Exchange" not in plan(df.select(canonical_url_col("url")))
