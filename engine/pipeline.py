@@ -61,6 +61,7 @@ def build_extracted(
     num_partitions: int | None = None,
     dedup: bool = True,
     with_lang_guess: bool = False,
+    canonical_urls: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted table.
 
@@ -79,6 +80,12 @@ def build_extracted(
     which is far cheaper than shuffling every payload byte to
     co-locate urls before extracting.
 
+    canonical_urls=True rewrites url to its canonical form
+    (engine/ops/urlnorm.py: defrag, case, default ports, tracking
+    params) BEFORE the dedup key is formed, so capture variants of one
+    resource collapse to a single output row. Off by default: the
+    byte-identity contract is keyed on the raw url.
+
     num_partitions (both dedup modes): sets the partition count of the
     OUTPUT for downstream balance. With dedup=True it is applied as the
     shuffle-partition count of the dedup exchange itself (repartition on
@@ -86,6 +93,10 @@ def build_extracted(
     is still exactly ONE exchange); with dedup=False it is a plain
     repartition after extraction.
     """
+    if canonical_urls:
+        from engine.ops.urlnorm import canonical_url_col
+
+        pages = pages.withColumn("url", canonical_url_col("url"))
     df = pages.withColumn("_ex", route_extract_udf(F.col("html")))
     df = df.select(
         "url",

@@ -50,7 +50,11 @@ def run(args) -> dict:
 
     from engine.partitioning import with_write_partitions
 
-    extracted = build_extracted(pages.drop("part_key"), num_partitions=args.partitions)
+    extracted = build_extracted(
+        pages.drop("part_key"),
+        num_partitions=args.partitions,
+        canonical_urls=args.canonical_urls,
+    )
     extracted, obs = observe_extraction(extracted)
     extracted = with_write_partitions(extracted)
 
@@ -103,6 +107,12 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument(
+        "--canonical-urls",
+        action="store_true",
+        help="canonicalize urls (defrag, tracking params, ports, case) "
+        "before the per-url dedup key is formed",
+    )
     p.add_argument("--shuffle-partitions", type=int, default=None)
     run(p.parse_args())
 

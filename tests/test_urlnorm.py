@@ -60,3 +60,32 @@ def test_map_only_plan(spark):
 
     df = spark.createDataFrame([("http://a.com/x",)], "url string")
     assert "Exchange" not in plan(df.select(canonical_url_col("url")))
+
+
+def test_pipeline_canonical_urls_collapses_variants(spark):
+    """build_extracted(canonical_urls=True): capture variants of one
+    resource dedup to a single row keyed by the canonical url, and the
+    latest capture still wins."""
+    import datetime as dt
+
+    from engine.pipeline import build_extracted
+
+    html_v1 = b"<html><body><p>" + b"old version text here. " * 30 + b"</p></body></html>"
+    html_v2 = b"<html><body><p>" + b"new version text here. " * 30 + b"</p></body></html>"
+    t1 = dt.datetime(2025, 1, 1)
+    t2 = dt.datetime(2025, 6, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://S.com/a?utm_source=x", t1, html_v1, None, "en"),
+            ("http://s.com:80/a#frag", t2, html_v2, None, "en"),
+            ("http://s.com/b", t1, html_v1, None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ex = build_extracted(pages, canonical_urls=True)
+    rows = {r["url"]: r for r in ex.collect()}
+    assert set(rows) == {"http://s.com/a", "http://s.com/b"}
+    assert "new version" in rows["http://s.com/a"]["text"]
+
+    # default (raw-url key) keeps all three
+    assert build_extracted(pages).count() == 3
