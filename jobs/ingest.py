@@ -44,16 +44,23 @@ def run(args) -> dict:
     else:
         pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
 
+    if args.canonical_urls:
+        # canonicalize BEFORE the resume work-unit key is derived so
+        # part_key (raw side) and pbucket (written side) agree — they
+        # are the same pmod(xxhash64(host)) and must hash the same url
+        from engine.ops.urlnorm import canonical_url_col
+
+        pages = pages.withColumn("url", canonical_url_col("url"))
+
     pages = with_partition_key(pages)
     if args.resume:
         pages = checkpoint.filter_not_done(pages, args.output, args.run_id)
 
     from engine.partitioning import with_write_partitions
 
+    # urls already canonical here if requested (done above, pre-resume)
     extracted = build_extracted(
-        pages.drop("part_key"),
-        num_partitions=args.partitions,
-        canonical_urls=args.canonical_urls,
+        pages.drop("part_key"), num_partitions=args.partitions
     )
     extracted, obs = observe_extraction(extracted)
     extracted = with_write_partitions(extracted)
@@ -87,11 +94,14 @@ def run(args) -> dict:
     checkpoint.mark_done(args.output, args.run_id, done_keys)
 
     wall = time.monotonic() - t0
+    # a fully-resumed rerun processes zero rows: observe() sums are
+    # then NULL -> None; report zeros, not a crash
+    n_docs = int(metrics["rows"] or 0)
     result = {
         "wall_s": round(wall, 2),
-        "docs": int(metrics["rows"]),
-        "docs_per_s": round(metrics["rows"] / wall, 1),
-        **{k: int(v) for k, v in metrics.items()},
+        "docs": n_docs,
+        "docs_per_s": round(n_docs / wall, 1),
+        **{k: int(v or 0) for k, v in metrics.items()},
     }
     print(result)
     return result
