@@ -47,6 +47,8 @@ def run(args) -> dict:
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
 
+    if args.method == "exact":
+        return _run_exact(spark, docs, args, t0)
     if args.method == "simhash":
         pairs = simhash_candidate_pairs(
             docs,
@@ -104,6 +106,47 @@ def run(args) -> dict:
     return result
 
 
+def _run_exact(spark, docs, args, t0) -> dict:
+    """Exact content dedup: one hash-groupBy, no pairs, no clustering
+    — cluster_id = min doc id per sha256(text). The cheapest dedup
+    mode and the right first pass before any near-dup method."""
+    sha = F.sha2(F.coalesce(F.col(args.text_col), F.lit("")), 256)
+    keyed = docs.select(F.col(args.id_col), sha.alias("_sha"))
+    reps = keyed.groupBy("_sha").agg(F.min(args.id_col).alias("cluster_id"))
+    clusters = (
+        keyed.join(reps, "_sha")
+        .select(
+            args.id_col,
+            "cluster_id",
+            (F.col(args.id_col) == F.col("cluster_id")).cast("int").alias(
+                "is_canonical"
+            ),
+        )
+    )
+    cl_path = os.path.join(args.output, "clusters")
+    write_table(clusters, cl_path)
+    clusters = spark.read.parquet(cl_path)
+    canonical = docs.join(
+        clusters.filter(F.col("is_canonical") == 1).select(args.id_col),
+        args.id_col,
+        "semi",
+    )
+    write_table(canonical, os.path.join(args.output, "canonical"))
+    n_docs = docs.count()
+    n_kept = canonical.count()
+    wall = time.monotonic() - t0
+    result = {
+        "wall_s": round(wall, 2),
+        "docs": n_docs,
+        "candidate_pairs": 0,
+        "kept": n_kept,
+        "removed": n_docs - n_kept,
+        "dup_rate": round((n_docs - n_kept) / n_docs, 4) if n_docs else 0.0,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="documents parquet")
@@ -111,7 +154,9 @@ def main() -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument(
-        "--method", choices=["minhash", "simhash"], default="minhash"
+        "--method",
+        choices=["minhash", "simhash", "exact"],
+        default="minhash",
     )
     p.add_argument("--bands", type=int, default=8, help="minhash LSH bands")
     p.add_argument("--rows-per-band", type=int, default=4)

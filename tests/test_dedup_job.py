@@ -109,3 +109,51 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert split == 0
     # kept == number of distinct clusters
     assert res["kept"] == clusters.select("cluster_id").distinct().count()
+
+
+def test_dedup_job_exact_mode(spark, tmp_path):
+    import types
+
+    from jobs.dedup import run
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "same text here"),
+            (2, "same text here"),      # exact dup of 1
+            (3, "same text here!"),     # one char off: NOT an exact dup
+            (4, None),
+            (5, None),                  # null == null under coalesce
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "exact_out")
+    res = run(
+        types.SimpleNamespace(
+            input=docs_path,
+            output=out,
+            id_col="doc_id",
+            text_col="text",
+            method="exact",
+            bands=8,
+            rows_per_band=4,
+            max_hamming=8,
+            verify_jaccard=None,
+            master="local[*]",
+            shuffle_partitions=None,
+        )
+    )
+    assert res == {
+        "wall_s": res["wall_s"],
+        "docs": 5,
+        "candidate_pairs": 0,
+        "kept": 3,
+        "removed": 2,
+        "dup_rate": 0.4,
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (4, 1), 5: (4, 0)}
