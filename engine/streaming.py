@@ -154,6 +154,83 @@ def host_running_stats(extracted: DataFrame) -> DataFrame:
     )
 
 
+# --- Streaming near-dup, incremental: growing per-bucket state index --------
+
+NEARDUP_STATE_SCHEMA = "ids array<string>"
+NEARDUP_OUT_SCHEMA = "url string, matched_id string, band int"
+
+
+def _neardup_bucket_fn(key, pdf_iter, state):
+    """applyInPandasWithState fn keyed by (band, bh): state holds the
+    doc ids already seen in this LSH bucket; each arriving doc emits a
+    match row per prior occupant, then joins the bucket itself."""
+    import pandas as pd
+
+    (ids,) = state.get if state.exists else ([],)
+    ids = list(ids)
+    seen = set(ids)
+    out = []
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    # deterministic within-batch order: arrival time, then id
+    rows = rows.sort_values(["warc_ts", "doc_id"], kind="mergesort")
+    for r in rows.itertuples(index=False):
+        if r.doc_id in seen:
+            continue  # re-capture of a known doc: nothing new to report
+        out.extend((r.doc_id, m, key[0]) for m in ids)
+        ids.append(r.doc_id)
+        seen.add(r.doc_id)
+    state.update((ids,))
+    yield pd.DataFrame(out, columns=["url", "matched_id", "band"])
+
+
+def incremental_neardup_stream(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """TRUE incremental near-dup: every arriving doc is checked against
+    ALL previously streamed docs (not a frozen static index) and then
+    becomes part of the index — stream-vs-stream dedup.
+
+    Shape: minhash bands keyed by (band, bh); per-bucket state is the
+    id list of prior occupants (applyInPandasWithState — the state
+    never holds text or signatures, only ids, so state size is
+    O(corpus ids x n_bands) spread across the state store's key space;
+    at 10^12 docs this is the RocksDB-state-store regime and the
+    stream-static variant below with a periodically compacted band
+    table is the cheaper design — both are provided).
+
+    A pair colliding in several bands emits once per band; distinct
+    per (url, matched_id) downstream of the sink (the pair appears
+    only in the micro-batch where the newer doc first arrives).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from engine.ops.dedup import minhash_bands
+
+    bands = minhash_bands(
+        docs.withWatermark("warc_ts", WATERMARK),
+        id_col=id_col,
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        carry_cols=("warc_ts",),
+    )
+    return (
+        bands.groupBy("band", "bh")
+        .applyInPandasWithState(
+            _neardup_bucket_fn,
+            outputStructType=NEARDUP_OUT_SCHEMA,
+            stateStructType=NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .withColumnRenamed("url", id_col)
+    )
+
+
 # --- Streaming near-dup: stream-static LSH bucket join ----------------------
 
 

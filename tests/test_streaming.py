@@ -384,3 +384,46 @@ def test_neardup_stream_job_sink(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {("http://h1/dup", "s_a")}
+
+
+def test_incremental_neardup_stream_vs_stream(spark, tmp_path):
+    """Incremental near-dup: a doc arriving in a LATER file matches a
+    doc streamed in an EARLIER file (the index grows); within one
+    batch the earlier-timestamped doc is indexed first, so the newer
+    one reports the match. Unrelated docs never match."""
+    import datetime as dt
+
+    from engine.streaming import incremental_neardup_stream, read_pages_stream
+
+    text_a = " ".join(f"alpha{i} token{i} word{i}" for i in range(40))
+    text_b = " ".join(f"beta{i} item{i} thing{i}" for i in range(40))
+    t = lambda h: dt.datetime(2025, 5, 1, h)  # noqa: E731
+
+    in_dir = str(tmp_path / "in")
+    # file 1: original + unrelated; file 2: near-identical re-post
+    spark.createDataFrame(
+        [("http://h1/orig", t(9), None, text_a, "en"),
+         ("http://h2/other", t(9), None, text_b, "en")],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [("http://h3/repost", t(11), None, text_a, "en")],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    matches = incremental_neardup_stream(read_pages_stream(spark, in_dir))
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("inc_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["url"], r["matched_id"])
+        for r in spark.sql(
+            "SELECT DISTINCT url, matched_id FROM inc_neardup"
+        ).collect()
+    }
+    assert got == {("http://h3/repost", "http://h1/orig")}
