@@ -346,6 +346,35 @@ def start_neardup_stream(
     return w.start()
 
 
+def start_incremental_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Incremental (stream-vs-stream) near-dup screening with the same
+    per-batch idempotent parquet sink as the static variant."""
+    pages = read_pages_stream(spark, input_dir).filter(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+    )
+    matches = incremental_neardup_stream(pages)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("url", "matched_id").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+
+    w = (
+        matches.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def start_vector_stream(
     spark: SparkSession,
     input_dir: str,

@@ -49,10 +49,26 @@ def main() -> None:
         help="static minhash band table (parquet); switches to near-dup "
         "screening of arriving pages against it",
     )
+    p.add_argument(
+        "--neardup-incremental",
+        action="store_true",
+        help="stream-vs-stream near-dup: every arriving page is checked "
+        "against all previously streamed pages (growing state index)",
+    )
     args = p.parse_args()
 
     spark = get_spark(master=args.master, app_name="webtext-stream")
-    if args.neardup_index:
+    if args.neardup_incremental:
+        from engine.streaming import start_incremental_neardup_stream
+
+        q = start_incremental_neardup_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            available_now=args.once,
+        )
+    elif args.neardup_index:
         from engine.streaming import start_neardup_stream
 
         q = start_neardup_stream(
