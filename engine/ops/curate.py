@@ -38,7 +38,11 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(text), r"\s+")
     n_chars = F.length(text)
-    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    # ALL whitespace, not just 0x20 — tokenization splits on \s+, so a
+    # newline/tab-separated doc must score the same as a space-
+    # separated one (else hard-wrapped prose trips the space_ratio
+    # screen and mean_token_len counts separators as token chars)
+    n_spaces = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
     n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(toks))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(
@@ -57,9 +61,15 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     n_emails = F.regexp_count(
         text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
     )
+    # phone-SHAPED only: either separators/parens are present, or the
+    # bare run is exactly 10 digits. Both ends digit-guarded so the
+    # tail of a timestamp/ISBN/order-id digit run never matches.
     n_phones = F.regexp_count(
         text,
-        F.lit(r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}(?!\d)"),
+        F.lit(
+            r"(?<!\d)(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)"
+            r"|(?<!\d)\d{10}(?!\d)"
+        ),
     )
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 4)

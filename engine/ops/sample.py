@@ -6,9 +6,10 @@ Two primitives a training-mix pipeline needs at 100 TB:
                      a pure function of the row id, so the sample is
                      reproducible across runs, engines, partitionings
                      and cluster sizes (no RNG state, no seed plumbing
-                     through executors), and composable: a 10% sample
-                     of a 50% sample re-selects the SAME rows as a 5%
-                     sample with the same salt chain.
+                     through executors). Same-salt fractions NEST (the
+                     10% sample is a subset of the 30% one — composing
+                     takes the min, not the product); use a different
+                     salt per stage for independent thinning.
   stratified_sample  per-stratum fractions (e.g. per-domain or
                      per-language target weights for a training mix),
                      built on hash_sample so the mix is deterministic.

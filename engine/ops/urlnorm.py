@@ -13,8 +13,9 @@ which resource the URL names):
   * lowercase scheme and authority (host is case-insensitive)
   * drop default ports (:80 for http, :443 for https)
   * collapse duplicate slashes in the path, empty path -> "/"
-  * drop tracking params (utm_*, fbclid, gclid, msclkid, ref),
-    sort the surviving query params, drop an empty query
+  * drop tracking params (utm_*, fbclid, gclid, msclkid — pure
+    click-attribution tokens; NOT `ref`, which selects content on
+    some sites), sort the surviving query params, drop an empty query
 Non-http(s) or unparseable URLs pass through trimmed but otherwise
 untouched (try_parse_url: malformed input yields NULL, never an ANSI
 error).
@@ -24,16 +25,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)="
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|fbclid|gclid|msclkid)="
 
 
 def canonical_url_col(url_col: str = "url") -> Column:
     u = F.substring_index(F.trim(F.col(url_col)), "#", 1)  # defrag
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
-    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
-    auth = F.when(proto == "http", F.regexp_replace(auth, r":80$", "")).when(
-        proto == "https", F.regexp_replace(auth, r":443$", "")
-    ).otherwise(auth)
+    # lowercase host(:port) only — userinfo (user@) is case-sensitive
+    raw_auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    hostport = F.lower(F.substring_index(raw_auth, "@", -1))
+    userinfo = F.when(
+        raw_auth.contains("@"),
+        F.concat(F.substring_index(raw_auth, "@", 1), F.lit("@")),
+    ).otherwise(F.lit(""))
+    hostport = F.when(
+        proto == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        proto == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    auth = F.concat(userinfo, hostport)
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -55,5 +65,5 @@ def canonical_url_col(url_col: str = "url") -> Column:
         ),
     )
     return F.when(
-        proto.isin("http", "https") & auth.isNotNull(), rebuilt
+        proto.isin("http", "https") & raw_auth.isNotNull(), rebuilt
     ).otherwise(F.trim(F.col(url_col)))

@@ -203,8 +203,12 @@ def incremental_neardup_stream(
     table is the cheaper design — both are provided).
 
     A pair colliding in several bands emits once per band; distinct
-    per (url, matched_id) downstream of the sink (the pair appears
-    only in the micro-batch where the newer doc first arrives).
+    per (url, matched_id) downstream of the sink. Usually a pair
+    appears only in the micro-batch where the newer doc first arrives,
+    but a known id re-arriving with CHANGED text can land in a new
+    bucket and re-emit an old pair in a later batch — consumers that
+    need global uniqueness must distinct across batches, not per
+    batch.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -55,13 +55,18 @@ def run(args) -> dict:
         check_lang=not args.no_check_lang,
     )
 
+    # the kept and rejected writes are two actions over one plan whose
+    # most expensive stage is the langid Arrow UDF: persist so the
+    # verdicts compute ONCE, and derive every count from the written
+    # tables (no extra pass over the input)
+    verdicts = verdicts.persist()
     write_table(verdicts.filter("keep").drop("reasons", "keep"),
                 os.path.join(args.output, "kept"))
-    rejected = verdicts.filter(~F.col("keep"))
-    write_table(rejected, os.path.join(args.output, "rejected"))
+    write_table(verdicts.filter(~F.col("keep")),
+                os.path.join(args.output, "rejected"))
+    verdicts.unpersist()
 
-    # per-reason counts from the WRITTEN rejected table (no recompute
-    # of the curation plan just for stats)
+    kept = spark.read.parquet(os.path.join(args.output, "kept"))
     rej = spark.read.parquet(os.path.join(args.output, "rejected"))
     reason_counts = {
         r["reason"]: r["n"]
@@ -70,8 +75,8 @@ def run(args) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    n_docs = docs.count()
     n_rej = rej.count()
+    n_docs = kept.count() + n_rej
     wall = time.monotonic() - t0
     result = {
         "wall_s": round(wall, 2),

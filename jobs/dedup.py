@@ -48,97 +48,89 @@ def run(args) -> dict:
     docs = spark.read.parquet(args.input)
 
     if args.method == "exact":
-        return _run_exact(spark, docs, args, t0)
-    if args.method == "simhash":
-        pairs = simhash_candidate_pairs(
-            docs,
-            id_col=args.id_col,
-            text_col=args.text_col,
-            max_hamming=args.max_hamming,
-        )
+        clusters = _exact_clusters(docs, args)
+        n_pairs = 0
     else:
-        pairs = minhash_candidate_pairs(
-            docs,
-            id_col=args.id_col,
-            text_col=args.text_col,
-            n_bands=args.bands,
-            rows_per_band=args.rows_per_band,
+        # Empty/null-text docs all share the sentinel fingerprint
+        # (minhash of no shingles / simhash 0) and would cross-match
+        # QUADRATICALLY — B empty docs -> ~B^2/2 candidate pairs, the
+        # all-pairs blowup LSH exists to prevent. Screen them out of
+        # pair generation; they stay in the corpus as singleton
+        # clusters (dedup_clusters left-joins the full docs table).
+        nonempty = docs.filter(
+            F.length(F.coalesce(F.col(args.text_col), F.lit(""))) > 0
         )
-    if args.verify_jaccard is not None:
-        pairs = jaccard_verify(
-            pairs,
-            docs,
-            threshold=args.verify_jaccard,
-            id_col=args.id_col,
-            text_col=args.text_col,
-        )
-    # pairs feed clustering twice (edge list + convergence); write once
-    # and read back — the 10^12-scale equivalent of the persist() seam
-    pairs_path = os.path.join(args.output, "pairs")
-    write_table(pairs, pairs_path)
-    pairs = spark.read.parquet(pairs_path)
+        if args.method == "simhash":
+            pairs = simhash_candidate_pairs(
+                nonempty,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                max_hamming=args.max_hamming,
+            )
+        else:
+            pairs = minhash_candidate_pairs(
+                nonempty,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                n_bands=args.bands,
+                rows_per_band=args.rows_per_band,
+            )
+        if args.verify_jaccard is not None:
+            pairs = jaccard_verify(
+                pairs,
+                nonempty,
+                threshold=args.verify_jaccard,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+        # pairs feed clustering twice (edge list + convergence); write
+        # once and read back — the 10^12-scale persist() seam
+        pairs_path = os.path.join(args.output, "pairs")
+        write_table(pairs, pairs_path)
+        pairs = spark.read.parquet(pairs_path)
+        n_pairs = pairs.count()
+        clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
 
-    clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
-    cl_path = os.path.join(args.output, "clusters")
-    write_table(clusters, cl_path)
-    clusters = spark.read.parquet(cl_path)
-
-    canonical = docs.join(
-        clusters.filter(F.col("is_canonical") == 1).select(args.id_col),
-        args.id_col,
-        "semi",
-    )
-    write_table(canonical, os.path.join(args.output, "canonical"))
-
-    n_docs = docs.count()
-    n_pairs = pairs.count()
-    n_kept = canonical.count()
-    wall = time.monotonic() - t0
-    result = {
-        "wall_s": round(wall, 2),
-        "docs": n_docs,
-        "candidate_pairs": n_pairs,
-        "kept": n_kept,
-        "removed": n_docs - n_kept,
-        "dup_rate": round((n_docs - n_kept) / n_docs, 4) if n_docs else 0.0,
-    }
-    print(json.dumps(result))
-    return result
+    return _finish(spark, docs, clusters, args, t0, n_pairs)
 
 
-def _run_exact(spark, docs, args, t0) -> dict:
+def _exact_clusters(docs, args):
     """Exact content dedup: one hash-groupBy, no pairs, no clustering
     — cluster_id = min doc id per sha256(text). The cheapest dedup
     mode and the right first pass before any near-dup method."""
     sha = F.sha2(F.coalesce(F.col(args.text_col), F.lit("")), 256)
     keyed = docs.select(F.col(args.id_col), sha.alias("_sha"))
     reps = keyed.groupBy("_sha").agg(F.min(args.id_col).alias("cluster_id"))
-    clusters = (
-        keyed.join(reps, "_sha")
-        .select(
-            args.id_col,
-            "cluster_id",
-            (F.col(args.id_col) == F.col("cluster_id")).cast("int").alias(
-                "is_canonical"
-            ),
-        )
+    return keyed.join(reps, "_sha").select(
+        args.id_col,
+        "cluster_id",
+        (F.col(args.id_col) == F.col("cluster_id")).cast("int").alias(
+            "is_canonical"
+        ),
     )
+
+
+def _finish(spark, docs, clusters, args, t0, n_pairs) -> dict:
+    """Shared tail of every mode: land clusters, derive the canonical
+    table, print the one-line summary."""
     cl_path = os.path.join(args.output, "clusters")
     write_table(clusters, cl_path)
     clusters = spark.read.parquet(cl_path)
+
     canonical = docs.join(
         clusters.filter(F.col("is_canonical") == 1).select(args.id_col),
         args.id_col,
         "semi",
     )
     write_table(canonical, os.path.join(args.output, "canonical"))
+
     n_docs = docs.count()
     n_kept = canonical.count()
     wall = time.monotonic() - t0
     result = {
         "wall_s": round(wall, 2),
         "docs": n_docs,
-        "candidate_pairs": 0,
+        "candidate_pairs": n_pairs,
         "kept": n_kept,
         "removed": n_docs - n_kept,
         "dup_rate": round((n_docs - n_kept) / n_docs, 4) if n_docs else 0.0,

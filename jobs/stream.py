@@ -56,6 +56,17 @@ def main() -> None:
         "against all previously streamed pages (growing state index)",
     )
     args = p.parse_args()
+    modes = [
+        m
+        for m, on in (
+            ("--vectors", args.vectors),
+            ("--neardup-index", bool(args.neardup_index)),
+            ("--neardup-incremental", args.neardup_incremental),
+        )
+        if on
+    ]
+    if len(modes) > 1:
+        p.error(f"modes are mutually exclusive, got {' and '.join(modes)}")
 
     spark = get_spark(master=args.master, app_name="webtext-stream")
     if args.neardup_incremental:

@@ -109,3 +109,39 @@ def test_pii_screen(spark):
     assert got[1] == (True, 0, set())
     assert got[2][1] == 1 and "n_pii" in got[2][2]
     assert got[3][1] >= 2 and "n_pii" in got[3][2]
+
+
+def test_whitespace_variants_score_alike(spark):
+    """Newline/tab-separated prose must score the same space_ratio and
+    mean_token_len as the space-separated original (tokenization
+    splits on \\s+, so the metrics must count \\s, not just 0x20)."""
+    docs = _docs(
+        spark,
+        [(1, GOOD, "en"), (2, GOOD.replace(" ", "\n"), "en")],
+    )
+    m = {
+        r["doc_id"]: (r["space_ratio"], r["mean_token_len"], r["keep"])
+        for r in curate(docs, check_lang=False).collect()
+    }
+    assert m[1] == m[2]
+    assert m[1][2] is True
+
+
+def test_digit_runs_are_not_phones(spark):
+    """Timestamps / ISBNs / order ids (long bare digit runs) must not
+    trip the PII phone screen; separator-shaped and bare-10-digit
+    numbers must."""
+    docs = _docs(
+        spark,
+        [
+            (1, GOOD + " epoch 1716239022000 ms", "en"),
+            (2, GOOD + " ISBN 9781234567890 here", "en"),
+            (3, GOOD + " call 5558675309 today", "en"),
+            (4, GOOD + " or 555-867-5309 works", "en"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["n_pii"]
+        for r in curate(docs, check_lang=False).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}

@@ -157,3 +157,43 @@ def test_dedup_job_exact_mode(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/clusters").collect()
     }
     assert got == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (4, 1), 5: (4, 0)}
+
+
+def test_neardup_modes_screen_empty_texts(spark, tmp_path):
+    """Empty/null texts all share the sentinel fingerprint; they must
+    NOT cross-match (quadratic pair blowup) — each stays a singleton
+    cluster and survives into canonical."""
+    import types
+
+    from jobs.dedup import run
+
+    docs_path = str(tmp_path / "docs")
+    text = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, text), (2, text), (3, None), (4, ""), (5, None)],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "out")
+    res = run(
+        types.SimpleNamespace(
+            input=docs_path,
+            output=out,
+            id_col="doc_id",
+            text_col="text",
+            method="minhash",
+            bands=8,
+            rows_per_band=4,
+            max_hamming=8,
+            verify_jaccard=None,
+            master="local[*]",
+            shuffle_partitions=None,
+        )
+    )
+    assert res["candidate_pairs"] == 1  # only the real dup pair (1,2)
+    assert res["kept"] == 4  # 1 canonical of {1,2} + three singletons
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}

@@ -25,8 +25,11 @@ CASES = [
     ),
     ("http://a.com/p?utm_campaign=x", "http://a.com/p"),
     ("http://a.com/p?z=9&a=1", "http://a.com/p?a=1&z=9"),
-    # ref is a tracking param; refresh is NOT (prefix must not match)
-    ("http://a.com/p?ref=hn&refresh=1", "http://a.com/p?refresh=1"),
+    # ref selects content on some sites -> NOT stripped; utm_ prefix
+    # must not catch non-utm params
+    ("http://a.com/p?ref=hn&utm_medium=x", "http://a.com/p?ref=hn"),
+    # userinfo keeps its case; host is lowercased around it
+    ("http://UsEr@Ex.COM/p", "http://UsEr@ex.com/p"),
     # non-http passthrough (trimmed only)
     ("  ftp://a.com/x  ", "ftp://a.com/x"),
     ("not a url", "not a url"),
