@@ -163,6 +163,44 @@ def build_vectors(chunks: DataFrame) -> DataFrame:
     )
 
 
+def merge_latest(
+    existing: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Cross-run re-crawl upsert over the EXTRACTED table: union the
+    existing rows with a new crawl's extracted rows and keep the
+    latest capture per url — the same max_by partial+final agg (and
+    the same deterministic (warc_ts, content_sha256) tiebreak) as the
+    within-run dedup in build_extracted, so re-ingesting N snapshots
+    in any order converges to the same table. (Nuance: build_extracted
+    breaks equal-warc_ts ties on xxhash64(html), which is gone by this
+    stage; this merge breaks them on content_sha256. Both are
+    deterministic, but an equal-ts tie split ACROSS snapshots can pick
+    a different winner than a single-shot run would — real crawls
+    carry distinct capture times, so this only matters for synthetic
+    equal-ts duplicates.)
+
+    Pair with dynamic partition overwrite: write only the (day,
+    pbucket) partitions present in the merged output of the AFFECTED
+    urls, leaving untouched partitions' files alone (jobs/ingest.py's
+    write path / engine.io.tables.overwrite_partitions).
+    """
+    cols = [c for c in EXTRACTED_COLS if c != "url"]
+    both = existing.select(*EXTRACTED_COLS).unionByName(
+        incoming.select(*EXTRACTED_COLS)
+    )
+    payload = F.struct(*cols)
+    return (
+        both.groupBy("url")
+        .agg(
+            F.max_by(payload, F.struct("warc_ts", "content_sha256")).alias(
+                "_p"
+            )
+        )
+        .select("url", "_p.*")
+        .select(*EXTRACTED_COLS)
+    )
+
+
 def with_partition_key(pages: DataFrame, host_buckets: int = 64) -> DataFrame:
     """Attach the checkpoint work-unit key (A12)."""
     return pages.withColumn("part_key", partition_key_col(host_buckets=host_buckets))

@@ -40,7 +40,9 @@ def run(args) -> dict:
     )
     t0 = time.monotonic()
     if args.input:
-        pages = spark.read.parquet(args.input)
+        from engine.io.validate import assert_pages_schema
+
+        pages = assert_pages_schema(spark.read.parquet(args.input))
     else:
         pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
 
@@ -66,6 +68,18 @@ def run(args) -> dict:
     extracted = with_write_partitions(extracted)
 
     ex_path = os.path.join(args.output, "extracted")
+    if args.merge_into:
+        # cross-run re-crawl upsert: keep the latest capture per url
+        # across THIS run and a previous run's extracted table, then
+        # land into this run's output (the previous table is read-only
+        # input; pointing --merge-into at --output itself would race
+        # the overwrite with its own scan)
+        from engine.pipeline import merge_latest
+
+        prior = spark.read.parquet(args.merge_into)
+        extracted = with_write_partitions(
+            merge_latest(prior.drop("day", "pbucket"), extracted)
+        )
     write_table(extracted, ex_path, partition_by=["day", "pbucket"])
     metrics = obs.get
 
@@ -117,6 +131,12 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--partitions", type=int, default=None)
+    p.add_argument(
+        "--merge-into",
+        default=None,
+        help="previous run's extracted parquet: upsert latest-capture-"
+        "per-url across both crawls into this run's output",
+    )
     p.add_argument(
         "--canonical-urls",
         action="store_true",
