@@ -74,14 +74,32 @@ def embed_text(text: str | None, dim: int = DIM) -> list[float]:
 import numpy as np  # noqa: E402
 
 
+# above this length a string is handled scalar: the column-stepped
+# batch matrix does O(maxlen * n) work and O(maxlen * n) memory, so a
+# single megabyte outlier among thousands of short strings would both
+# stall and blow up the whole batch
+_FNV_BATCH_MAXLEN = 1024
+
+
 def fnv1a64_batch(strs: list[bytes]) -> "np.ndarray":
     """FNV-1a of many byte strings at once: one (n, maxlen) byte
     matrix, FNV stepped column-wise with a length mask. Bit-identical
-    to fnv1a64 per string."""
+    to fnv1a64 per string. Length outliers (> _FNV_BATCH_MAXLEN) are
+    computed scalar so one long string cannot inflate the matrix."""
     n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen > _FNV_BATCH_MAXLEN:
+        long_ix = np.flatnonzero(lens > _FNV_BATCH_MAXLEN)
+        short_ix = np.flatnonzero(lens <= _FNV_BATCH_MAXLEN)
+        out = np.empty(n, dtype=np.uint64)
+        out[short_ix] = fnv1a64_batch([strs[i] for i in short_ix])
+        for i in long_ix:
+            out[i] = fnv1a64(strs[i])
+        return out
     total = int(lens.sum())
-    maxlen = int(lens.max()) if n else 0
     buf = np.zeros((n, maxlen), dtype=np.uint64)
     flat = np.frombuffer(b"".join(strs), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))

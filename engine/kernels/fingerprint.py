@@ -216,19 +216,33 @@ def _shingle_layout(toks: list[str], w: int = SHINGLE_W):
     return joined, tok_starts[: -(w - 1)], sh_lens
 
 
+# a doc containing a token longer than this is routed to its per-doc
+# fast path instead of the cross-doc flat batch: _fnv1a64_flat steps
+# O(max shingle length) full-width passes over EVERY shingle of the
+# batch, so one 50KB minified-JS token would stall all 512 docs of an
+# Arrow batch (measured 165x before this guard)
+_BATCH_TOKEN_MAXLEN = 256
+
+
 def minhash_sigs(texts, k: int = MINHASH_K) -> list[list[int]]:
     """Batched minhash_sig over many documents: ONE flat FNV pass over
     every shingle of every doc, ONE (k, total_shingles) modmul matrix,
-    per-doc min via minimum.reduceat. Bit-identical to minhash_sig."""
+    per-doc min via minimum.reduceat. Bit-identical to minhash_sig.
+    Docs with token-length outliers compute per-doc (same bits)."""
     bufs: list[bytes] = []
     starts_l: list["np.ndarray"] = []
     lens_l: list["np.ndarray"] = []
-    counts: list[int] = []  # shingles per doc (0 = empty doc)
+    counts: list[int] = []  # shingles per doc (0 = empty, -1 = outlier)
+    outliers: dict[int, list[int]] = {}
     off = 0
-    for t in texts:
+    for di, t in enumerate(texts):
         toks = tokenize(t or "")
         if not toks:
             counts.append(0)
+            continue
+        if max(map(len, toks)) > _BATCH_TOKEN_MAXLEN:
+            outliers[di] = minhash_sig_np(t, k)
+            counts.append(-1)
             continue
         joined, s, ln = _shingle_layout(toks)
         bufs.append(joined)
@@ -238,14 +252,17 @@ def minhash_sigs(texts, k: int = MINHASH_K) -> list[list[int]]:
         off += len(joined)
     empty_sig = [_MERSENNE61 - 1] * k
     if not bufs:
-        return [list(empty_sig) for _ in counts]
+        return [
+            outliers[i] if c == -1 else list(empty_sig)
+            for i, c in enumerate(counts)
+        ]
     flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     starts = np.concatenate(starts_l)
     lens = np.concatenate(lens_l)
     x = _fnv1a64_flat(flat, starts, lens)
     x = (x >> np.uint64(61)) + (x & _np_P)  # pre-reduce < 2^61 once
     x = np.where(x >= _np_P, x - _np_P, x)
-    nz = np.array([c for c in counts if c], dtype=np.int64)
+    nz = np.array([c for c in counts if c > 0], dtype=np.int64)
     bounds = np.zeros(len(nz) + 1, dtype=np.int64)
     np.cumsum(nz, out=bounds[1:])
     # cache-block the (k, shingles) modmul: one giant matrix spills
@@ -271,10 +288,12 @@ def minhash_sigs(texts, k: int = MINHASH_K) -> list[list[int]]:
     sig_rows = mins.T.tolist()  # one conversion, row-major per doc
     out: list[list[int]] = []
     col = 0
-    for c in counts:
-        if c:
+    for i, c in enumerate(counts):
+        if c > 0:
             out.append(sig_rows[col])
             col += 1
+        elif c == -1:
+            out.append(outliers[i])
         else:
             out.append(list(empty_sig))
     return out
@@ -283,14 +302,20 @@ def minhash_sigs(texts, k: int = MINHASH_K) -> list[list[int]]:
 def simhash64_many(texts) -> list[int]:
     """Batched simhash64: ONE flat FNV pass over every token of every
     doc, one (total_tokens, 64) bit matrix, per-doc sums via
-    add.reduceat. Bit-identical to simhash64 (returns unsigned ints)."""
+    add.reduceat. Bit-identical to simhash64 (returns unsigned ints).
+    Docs with token-length outliers compute per-doc (same bits)."""
     bufs: list[bytes] = []
     starts_l: list["np.ndarray"] = []
     lens_l: list["np.ndarray"] = []
-    counts: list[int] = []
+    counts: list[int] = []  # tokens per doc (0 = empty, -1 = outlier)
+    outliers: dict[int, int] = {}
     off = 0
-    for t in texts:
+    for di, t in enumerate(texts):
         toks = tokenize(t or "")
+        if toks and max(map(len, toks)) > _BATCH_TOKEN_MAXLEN:
+            outliers[di] = simhash64_np(t)
+            counts.append(-1)
+            continue
         counts.append(len(toks))
         if not toks:
             continue
@@ -301,7 +326,9 @@ def simhash64_many(texts) -> list[int]:
         lens_l.append(tl)
         off += len(joined)
     if not bufs:
-        return [0] * len(counts)
+        return [
+            outliers[i] if c == -1 else 0 for i, c in enumerate(counts)
+        ]
     flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     h = _fnv1a64_flat(flat, np.concatenate(starts_l), np.concatenate(lens_l))
     # bit matrix as uint8 via unpackbits (little-endian bytes +
@@ -310,7 +337,7 @@ def simhash64_many(texts) -> list[int]:
     bits = np.unpackbits(
         h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
-    nz = np.array([c for c in counts if c], dtype=np.int64)
+    nz = np.array([c for c in counts if c > 0], dtype=np.int64)
     bounds = np.zeros(len(nz) + 1, dtype=np.int64)
     np.cumsum(nz, out=bounds[1:])
     ones_parts = []
@@ -331,10 +358,12 @@ def simhash64_many(texts) -> list[int]:
     vals = (sel << _np_BITS[None, :]).sum(axis=1, dtype=np.uint64).tolist()
     out: list[int] = []
     col = 0
-    for c in counts:
-        if c:
+    for i, c in enumerate(counts):
+        if c > 0:
             out.append(vals[col])
             col += 1
+        elif c == -1:
+            out.append(outliers[i])
         else:
             out.append(0)
     return out

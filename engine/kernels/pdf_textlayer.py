@@ -322,15 +322,22 @@ def extract_pdf_text(raw: bytes | None) -> str:
 
 
 def text_layer_coverage(raw: bytes | None) -> int:
-    """Cheap probe for the media router: number of text-layer chars.
-    0 on raster-only or malformed PDFs (-> OCR path)."""
+    """Cheap probe for the media router: number of text-layer chars
+    that survive canonicalization. 0 on raster-only or malformed PDFs
+    (-> OCR path). Counting canonicalized chars (not str.strip, which
+    keeps C0/C1 controls) keeps this probe's >=1 decision exactly
+    equivalent to "extract_pdf_text(raw) is non-empty" — the fused
+    route_extract_udf routes on that equivalence, so a control-chars-
+    only text layer goes to OCR under BOTH routers."""
     if not is_pdf(raw):
         return 0
+    from engine.kernels.normalize import canonicalize
+
     try:
         total = 0
         for s in page_content_streams(raw):
             for _x, _y, _q, t in extract_page_runs(s):
-                total += len(t.strip())
+                total += len(canonicalize(t))
         return total
     except Exception:
         return 0

@@ -89,10 +89,12 @@ def minhash_candidate_pairs(
     bands = higher precision.
     """
     bands = minhash_bands(docs, id_col, text_col, n_bands, rows_per_band)
-    # both sides of the self-join read this subtree: persist so the
-    # minhash UDF runs ONCE per document, not twice (at 10^12 scale
-    # the signature table is materialized to storage instead)
-    bands = bands.persist()
+    # both sides of the self-join read this subtree: localCheckpoint so
+    # the minhash UDF runs ONCE per document, not twice, and the
+    # materialized partitions release when this DF is GC'd (persist()
+    # would leak cache entries across repeated per-session invocations;
+    # at 10^12 scale the signature table is written to storage instead)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -147,8 +149,9 @@ def simhash_candidate_pairs(
             )
         ).alias("band", "key"),
     )
-    # persist: the self-join otherwise evaluates the simhash UDF twice
-    bands = bands.persist()
+    # localCheckpoint: the self-join otherwise evaluates the simhash
+    # UDF twice; auto-released on GC (persist would leak across calls)
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

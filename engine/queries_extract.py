@@ -80,7 +80,11 @@ def x01(spark, sf_dir):
 @register("x02_chunk_vectors")
 def x02(spark, sf_dir):
     ex = build_extracted(_pages(spark, sf_dir))
-    ch = build_chunks(ex).persist()
+    # localCheckpoint, not persist: both uses below read chunks once,
+    # and checkpointed partitions are auto-released when this DF is
+    # GC'd — persist() would accumulate cache entries across the
+    # repeated invocations bench.py/check_oracles make per session
+    ch = build_chunks(ex).localCheckpoint(eager=True)
     per_chunk = ch.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.max("char_end").alias("last_char"),
@@ -292,6 +296,8 @@ def q35(spark, sf_dir):
 
     @F.pandas_udf("long")
     def assign_cid(emb: pd.Series) -> pd.Series:
+        if not len(emb):  # zero-row Arrow batch: np.array([]) is 1-D
+            return pd.Series([], dtype="int64")
         M = np.array(list(emb), dtype=np.float64)
         sims = (M @ C.T) / (
             np.sqrt((M * M).sum(axis=1, keepdims=True)) * c_norm[None, :]

@@ -155,17 +155,22 @@ def cos_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     per Arrow batch instead of a per-row Catalyst HOF lambda chain
     (~40x on 64-dim vectors). float64 throughout; callers round to 4
     decimals, far above the ~1e-14 summation-order noise vs a
-    sequential-sum oracle."""
+    sequential-sum oracle. Zero-norm rows yield NULL (matching the JVM
+    Divide expression and the DuckDB oracle) — NaN would sort ABOVE
+    every real similarity in Spark and pass >= filters."""
     import numpy as np
 
     if not len(a):
         return pd.Series([], dtype="float64")
     A = np.array(list(a), dtype=np.float64)
     B = np.array(list(b), dtype=np.float64)
-    return pd.Series(
-        (A * B).sum(axis=1)
-        / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
-    )
+    denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = (A * B).sum(axis=1) / denom
+    # nullable Float64: plain float64 + None would round-trip as NaN
+    out = pd.Series(vals, dtype="Float64")
+    out[denom == 0.0] = pd.NA
+    return out
 
 
 @pandas_udf(IntegerType())

@@ -356,3 +356,46 @@ def test_sentence_spans_ascii_fast_path_identical():
     ]
     for t in cases:
         assert _sentence_spans_ascii(t) == _sentence_spans_general(t), repr(t)
+
+
+def test_batch_fingerprints_handle_token_length_outliers():
+    """A 50KB unbroken token (minified-JS remnant) must neither stall
+    the whole Arrow batch (the flat FNV steps O(max shingle length)
+    full-width passes) nor change any doc's signature: outlier docs
+    route to the per-doc path, bit-identical to the scalar spec."""
+    from engine.kernels import fingerprint as fp
+
+    big = "x" * 50_000
+    sample = [
+        "",
+        big,
+        "short text here",
+        " ".join([big, "a b c d"]),
+        " ".join(f"w{i} tok{i}" for i in range(80)),
+    ]
+    assert fp.minhash_sigs(sample) == [fp.minhash_sig(t) for t in sample]
+    assert fp.simhash64_many(sample) == [fp.simhash64(t) for t in sample]
+
+    from engine.kernels.embed import fnv1a64, fnv1a64_batch
+
+    strs = [b"abc", b"y" * 2_000_000, b"", b"hello world"]
+    assert fnv1a64_batch(strs).tolist() == [fnv1a64(s) for s in strs]
+
+
+def test_router_agrees_on_control_char_text_layer():
+    """A PDF whose text layer holds only control chars must take the
+    OCR path under BOTH the canonical router (coverage probe counts
+    canonicalized chars) and the fused extract UDF (routes on
+    canonicalized text being non-empty)."""
+    from engine.kernels.pdf_textlayer import text_layer_coverage
+    from engine.kernels.route import route
+    from engine.udfs import _route_and_extract_one
+
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length 24 >>\nstream\nBT (\x01\x02) Tj ET\n"
+        b"endstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+    assert text_layer_coverage(pdf) == 0
+    assert route(pdf) == "pdf_ocr"
+    assert _route_and_extract_one(pdf)[0] == "pdf_ocr"

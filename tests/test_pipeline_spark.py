@@ -152,3 +152,21 @@ def test_lineage_trailers_with_map_counts(spark, pages_df):
     assert agg["rows"] == extracted.count()
     assert agg["map_html"] == agg["flat_html"] > 0
     assert agg["map_ocr"] == agg["flat_ocr"]
+
+
+def test_cos_pairs_udf_zero_norm_yields_null(spark):
+    """Zero-norm vectors must produce NULL (as the JVM Divide and the
+    DuckDB oracle do), never NaN — Spark sorts NaN above every real
+    similarity and NaN passes >= filters."""
+    from pyspark.sql import functions as F
+
+    from engine.udfs import cos_pairs_udf
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(cos_pairs_udf("a", "b").alias("c")).collect()
+    assert rows[0]["c"] is None
+    assert abs(rows[1]["c"] - 1.0) < 1e-9
+    assert df.filter(cos_pairs_udf("a", "b") >= 0.4).count() == 1
