@@ -30,6 +30,8 @@ DEFAULT_RULES: dict[str, tuple[float, float]] = {
     "space_ratio": (0.05, 0.5),
     "symbol_ratio": (0.0, 0.25),
     "stopword_ratio": (0.01, 1.0),
+    "dup_line_frac": (0.0, 0.30),
+    "dup_para_frac": (0.0, 0.30),
     "n_pii": (0, 0),  # any email/phone hit rejects (redact-or-drop policy)
 }
 
@@ -74,6 +76,19 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 4)
     ).otherwise(F.lit(0.0))
+
+    # repetition screens (Gopher-style): fraction of duplicate lines /
+    # paragraphs — boilerplate-heavy or generated pages repeat whole
+    # lines, which the token-level metrics cannot see
+    def _dup_frac(sep: str) -> Column:
+        units = F.filter(
+            F.transform(F.split(text, sep), lambda u: F.trim(u)),
+            lambda u: u != "",
+        )
+        return safe(
+            F.size(units) - F.size(F.array_distinct(units)), F.size(units)
+        )
+
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
@@ -81,6 +96,8 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
         "space_ratio": safe(n_spaces, n_chars),
         "symbol_ratio": safe(n_symbols, n_chars),
         "stopword_ratio": safe(n_stop, n_tokens),
+        "dup_line_frac": _dup_frac(r"\n"),
+        "dup_para_frac": _dup_frac(r"\n{2,}"),
         "n_pii": (n_emails + n_phones).cast("long"),
     }
 

@@ -145,3 +145,29 @@ def test_digit_runs_are_not_phones(spark):
         for r in curate(docs, check_lang=False).collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_repetition_screens(spark):
+    """Gopher-style duplicate-line/paragraph fractions: a page that
+    repeats one line is rejected; the same content as distinct lines
+    passes; single-line docs never divide by zero."""
+    line = "this is a perfectly fine line of prose with the usual words"
+    distinct_lines = "\n".join(f"{line} number {i}" for i in range(10))
+    repeated = "\n".join([line] * 10)
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["keep"],
+            set(r["reasons"]),
+        )
+        for r in curate(
+            _docs(
+                spark,
+                [(1, distinct_lines, "en"), (2, repeated, "en"), (3, GOOD, "en")],
+            ),
+            check_lang=False,
+        ).collect()
+    }
+    assert got[1][0] == 0.0 and got[1][1] is True
+    assert got[2][0] == 0.9 and "dup_line_frac" in got[2][2]
+    assert got[3][0] == 0.0 and got[3][1] is True  # no newlines at all
