@@ -92,3 +92,21 @@ def test_pipeline_canonical_urls_collapses_variants(spark):
 
     # default (raw-url key) keeps all three
     assert build_extracted(pages).count() == 3
+
+
+def test_canonicalization_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — required for safe
+    re-ingestion of already-canonicalized tables (--merge-into over a
+    --canonical-urls run must not shift any key)."""
+    from pyspark.sql import functions as F
+
+    raws = [c[0] for c in CASES] + [
+        "https://User:Pw@Host.com:8443//a//b?z=1&utm_id=9&a=2#f",
+        "http://h.com/?utm_source=x",
+    ]
+    df = spark.createDataFrame([(u,) for u in raws], "url string")
+    once = df.select(canonical_url_col("url").alias("url"))
+    twice = once.select(canonical_url_col("url").alias("url"))
+    a = [r["url"] for r in once.collect()]
+    b = [r["url"] for r in twice.collect()]
+    assert a == b
