@@ -50,6 +50,7 @@ def contamination_screen(
     text_col: str = "text",
     probe_text_col: str = "text",
     n: int = DEFAULT_N,
+    adaptive_n: bool = True,
 ) -> DataFrame:
     """docs + probe set -> (id, n_hits, contaminated).
 
@@ -57,20 +58,41 @@ def contamination_screen(
     probe n-gram; contaminated = n_hits > 0. The probe hash table is
     broadcast, so the corpus-side plan is explode -> broadcast hash
     join -> partial count: the corpus never shuffles.
+
+    adaptive_n (default on): when the probe set contains texts shorter
+    than n tokens, BOTH sides drop to n_eff = shortest probe length.
+    Without it a short benchmark answer embedded inside a long training
+    doc is never flagged — the corpus side emits only full n-grams, so
+    a k<n-token probe can only match a doc whose ENTIRE token run
+    equals it (ADVICE r2). The trade-off is disclosed, not hidden:
+    shorter grams mean more (possibly benign) collisions, so
+    contaminated counts are an over- rather than under-estimate.
+    Computing n_eff costs one action over the probe table, which is
+    thousands of rows per eval suite — never corpus-scale.
     """
-    ph = F.broadcast(probe_hashes(probes, probe_text_col, n))
+    n_eff = n
+    if adaptive_n:
+        shortest = probes.agg(
+            F.min(F.size(F.split(F.lower(F.trim(F.col(probe_text_col))), r"\s+")))
+        ).first()[0]
+        if shortest is not None:
+            n_eff = max(1, min(n, int(shortest)))
+    ph = F.broadcast(probe_hashes(probes, probe_text_col, n_eff))
     grams = docs.select(
-        F.col(id_col), F.explode(ngram_hash_col(text_col, n)).alias("h")
+        F.col(id_col), F.explode(ngram_hash_col(text_col, n_eff)).alias("h")
     )
     hits = grams.join(ph, "h").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    # hits holds only CONTAMINATED docs (a sliver of the corpus when
-    # the screen is doing its job) — broadcast it back so the verdict
-    # join is map-side too
+    # hits holds only CONTAMINATED docs — usually a sliver of the
+    # corpus, but its size is input-dependent (boilerplate overlapping
+    # probe n-grams can blow it up), so no forced broadcast here: AQE
+    # picks broadcast when hits is actually small and falls back to a
+    # shuffle join when it is not, instead of OOMing the driver
+    # (ADVICE r2).
     return (
         docs.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

@@ -13,8 +13,15 @@ Pipeline shape (SURVEY.md §2 LLM-ops):
 
 Scale notes:
   * the LSH self-join is an equi-join on (band, band_hash) — bucketed,
-    never all-pairs; hot buckets (boilerplate-heavy corpora) are the
-    skew-join case engine/partitioning.salted_join handles.
+    never all-pairs; a degenerate bucket (boilerplate-heavy corpora:
+    thousands of docs sharing a band hash) would still go quadratic
+    INSIDE its key, so buckets above `hot_bucket_cap` occupancy are
+    star-paired instead (every member pairs with the bucket minimum):
+    fan-out drops n(n-1)/2 -> n-1 per hot bucket while connected-
+    components clustering over the pairs is IDENTICAL (all members
+    stay linked through the minimum). Pair-level consumers see fewer
+    raw pairs from hot buckets — a disclosed precision/recall
+    trade-off, not a silent drop.
   * verification joins text onto the PAIRS (a small fraction of docs),
     so the heavy text column crosses a shuffle only pairs-many times,
     twice — never docs x docs.
@@ -31,6 +38,53 @@ from pyspark.sql.types import DoubleType
 
 from engine.kernels import fingerprint as fp
 from engine.udfs import minhash_udf
+
+# Default occupancy above which an LSH bucket is star-paired instead of
+# all-pairs self-joined. 256 docs sharing one band hash is already deep
+# boilerplate territory (a genuine near-dup cluster of that size still
+# clusters identically through the star); ordinary corpora never hit it.
+HOT_BUCKET_CAP = 256
+
+
+def _split_hot_buckets(
+    bands: DataFrame, cap: int, stats: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split a band table into (cold, hot) by bucket occupancy.
+
+    The hot-bucket list is computed with one groupBy over the light
+    (doc_id, band, bh) table and broadcast back (the q26 hot-token
+    pattern): hot buckets are structurally rare — each needs `cap`
+    docs agreeing on a full band — so the list stays tiny even when
+    individual buckets are huge. A corpus where the HOT LIST itself
+    is large (n_docs/cap buckets all saturated) is wall-to-wall
+    boilerplate and should be screened before LSH, not joined.
+    """
+    occ = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_occ"))
+    hot = occ.filter(F.col("_occ") > cap).select("band", "bh")
+    if stats is not None:
+        stats["hot_buckets"] = hot.count()
+    hot = F.broadcast(hot)
+    cold_b = bands.join(hot, ["band", "bh"], "left_anti")
+    hot_b = bands.join(hot, ["band", "bh"], "left_semi")
+    return cold_b, hot_b
+
+
+def _star_pairs(hot_bands: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Hot-bucket members -> (min_member, member) star pairs.
+
+    doc_a < doc_b holds by construction (doc_a is the bucket minimum).
+    extra_cols are carried from both sides as <col>_a / <col>_b.
+    """
+    mins = hot_bands.groupBy("band", "bh").agg(
+        F.min_by(F.struct("doc_id", *extra_cols), F.col("doc_id")).alias("_m")
+    )
+    joined = hot_bands.join(F.broadcast(mins), ["band", "bh"])
+    return joined.filter(F.col("doc_id") != F.col("_m.doc_id")).select(
+        F.col("_m.doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        *(F.col(f"_m.{c}").alias(f"{c}_a") for c in extra_cols),
+        *(F.col(c).alias(f"{c}_b") for c in extra_cols),
+    )
 
 
 def minhash_bands(
@@ -81,12 +135,20 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     n_bands: int = 8,
     rows_per_band: int = 4,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, text) -> candidate near-dup pairs (doc_a < doc_b).
 
     Two docs collide iff they agree on ALL rows of at least one band —
     the standard S-curve trade-off: more bands = higher recall, wider
     bands = higher precision.
+
+    Buckets with more than hot_bucket_cap members are star-paired
+    (see module docstring): pair fan-out per bucket is linear, and
+    downstream clustering is unaffected. None disables the guard.
+    If `stats` (a dict) is passed, stats["hot_buckets"] records how
+    many buckets tripped the cap (one extra bounded action).
     """
     bands = minhash_bands(docs, id_col, text_col, n_bands, rows_per_band)
     # both sides of the self-join read this subtree: localCheckpoint so
@@ -95,20 +157,23 @@ def minhash_candidate_pairs(
     # would leak cache entries across repeated per-session invocations;
     # at 10^12 scale the signature table is written to storage instead)
     bands = bands.localCheckpoint(eager=True)
+    hot_pairs = None
+    if hot_bucket_cap:
+        bands, hot_b = _split_hot_buckets(bands, hot_bucket_cap, stats)
+        hot_pairs = _star_pairs(hot_b)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
+    return pairs.distinct()
 
 
 def simhash_candidate_pairs(
@@ -118,6 +183,8 @@ def simhash_candidate_pairs(
     max_hamming: int = 8,
     n_bands: int = 4,
     bits_per_band: int = 16,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, text) -> near-dup pairs (doc_a < doc_b, hamming) whose
     64-bit SimHash fingerprints differ in <= max_hamming bits.
@@ -127,6 +194,13 @@ def simhash_candidate_pairs(
     n_bands bit slices (guaranteed when max_hamming < n_bands), so the
     self-join is an equi-join on (band, slice) — bucketed, never
     all-pairs — with the exact hamming filter applied to candidates.
+
+    Buckets above hot_bucket_cap are star-paired like the minhash
+    variant. One nuance specific to simhash: the hamming filter runs
+    AFTER pairing, so in a hot bucket a member whose distance to the
+    bucket minimum exceeds max_hamming loses its (possible) links to
+    other members — a disclosed recall trade-off on pathological
+    buckets only.
     """
     from engine.udfs import simhash_udf
 
@@ -147,28 +221,31 @@ def simhash_candidate_pairs(
                     for i in range(n_bands)
                 ]
             )
-        ).alias("band", "key"),
+        ).alias("band", "bh"),
     )
     # localCheckpoint: the self-join otherwise evaluates the simhash
     # UDF twice; auto-released on GC (persist would leak across calls)
     bands = bands.localCheckpoint(eager=True)
+    hot_cand = None
+    if hot_bucket_cap:
+        bands, hot_b = _split_hot_buckets(bands, hot_bucket_cap, stats)
+        hot_cand = _star_pairs(hot_b, extra_cols=("sim",))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sim").alias("sim_a"),
+        F.col("b.sim").alias("sim_b"),
     )
+    if hot_cand is not None:
+        cand = cand.unionByName(hot_cand)
+    cand = cand.distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))

@@ -68,6 +68,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     stats: dict | None = None,
+    allow_nonconverged: bool = False,
 ) -> DataFrame:
     """pairs(src, dst) undirected -> (node, component) with component
     = the minimum node id of the node's connected component.
@@ -79,7 +80,15 @@ def connected_components(
 
     If `stats` (a dict) is passed, stats["rounds"] records how many
     large-star/small-star rounds ran before the fixpoint — the O(log n)
-    claim is measurable (scripts/exp_cc_scale.py).
+    claim is measurable (scripts/exp_cc_scale.py) — and
+    stats["converged"] whether the fixpoint was reached.
+
+    Raises RuntimeError if max_iter rounds pass without reaching the
+    fixpoint (the star extraction below is only valid AT the fixpoint,
+    so returning would yield silently wrong components — ADVICE r2).
+    max_iter=25 covers graphs of ~2^25 nodes diameter-wise; pass
+    allow_nonconverged=True only for exploratory use, where the
+    partial result is explicitly best-effort.
     """
     # canonical orientation (u > v) once at entry; _small_star output
     # preserves it (both emitted edge kinds point at m = the group
@@ -96,6 +105,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_n = edges.count()
+    converged = prev_n == 0  # empty edge set is trivially a fixpoint
     # symmetrize per round; stars keep the edge set implicitly
     # symmetric enough for the alternation (per the paper, large-star
     # input is the symmetric closure of the current edges)
@@ -120,8 +130,17 @@ def connected_components(
         prev_n = n
         if stats is not None:
             stats["rounds"] = i + 1
+            stats["converged"] = converged
         if converged:
             break
+    if not converged and not allow_nonconverged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter (each round "
+            "roughly halves component diameter, so 25 covers any "
+            "realistic graph) or pass allow_nonconverged=True to "
+            "accept a best-effort partial result"
+        )
     # fixpoint is a star graph per component: (u, v=center) plus the
     # centers themselves (appear only on the v side)
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -15,7 +15,11 @@ which resource the URL names):
   * collapse duplicate slashes in the path, empty path -> "/"
   * drop tracking params (utm_*, fbclid, gclid, msclkid — pure
     click-attribution tokens; NOT `ref`, which selects content on
-    some sites), sort the surviving query params, drop an empty query
+    some sites) — matched case-insensitively and with or without a
+    value (`UTM_SOURCE=x` and a bare `utm_source` both count: query
+    keys are conventionally case-insensitive for these trackers and
+    a valueless token still carries no content) — then sort the
+    surviving query params and drop an empty query
 Non-http(s) or unparseable URLs pass through trimmed but otherwise
 untouched (try_parse_url: malformed input yields NULL, never an ANSI
 error).
@@ -25,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|fbclid|gclid|msclkid)="
+TRACKING_PARAM_RE = r"(?i)^(utm_[a-z0-9_]+|fbclid|gclid|msclkid)(=|$)"
 
 
 def canonical_url_col(url_col: str = "url") -> Column:

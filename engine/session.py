@@ -10,8 +10,18 @@ def get_spark(
     master: str = "local[*]",
     app_name: str = "webtext-engine",
     shuffle_partitions: int | None = None,
+    rocksdb_state: bool = False,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    """rocksdb_state=True switches Structured Streaming state to the
+    RocksDB provider: state lives off-heap/on-disk per executor instead
+    of in the JVM heap, which is the only regime that survives the
+    incremental near-dup index's state size at 10^12 docs (streaming
+    jobs enable it; the default HDFSBackedStateStore is fine for tests
+    and small stateful metrics). NOTE: stateStore.providerClass is read
+    per STREAMING QUERY at start, so setting it on an already-running
+    session (spark.conf.set) works too — this flag just pins it at
+    session build for the job entrypoints."""
     import os
 
     b = (
@@ -51,6 +61,17 @@ def get_spark(
         b = b.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS"])
     elif os.environ.get("SPARK_GRAFT_TMPFS") == "1":
         b = b.config("spark.local.dir", "/dev/shm/spark-local")
+    if rocksdb_state:
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            # bound RocksDB native memory per executor (the point of
+            # moving state off-heap is not to move the OOM off-heap)
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+            "true",
+        )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra or {}).items():

@@ -74,9 +74,16 @@ def plan_compaction(
     return plan
 
 
-def compact(spark, table_path: str, target_bytes: int = 128 << 20) -> dict:
+def compact(
+    spark, table_path: str, target_bytes: int = 128 << 20, key_col: str = "url"
+) -> dict:
     """Rewrite fragmented partitions of a day/pbucket-partitioned
-    table. Returns {partitions, files_before, files_after_planned}."""
+    table. Returns {partitions, files_before, files_after_planned}.
+
+    key_col seeds the deterministic file-slot hash; any column that is
+    ~uniformly distributed within a partition works (url for
+    extracted/chunks, vec_id for vectors — ADVICE r2: not every table
+    carries a url column)."""
     from pyspark.sql import functions as F
 
     plan = plan_compaction(table_path, target_bytes)
@@ -102,8 +109,12 @@ def compact(spark, table_path: str, target_bytes: int = 128 << 20) -> dict:
     # two slots of different partitions into one task, which only
     # merges files — never splits them).
     total_slots = max(1, sum(p["n_slots"] for p in plan))
+    if key_col not in sel.columns:
+        raise ValueError(
+            f"--key-col {key_col!r} not in table columns {sel.columns}"
+        )
     sel = sel.withColumn(
-        "_slot", F.pmod(F.xxhash64(F.col("url")), F.col("n_slots")).cast("int")
+        "_slot", F.pmod(F.xxhash64(F.col(key_col)), F.col("n_slots")).cast("int")
     ).drop("n_slots")
     sel = sel.repartition(total_slots, *PARTITION_COLS, F.col("_slot")).drop(
         "_slot"
@@ -120,6 +131,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
     ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument(
+        "--key-col",
+        default="url",
+        help="row-key column for file-slot hashing (e.g. vec_id for "
+        "the vectors table)",
+    )
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
@@ -135,7 +152,7 @@ def main() -> None:
     from engine.session import get_spark
 
     spark = get_spark(master=args.master, app_name="compact")
-    print(compact(spark, args.table, target))
+    print(compact(spark, args.table, target, key_col=args.key_col))
 
 
 if __name__ == "__main__":

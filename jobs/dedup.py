@@ -60,12 +60,16 @@ def run(args) -> dict:
         nonempty = docs.filter(
             F.length(F.coalesce(F.col(args.text_col), F.lit(""))) > 0
         )
+        # getattr: programmatic callers (tests build a bare namespace)
+        # get the CLI default; 0 disables the guard
+        cap = getattr(args, "hot_bucket_cap", 256) or None
         if args.method == "simhash":
             pairs = simhash_candidate_pairs(
                 nonempty,
                 id_col=args.id_col,
                 text_col=args.text_col,
                 max_hamming=args.max_hamming,
+                hot_bucket_cap=cap,
             )
         else:
             pairs = minhash_candidate_pairs(
@@ -74,6 +78,7 @@ def run(args) -> dict:
                 text_col=args.text_col,
                 n_bands=args.bands,
                 rows_per_band=args.rows_per_band,
+                hot_bucket_cap=cap,
             )
         if args.verify_jaccard is not None:
             pairs = jaccard_verify(
@@ -160,6 +165,13 @@ def main() -> None:
         type=float,
         default=None,
         help="exact-Jaccard threshold to confirm LSH candidates",
+    )
+    p.add_argument(
+        "--hot-bucket-cap",
+        type=int,
+        default=256,
+        help="LSH buckets above this occupancy are star-paired instead "
+        "of all-pairs joined (0 disables; clustering is unaffected)",
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)

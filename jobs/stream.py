@@ -68,7 +68,12 @@ def main() -> None:
     if len(modes) > 1:
         p.error(f"modes are mutually exclusive, got {' and '.join(modes)}")
 
-    spark = get_spark(master=args.master, app_name="webtext-stream")
+    # the job entrypoints run with the RocksDB state store: streaming
+    # state (dedup-within-watermark, the incremental near-dup index)
+    # must not live in the JVM heap at production state sizes
+    spark = get_spark(
+        master=args.master, app_name="webtext-stream", rocksdb_state=True
+    )
     if args.neardup_incremental:
         from engine.streaming import start_incremental_neardup_stream
 

@@ -107,3 +107,32 @@ def test_compact_leaves_healthy_partitions_untouched(spark, tmp_path):
     assert len(_files(table, "2026-01-01", 0)) == 1
     # the healthy partition's files were not rewritten
     assert {f: os.path.getmtime(f) for f in _files(table, "2026-01-02", 1)} == mtimes
+
+
+def test_compact_key_col_for_urlless_tables(spark, tmp_path):
+    """--key-col: tables without a url column (e.g. vectors keyed by
+    vec_id) compact by any row-key column (ADVICE r2)."""
+    table = str(tmp_path / "vectors")
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.lit("2026-01-01").alias("day"),
+        (F.col("id") % 2).cast("int").alias("pbucket"),
+    )
+    df.repartition(8).write.partitionBy("day", "pbucket").mode(
+        "overwrite"
+    ).parquet(table)
+    assert len(_files(table, "2026-01-01", 0)) > 1
+
+    with pytest.raises(ValueError, match="key-col"):
+        compact(spark, table, target_bytes=128 << 20)  # default url: absent
+
+    before = spark.read.parquet(table).agg(
+        F.count(F.lit(1)), F.sum("vec_id")
+    ).collect()
+    res = compact(spark, table, target_bytes=128 << 20, key_col="vec_id")
+    assert res["partitions"] == 2
+    assert len(_files(table, "2026-01-01", 0)) == 1
+    after = spark.read.parquet(table).agg(
+        F.count(F.lit(1)), F.sum("vec_id")
+    ).collect()
+    assert after == before

@@ -40,11 +40,16 @@ def test_screen_flags_only_embedded_probe(spark):
     assert got[3] == (False, 0)
 
 
-def test_short_probe_exact_match(spark):
-    # a probe shorter than n tokens matches only a doc whose full
-    # token run contains the identical short run as its own full run
+def test_short_probe_matches_embedded(spark):
+    # adaptive_n: a probe shorter than n tokens drops BOTH sides to the
+    # probe's length, so the short answer is caught even when embedded
+    # inside a longer training doc (ADVICE r2)
     docs = spark.createDataFrame(
-        [(1, "tiny probe text"), (2, "tiny probe other")],
+        [
+            (1, "tiny probe text"),
+            (2, "tiny probe other"),
+            (3, "prefix words then tiny probe text hidden inside prose"),
+        ],
         "doc_id long, text string",
     )
     probes = spark.createDataFrame([("tiny probe text",)], "text string")
@@ -52,7 +57,14 @@ def test_short_probe_exact_match(spark):
         r["doc_id"]: r["contaminated"]
         for r in contamination_screen(docs, probes).collect()
     }
-    assert got == {1: True, 2: False}
+    assert got == {1: True, 2: False, 3: True}
+
+    # adaptive_n=False restores the old whole-run-only semantics
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_screen(docs, probes, adaptive_n=False).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
 
 
 def test_ngram_hash_counts(spark):
@@ -62,12 +74,21 @@ def test_ngram_hash_counts(spark):
 
 
 def test_corpus_side_never_shuffles(spark):
-    """Probe table broadcasts and the hits verdict broadcasts back:
-    the corpus side of the screen plan must carry no Exchange other
-    than the hits aggregation's own (which carries doc ids, not text).
-    Concretely: no SortMergeJoin anywhere — both joins broadcast."""
+    """The probe table broadcasts STATICALLY (it is force-hinted: its
+    size is known-bounded per eval suite); the hits verdict join is
+    left to AQE (its size is input-dependent, ADVICE r2), which picks
+    broadcast at runtime here because hits is tiny. So: static plan
+    carries the probe broadcast, and the runtime-final adaptive plan
+    contains no sort-merge join anywhere."""
     from tests.test_plans import plan
 
-    p = plan(contamination_screen(_docs(spark), _probes(spark)))
-    assert "SortMergeJoin" not in p, p
-    assert "BroadcastHashJoin" in p, p
+    q = contamination_screen(_docs(spark), _probes(spark))
+    assert "BroadcastHashJoin" in plan(q)
+    q.collect()  # finalize AQE
+    final = q._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final
+    # the adaptive plan string prints BOTH the final plan and the
+    # pre-AQE "Initial Plan" (which legitimately carries the SMJ that
+    # AQE replaced) — assert on the final section only
+    final = final.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final

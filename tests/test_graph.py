@@ -121,6 +121,29 @@ def test_long_chain_converges_within_log_rounds(spark):
     assert {r["node"] for r in rows} == set(range(64))
 
 
+def test_nonconvergence_raises_not_silent(spark):
+    """Exhausting max_iter before the star fixpoint must raise, never
+    return silently-wrong components (ADVICE r2); allow_nonconverged
+    opts into the partial result and stats records the outcome."""
+    pairs = [(i, i + 1) for i in range(63)]  # needs >1 round
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1, stats=stats)
+    assert stats == {"rounds": 1, "converged": False}
+
+    stats = {}
+    out = connected_components(
+        df, max_iter=1, stats=stats, allow_nonconverged=True
+    )
+    assert stats["converged"] is False
+    assert out.count() > 0  # best-effort partial result, explicitly opted into
+
+    stats = {}
+    connected_components(df, max_iter=10, stats=stats)
+    assert stats["converged"] is True
+
+
 def test_string_ids(spark):
     df = spark.createDataFrame(
         [("u/b", "u/c"), ("u/a", "u/b")], "src string, dst string"

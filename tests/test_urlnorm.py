@@ -28,6 +28,12 @@ CASES = [
     # ref selects content on some sites -> NOT stripped; utm_ prefix
     # must not catch non-utm params
     ("http://a.com/p?ref=hn&utm_medium=x", "http://a.com/p?ref=hn"),
+    # trackers match case-insensitively and valueless (ADVICE r2)
+    ("http://a.com/p?UTM_SOURCE=x&a=1", "http://a.com/p?a=1"),
+    ("http://a.com/p?utm_source&a=1", "http://a.com/p?a=1"),
+    ("http://a.com/p?FbClid=zz", "http://a.com/p"),
+    # ...but a NON-tracker key merely prefixed by one survives
+    ("http://a.com/p?gclids=1", "http://a.com/p?gclids=1"),
     # userinfo keeps its case; host is lowercased around it
     ("http://UsEr@Ex.COM/p", "http://UsEr@ex.com/p"),
     # non-http passthrough (trimmed only)
