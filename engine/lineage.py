@@ -28,8 +28,10 @@ LINEAGE_DDL = (
 )
 
 
-def observe_extraction(extracted: DataFrame) -> tuple[DataFrame, Observation]:
-    obs = Observation("extraction_metrics")
+def observe_extraction(
+    extracted: DataFrame, name: str = "extraction_metrics"
+) -> tuple[DataFrame, Observation]:
+    obs = Observation(name)
     observed = extracted.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),

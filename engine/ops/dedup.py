@@ -270,6 +270,7 @@ def jaccard_verify(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    salt_buckets: int | None = 8,
 ) -> DataFrame:
     """Filter candidate pairs to exact shingle-Jaccard >= threshold.
 
@@ -278,6 +279,17 @@ def jaccard_verify(
     that survive the LSH filter. A doc appearing in many pairs
     recomputes its shingle set per pair — bounded by the pair count,
     which verification exists to keep small.
+
+    salt_buckets (default 8): a canonical/hub doc appearing in
+    thousands of candidate pairs is a hot key on the text side — a
+    plain equi-join puts ALL of a hub's pairs (each carrying the
+    joined text payload) in one task. With salting, the text side is
+    first restricted to pair-PARTICIPANT docs (semi-join — so the
+    K-fold explode inside salted_join duplicates only docs that occur
+    in pairs, never the corpus) and each text join runs through
+    engine.partitioning.salted_join, spreading a hub's pairs over K
+    tasks. Result-invariant (salting never changes join output);
+    None restores the plain joins.
     """
     ta = docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("_text_a")
@@ -285,10 +297,18 @@ def jaccard_verify(
     tb = docs.select(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("_text_b")
     )
+    if salt_buckets:
+        from engine.partitioning import salted_join
+
+        ta = ta.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+        tb = tb.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
+        joined = salted_join(
+            salted_join(pairs, ta, "doc_a", salt_buckets), tb, "doc_b", salt_buckets
+        )
+    else:
+        joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
     return (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn("jaccard", _jaccard_udf("_text_a", "_text_b"))
+        joined.withColumn("jaccard", _jaccard_udf("_text_a", "_text_b"))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .drop("_text_a", "_text_b")
     )

@@ -7,7 +7,8 @@ overhead and loses split balance. This job rewrites only the
 fragmented partitions, idempotently:
 
   1. PLAN from file metadata only (counts + bytes per partition — no
-     data read). Here that is a filesystem walk of day=*/pbucket=*;
+     data read). Here that is a filesystem walk of the table's hive
+     layout (partition columns discovered from the directories);
      on a real Iceberg catalog the same numbers come from the manifest
      (this module is behind the engine/io/tables.py seam like every
      other table operation).
@@ -34,7 +35,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PARTITION_COLS = ["day", "pbucket"]
+def discover_partition_cols(table_path: str) -> list[str]:
+    """Partition columns from the directory layout (hive-style
+    `col=value` levels) — (day, pbucket) for extracted, (pbucket,) for
+    chunks/vectors; on Iceberg the same comes from the table spec."""
+    cols: list[str] = []
+    p = table_path
+    while True:
+        subs = sorted(
+            d
+            for d in os.listdir(p)
+            if "=" in d and os.path.isdir(os.path.join(p, d))
+        )
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        p = os.path.join(p, subs[0])
 
 
 def plan_compaction(
@@ -42,43 +58,46 @@ def plan_compaction(
 ) -> list[dict]:
     """Metadata-only plan: one entry per partition that has more files
     than its ideal count (ceil(bytes/target)), with at least min_files.
-    Returns [{day, pbucket, n_files, bytes, n_slots}]."""
+    Returns [{cols: [...], values: (...), n_files, bytes, n_slots}] for
+    whatever hive partition layout the table has."""
+    cols = discover_partition_cols(table_path)
+    leaves: list[tuple[tuple, str]] = [((), table_path)]
+    for c in cols:
+        leaves = [
+            (vals + (d.split("=", 1)[1],), os.path.join(p, d))
+            for vals, p in leaves
+            for d in sorted(os.listdir(p))
+            if d.startswith(c + "=") and os.path.isdir(os.path.join(p, d))
+        ]
     plan = []
-    for day_dir in sorted(os.listdir(table_path)):
-        if not day_dir.startswith("day="):
-            continue
-        day = day_dir.split("=", 1)[1]
-        day_path = os.path.join(table_path, day_dir)
-        for pb_dir in sorted(os.listdir(day_path)):
-            if not pb_dir.startswith("pbucket="):
-                continue
-            pb = pb_dir.split("=", 1)[1]
-            pb_path = os.path.join(day_path, pb_dir)
-            files = [
-                os.path.join(pb_path, f)
-                for f in os.listdir(pb_path)
-                if f.endswith(".parquet")
-            ]
-            nbytes = sum(os.path.getsize(f) for f in files)
-            ideal = max(1, math.ceil(nbytes / target_bytes))
-            if len(files) > max(ideal, min_files - 1) and len(files) > ideal:
-                plan.append(
-                    {
-                        "day": day,
-                        "pbucket": int(pb),
-                        "n_files": len(files),
-                        "bytes": nbytes,
-                        "n_slots": ideal,
-                    }
-                )
+    for vals, p in leaves:
+        files = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        ]
+        nbytes = sum(os.path.getsize(f) for f in files)
+        ideal = max(1, math.ceil(nbytes / target_bytes))
+        if len(files) > max(ideal, min_files - 1) and len(files) > ideal:
+            plan.append(
+                {
+                    "cols": cols,
+                    "values": vals,
+                    "n_files": len(files),
+                    "bytes": nbytes,
+                    "n_slots": ideal,
+                }
+            )
     return plan
 
 
 def compact(
     spark, table_path: str, target_bytes: int = 128 << 20, key_col: str = "url"
 ) -> dict:
-    """Rewrite fragmented partitions of a day/pbucket-partitioned
-    table. Returns {partitions, files_before, files_after_planned}.
+    """Rewrite fragmented partitions of a hive-partitioned table
+    (layout discovered from the directories — (day, pbucket) for
+    extracted, (pbucket,) for chunks/vectors). Returns {partitions,
+    files_before, files_after_planned}.
 
     key_col seeds the deterministic file-slot hash; any column that is
     ~uniformly distributed within a partition works (url for
@@ -89,18 +108,25 @@ def compact(
     plan = plan_compaction(table_path, target_bytes)
     if not plan:
         return {"partitions": 0, "files_before": 0, "files_planned": 0}
+    part_cols = plan[0]["cols"]
 
     from engine.io.tables import overwrite_partitions, read_table
 
     # selected-partition pruning: an IN filter on the partition columns
     # reaches the scan as partition pruning (no data files of other
-    # partitions are opened)
+    # partitions are opened). Join keys are string-cast on the table
+    # side: directory values are strings, inferred read types vary.
     plan_df = spark.createDataFrame(
-        [(p["day"], p["pbucket"], p["n_slots"]) for p in plan],
-        "day string, pbucket int, n_slots int",
+        [(*p["values"], p["n_slots"]) for p in plan],
+        ", ".join(f"{c} string" for c in part_cols) + ", n_slots int",
     )
     df = read_table(spark, table_path)
-    sel = df.join(F.broadcast(plan_df), on=PARTITION_COLS, how="inner")
+    cond = [
+        df[c].cast("string") == plan_df[c] for c in part_cols
+    ]
+    sel = df.join(F.broadcast(plan_df), on=cond, how="inner").drop(
+        *(plan_df[c] for c in part_cols)
+    )
 
     # file-slot assignment: deterministic hash of the row key modulo
     # this partition's ideal file count; one shuffle on (partition,
@@ -116,10 +142,10 @@ def compact(
     sel = sel.withColumn(
         "_slot", F.pmod(F.xxhash64(F.col(key_col)), F.col("n_slots")).cast("int")
     ).drop("n_slots")
-    sel = sel.repartition(total_slots, *PARTITION_COLS, F.col("_slot")).drop(
+    sel = sel.repartition(total_slots, *part_cols, F.col("_slot")).drop(
         "_slot"
     )
-    overwrite_partitions(sel, table_path, PARTITION_COLS)
+    overwrite_partitions(sel, table_path, part_cols)
     return {
         "partitions": len(plan),
         "files_before": sum(p["n_files"] for p in plan),

@@ -3,11 +3,40 @@
     spark-submit --py-files engine.zip jobs/ingest.py \
         --n-pages 50000 --output /data/out --run-id r1 [--resume]
 
-Stages: corpus/table scan -> partition-key attach -> resume anti-join
--> dedup -> salted/size-bucketed repartition -> fused route+extract
-(Arrow UDF) -> chunk (mapInPandas) -> embed -> partitioned writes +
-lineage + manifest commit. Works identically from `python jobs/ingest.py`
-in local mode (the sandbox has no cluster).
+Stages per COMMIT BATCH (a group of host-bucket work units):
+corpus/table scan -> partition-key filter -> dedup -> fused
+route+extract (Arrow UDF) -> partitioned extracted write -> chunk
+(mapInPandas) -> embed -> partitioned chunk/vector writes -> lineage
+-> manifest commit for the batch. Works identically from
+`python jobs/ingest.py` in local mode (the sandbox has no cluster).
+
+Incremental commit (SURVEY.md §3.3 step 4): the manifest is updated
+after EVERY batch, not once at job end, so a crash mid-run loses at
+most one batch of extraction work — `--resume` reprocesses only
+batches whose keys are not yet in the manifest, and every write is an
+idempotent per-partition dynamic overwrite, so a re-done batch lands
+byte-identically. `--commit-batches B` (default 8) sets the
+granularity: the 64 host buckets are split into B groups, each
+committed independently.
+
+Cost model of B > 1, stated honestly: each batch is its own Spark
+job, so the INPUT is scanned once per batch with a part_key filter
+(the key is pmod(xxhash64(host(url))) — computable JVM-side but not
+parquet-pushable), while the expensive stage (Python/Arrow extraction)
+still runs exactly once per row. Extraction dominates scan cost by an
+order of magnitude on crawl data, and on a production Iceberg table
+bucketed by the same host hash (bucket(N, host) partition transform)
+the batch filter prunes at metadata level, making the re-scan free.
+--commit-batches 1 restores the single-scan single-commit plan.
+
+Table layout: extracted is partitioned by (day, pbucket); chunks and
+vectors by (pbucket) alone — pbucket is a pure function of url, so it
+is recomputable on chunk/vector rows without carrying warc_ts through
+the chunker, and it matches the batch commit unit exactly (a re-done
+batch dynamically overwrites exactly its own pbucket partitions).
+Lineage is partitioned by (run_id, pbatch) and dynamically overwritten
+per batch — a re-done batch REPLACES its lineage rows instead of
+double-appending them.
 """
 
 from __future__ import annotations
@@ -19,6 +48,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from engine import checkpoint
 from engine.corpus import gen_pages_df
 from engine.io.tables import write_table
@@ -27,9 +58,31 @@ from engine.pipeline import (
     build_chunks,
     build_extracted,
     build_vectors,
+    upsert_latest,
     with_partition_key,
 )
 from engine.session import get_spark
+
+HOST_BUCKETS = 64
+
+METRIC_KEYS = (
+    "rows",
+    "errors",
+    "html_rows",
+    "pdf_text_rows",
+    "pdf_ocr_rows",
+    "total_chars",
+)
+
+
+def _batches(n_batches: int) -> list[list[str]]:
+    """Split the static part_key domain (0..HOST_BUCKETS-1, stringly —
+    see engine.partitioning.partition_key_col) into n_batches groups."""
+    n_batches = max(1, min(n_batches, HOST_BUCKETS))
+    return [
+        [str(k) for k in range(HOST_BUCKETS) if k % n_batches == b]
+        for b in range(n_batches)
+    ]
 
 
 def run(args) -> dict:
@@ -39,83 +92,99 @@ def run(args) -> dict:
         app_name="webtext-ingest",
     )
     t0 = time.monotonic()
-    if args.input:
-        from engine.io.validate import assert_pages_schema
 
-        pages = assert_pages_schema(spark.read.parquet(args.input))
-    else:
-        pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
+    def load_pages():
+        if args.input:
+            from engine.io.validate import assert_pages_schema
 
-    if args.canonical_urls:
-        # canonicalize BEFORE the resume work-unit key is derived so
-        # part_key (raw side) and pbucket (written side) agree — they
-        # are the same pmod(xxhash64(host)) and must hash the same url
-        from engine.ops.urlnorm import canonical_url_col
+            pages = assert_pages_schema(spark.read.parquet(args.input))
+        else:
+            pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
+        if args.canonical_urls:
+            # canonicalize BEFORE the work-unit key is derived so
+            # part_key (raw side) and pbucket (written side) agree —
+            # they are the same pmod(xxhash64(host)) over the same url
+            from engine.ops.urlnorm import canonical_url_col
 
-        pages = pages.withColumn("url", canonical_url_col("url"))
+            pages = pages.withColumn("url", canonical_url_col("url"))
+        return with_partition_key(pages)
 
-    pages = with_partition_key(pages)
-    if args.resume:
-        pages = checkpoint.filter_not_done(pages, args.output, args.run_id)
-
-    from engine.partitioning import with_write_partitions
-
-    # urls already canonical here if requested (done above, pre-resume)
-    extracted = build_extracted(
-        pages.drop("part_key"), num_partitions=args.partitions
+    done = (
+        checkpoint.load_done_keys(args.output, args.run_id)
+        if args.resume
+        else set()
     )
-    extracted, obs = observe_extraction(extracted)
-    extracted = with_write_partitions(extracted)
+    from engine.partitioning import host_bucket_col, with_write_partitions
 
     ex_path = os.path.join(args.output, "extracted")
-    if args.merge_into:
-        # cross-run re-crawl upsert: keep the latest capture per url
-        # across THIS run and a previous run's extracted table, then
-        # land into this run's output (the previous table is read-only
-        # input; pointing --merge-into at --output itself would race
-        # the overwrite with its own scan)
-        from engine.pipeline import merge_latest
-
-        prior = spark.read.parquet(args.merge_into)
-        extracted = with_write_partitions(
-            merge_latest(prior.drop("day", "pbucket"), extracted)
+    totals = dict.fromkeys(METRIC_KEYS, 0)
+    n_committed = 0
+    for bi, batch_keys in enumerate(_batches(args.commit_batches)):
+        todo = [k for k in batch_keys if k not in done]
+        if not todo:
+            continue
+        pages = load_pages().filter(F.col("part_key").isin(todo))
+        extracted = build_extracted(
+            pages.drop("part_key"), num_partitions=args.partitions
         )
-    write_table(extracted, ex_path, partition_by=["day", "pbucket"])
-    metrics = obs.get
+        extracted, obs = observe_extraction(extracted, name=f"extract_b{bi}")
+        extracted = with_write_partitions(extracted)
+        write_table(extracted, ex_path, partition_by=["day", "pbucket"])
+        metrics = obs.get
+        for k in METRIC_KEYS:
+            totals[k] += int(metrics.get(k) or 0)
 
-    extracted_rd = spark.read.parquet(ex_path)
-    chunks = build_chunks(extracted_rd)
-    ch_path = os.path.join(args.output, "chunks")
-    write_table(chunks, ch_path)
+        # read back ONLY this batch's partitions (partition-pruned:
+        # pbucket values == the batch's part_key values by construction)
+        batch_ints = [int(k) for k in todo]
+        extracted_rd = spark.read.parquet(ex_path).filter(
+            F.col("pbucket").isin(batch_ints)
+        )
+        chunks = build_chunks(extracted_rd).withColumn(
+            "pbucket", host_bucket_col("url", HOST_BUCKETS)
+        )
+        ch_path = os.path.join(args.output, "chunks")
+        write_table(chunks, ch_path, partition_by=["pbucket"])
 
-    vectors = build_vectors(spark.read.parquet(ch_path))
-    write_table(vectors, os.path.join(args.output, "vectors"))
+        vectors = build_vectors(
+            spark.read.parquet(ch_path).filter(F.col("pbucket").isin(batch_ints))
+        ).withColumn("pbucket", host_bucket_col("url", HOST_BUCKETS))
+        write_table(
+            vectors,
+            os.path.join(args.output, "vectors"),
+            partition_by=["pbucket"],
+        )
 
-    lineage = build_lineage(extracted_rd, args.run_id)
-    write_table(lineage, os.path.join(args.output, "lineage"), mode="append")
+        lineage = build_lineage(extracted_rd, args.run_id).withColumn(
+            "pbatch", F.lit(bi)
+        )
+        write_table(
+            lineage,
+            os.path.join(args.output, "lineage"),
+            partition_by=["run_id", "pbatch"],
+        )
 
-    # Resume keys come from the WRITTEN extracted table, not from a
-    # second pass over the (at target scale, 100 TB) input: pbucket is
-    # the same pmod(xxhash64(host), 64) as partition_key_col, it is a
-    # physical partition column of the parquet we just wrote, and every
-    # ingested page lands in extracted (errors included) — so distinct
-    # pbucket == the set of processed work units, answered from the
-    # written table's partition values (no payload bytes read).
-    done_keys = [
-        str(r["pbucket"])
-        for r in extracted_rd.select("pbucket").distinct().collect()
-    ]
-    checkpoint.mark_done(args.output, args.run_id, done_keys)
+        if args.upsert_into:
+            # fold this batch's rows into the existing corpus table
+            # IN PLACE — only affected partitions are read or written
+            # (engine/pipeline.upsert_latest). Idempotent: a re-done
+            # batch upserts the same rows to the same winners.
+            upsert_latest(spark, args.upsert_into, extracted_rd)
+
+        # the batch is durably written (idempotent per-partition
+        # overwrites) — commit it. Crash before this line re-does the
+        # batch; crash after it skips the batch on --resume.
+        checkpoint.mark_done(args.output, args.run_id, batch_keys)
+        n_committed += 1
 
     wall = time.monotonic() - t0
-    # a fully-resumed rerun processes zero rows: observe() sums are
-    # then NULL -> None; report zeros, not a crash
-    n_docs = int(metrics["rows"] or 0)
+    n_docs = totals["rows"]
     result = {
         "wall_s": round(wall, 2),
         "docs": n_docs,
         "docs_per_s": round(n_docs / wall, 1),
-        **{k: int(v or 0) for k, v in metrics.items()},
+        "batches_committed": n_committed,
+        **totals,
     }
     print(result)
     return result
@@ -132,10 +201,19 @@ def main() -> None:
     p.add_argument("--master", default="local[*]")
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument(
-        "--merge-into",
+        "--commit-batches",
+        type=int,
+        default=8,
+        help="host buckets are processed and manifest-committed in this "
+        "many independent batches; a crash loses at most one batch "
+        "(1 = single-shot, one input scan)",
+    )
+    p.add_argument(
+        "--upsert-into",
         default=None,
-        help="previous run's extracted parquet: upsert latest-capture-"
-        "per-url across both crawls into this run's output",
+        help="existing extracted table to upsert this run's rows into "
+        "IN PLACE (latest capture per url wins; only affected "
+        "partitions are read/rewritten)",
     )
     p.add_argument(
         "--canonical-urls",

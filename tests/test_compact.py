@@ -136,3 +136,34 @@ def test_compact_key_col_for_urlless_tables(spark, tmp_path):
         F.count(F.lit(1)), F.sum("vec_id")
     ).collect()
     assert after == before
+
+
+def test_compact_single_level_partition_layout(spark, tmp_path):
+    """chunks/vectors are partitioned by pbucket only — the plan must
+    discover the layout from the directories rather than assume
+    (day, pbucket)."""
+    table = str(tmp_path / "chunks")
+    df = spark.range(400).select(
+        F.concat(F.lit("http://h"), F.col("id")).alias("url"),
+        (F.col("id") % 3).cast("int").alias("pbucket"),
+    )
+    df.repartition(6).write.partitionBy("pbucket").mode("overwrite").parquet(
+        table
+    )
+    import os
+
+    def files(pb):
+        d = os.path.join(table, f"pbucket={pb}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files(0)) > 1
+    before = spark.read.parquet(table).agg(
+        F.count(F.lit(1)), F.sum(F.length("url"))
+    ).collect()
+    res = compact(spark, table, target_bytes=128 << 20)
+    assert res["partitions"] == 3
+    assert len(files(0)) == 1
+    after = spark.read.parquet(table).agg(
+        F.count(F.lit(1)), F.sum(F.length("url"))
+    ).collect()
+    assert after == before

@@ -4,6 +4,7 @@ remaining work and the final table equals the single-shot run
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from engine import checkpoint
@@ -58,3 +59,97 @@ def test_two_phase_run_equals_single_shot(spark, tmp_path):
     a = spark.read.parquet(single + "/extracted").drop("day", "pbucket")
     b = spark.read.parquet(twophase + "/extracted").drop("day", "pbucket")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def _ingest_args(output: str, **over):
+    import argparse
+
+    d = dict(
+        input=None,
+        n_pages=N,
+        seed=42,
+        output=output,
+        run_id="r1",
+        resume=False,
+        master="local[8]",
+        partitions=4,
+        commit_batches=4,
+        upsert_into=None,
+        canonical_urls=False,
+        shuffle_partitions=8,
+    )
+    d.update(over)
+    return argparse.Namespace(**d)
+
+
+def test_kill_mid_run_resumes_from_last_committed_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The r2 verdict's top item: the manifest commits after EVERY
+    batch, so a crash mid-run (here: during batch 2's first write)
+    loses only the in-flight batch. Resume reprocesses ONLY unfinished
+    batches and the final tables equal a single-shot run's."""
+    import jobs.ingest as ingest
+
+    single = str(tmp_path / "single")
+    killed = str(tmp_path / "killed")
+    ingest.run(_ingest_args(single, commit_batches=1))
+
+    real_write = ingest.write_table
+    calls = {"n": 0}
+
+    def dying_write(*a, **kw):
+        calls["n"] += 1
+        # 4 writes per batch (extracted/chunks/vectors/lineage):
+        # call 5 = batch 2's extracted write -> batch 1 committed,
+        # batch 2 in flight, batches 3-4 untouched
+        if calls["n"] == 5:
+            raise RuntimeError("simulated mid-run crash")
+        return real_write(*a, **kw)
+
+    monkeypatch.setattr(ingest, "write_table", dying_write)
+    with pytest.raises(RuntimeError, match="simulated mid-run crash"):
+        ingest.run(_ingest_args(killed))
+
+    # exactly one batch (16 of 64 keys) durably committed
+    done = checkpoint.load_done_keys(killed, "r1")
+    assert len(done) == 16
+
+    monkeypatch.setattr(ingest, "write_table", real_write)
+    res = ingest.run(_ingest_args(killed, resume=True))
+    assert res["batches_committed"] == 3  # the unfinished ones only
+    assert checkpoint.load_done_keys(killed, "r1") == {
+        str(k) for k in range(64)
+    }
+
+    for table in ("extracted", "chunks", "vectors"):
+        a = spark.read.parquet(f"{single}/{table}").drop("day", "pbucket")
+        b = spark.read.parquet(f"{killed}/{table}").drop("day", "pbucket")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), table
+
+    # lineage covers every extracted row exactly once (a re-done batch
+    # REPLACES its lineage partition instead of double-appending)
+    n_docs = spark.read.parquet(f"{single}/extracted").count()
+    lin = spark.read.parquet(f"{killed}/lineage")
+    assert lin.agg(F.sum("n_rows")).first()[0] == n_docs
+
+
+def test_fully_resumed_rerun_is_a_noop(spark, tmp_path):
+    import jobs.ingest as ingest
+
+    out = str(tmp_path / "out")
+    first = ingest.run(_ingest_args(out))
+    assert first["batches_committed"] == 4
+    again = ingest.run(_ingest_args(out, resume=True))
+    assert again == {
+        "wall_s": again["wall_s"],
+        "docs": 0,
+        "docs_per_s": 0.0,
+        "batches_committed": 0,
+        "rows": 0,
+        "errors": 0,
+        "html_rows": 0,
+        "pdf_text_rows": 0,
+        "pdf_ocr_rows": 0,
+        "total_chars": 0,
+    }

