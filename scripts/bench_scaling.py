@@ -84,6 +84,45 @@ print("RESULT " + json.dumps({{
 """
 
 
+# Same-session CPU floors: what N pinned CPython processes (no Spark,
+# no JVM) achieve on THIS host RIGHT NOW. Two shapes bracket the
+# engine: register-bound arithmetic (scheduling/overcommit ceiling)
+# and memory-STREAMING work (the shape of real extraction — string
+# scans through large buffers). The pipeline's measured efficiency is
+# judged against these, not against an ideal 1.0: a single VM shares
+# one memory system across all cores, so memory-bound work cannot
+# scale linearly in cores (it does scale linearly in EXECUTORS on a
+# multi-node cluster, each node bringing its own memory bus).
+FLOOR_ARITH = """
+x = 0
+for i in range(30_000_000): x = (x * 1103515245 + 12345) % (2**31)
+"""
+FLOOR_MEM = """
+data = bytes(range(256)) * (256 << 10)   # 64 MiB working set
+tbl = bytes((i * 7 + 3) % 256 for i in range(256))
+x = data.translate(tbl); del x           # fault-in once
+for _ in range(12):
+    x = data.translate(tbl); del x       # stream the full buffer
+"""
+
+
+def measure_floor(body: str, cpus: int) -> float:
+    """jobs/sec for `cpus` concurrent pinned CPython processes."""
+    import time
+
+    t0 = time.monotonic()
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", body],
+            stdout=subprocess.DEVNULL,
+        )
+        for _ in range(cpus)
+    ]
+    for p in procs:
+        p.wait()
+    return cpus / (time.monotonic() - t0)
+
+
 def run_level(cpus: int, corpus: str, runs: int, gate: float) -> dict:
     code = WORKER.format(root=str(ROOT), cpus=cpus, corpus=corpus, runs=runs, gate=gate)
     # CPU affinity = the real executor contract: an N-core executor
@@ -180,6 +219,25 @@ def main() -> None:
         for c in levels
     )
 
+    # same-session floors for every reported N->4N pair (2 runs each,
+    # best-of: a floor is an upper bound, so the least-contended
+    # sample is the right statistic)
+    floor_rows = []
+    for lo_c in levels:
+        for hi_c in levels:
+            if hi_c == 4 * lo_c:
+                effs = {}
+                for name, body in (("arith", FLOOR_ARITH), ("mem-stream", FLOOR_MEM)):
+                    lo = max(measure_floor(body, lo_c) for _ in range(2))
+                    hi = max(measure_floor(body, hi_c) for _ in range(2))
+                    effs[name] = hi / lo / 4.0
+                floor_rows.append(
+                    f"| CPython floor {lo_c}->{hi_c} | arith "
+                    f"**{effs['arith']:.2f}**, memory-streaming "
+                    f"**{effs['mem-stream']:.2f}** (no Spark — host "
+                    f"ceiling for register- vs memory-bound work) |"
+                )
+
     md = f"""# BENCH/BASELINE — measured numbers (sandbox protocol of BASELINE.md)
 
 | Item | Value |
@@ -188,6 +246,7 @@ def main() -> None:
 | Job | map-side fused route+extract+sents on 16MB scan splits (html never shuffles) -> max_by latest-capture dedup agg (one exchange, extracted columns only) -> full-column force |
 {chr(10).join(level_rows)}
 {chr(10).join(pair_rows)}
+{chr(10).join(floor_rows)}
 | Byte-identity across levels | PASS (order-insensitive crc32(content_sha256) checksum equal: {first['checksum']}) |
 | Docs extracted | {first['n']} (chars={first['chars']}, sents={first['sents']}) |
 | Confs | arrow.maxRecordsPerBatch=512, python.worker.reuse=true, AQE on, shuffle.partitions=cores |
@@ -206,11 +265,14 @@ exactly its core budget so the core ratio between levels is real.
 The top pair (8 -> 32) shares the machine with that external load —
 its high-level samples are the ones most likely contended, which
 DEPRESSES measured efficiency; the reported number is therefore a
-lower bound on the engine's own scaling. A calibration test (32
-concurrent fixed-time CPython extraction loops) measured the PYTHON
-KERNEL FLOOR scaling at 8->32 procs = 0.91 efficiency, so the
-pipeline's number above is dominated by Spark data-plane +
-scheduling, not the kernels.
+lower bound on the engine's own scaling. Judge the pipeline numbers
+against the SAME-SESSION CPython floor rows above: the extraction
+kernels are memory-streaming work, so the memory-streaming floor is
+the achievable ceiling on this single-memory-bus VM — a pipeline
+efficiency at or above that floor means Spark's own data plane adds
+no scaling penalty. On a real N vs 4N EXECUTOR scale-out, memory
+bandwidth grows with node count, which this single-box top pair
+structurally cannot show.
 """
     # Write to a scratch file, NOT BENCH/BASELINE.md: that file is the
     # hand-curated multi-generation evidence report; a single ladder run
