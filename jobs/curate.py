@@ -6,6 +6,16 @@
 
 Map-only (engine/ops/curate.py): metrics + verdicts attach with zero
 shuffles; the partitioned write is the only exchange-free sink pass.
+
+`--lm-filter` adds a CCNet-style perplexity screen on top of the rule
+verdicts (engine/ops/lm.py): a Stupid-Backoff trigram LM is trained on
+the RULE-PASSING slice (the corpus's own "trusted" text — no external
+model artifact), every doc is scored against it, and docs whose
+log-perplexity lands above the `--lm-pct` percentile of the kept
+slice's scores are rejected with reason "lm_ppl". Training is one
+count groupBy; scoring broadcasts the pruned model, so the extra cost
+is two more map-shaped passes over the input — no corpus shuffle.
+
 Writes:
 
     <output>/kept        documents passing every rule
@@ -37,6 +47,12 @@ from engine.session import get_spark  # noqa: E402
 
 
 def run(args) -> dict:
+    # fill anything a programmatic caller's namespace omits with the
+    # CLI defaults, so run(SimpleNamespace(input=..., output=...))
+    # stays a stable API as flags are added
+    for a in _parser()._actions:
+        if a.dest != "help" and not hasattr(args, a.dest):
+            setattr(args, a.dest, a.default)
     spark = get_spark(
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
@@ -55,6 +71,49 @@ def run(args) -> dict:
         check_lang=not args.no_check_lang,
     )
 
+    lm_cut = None
+    pinned = []  # persist handles to release after the writes
+    if args.lm_filter:
+        from engine.ops.lm import score_stupid_backoff, train_stupid_backoff
+
+        # rule verdicts feed LM training, scoring, AND the final
+        # writes: persist once so the (possibly langid-UDF-bearing)
+        # plan is not recomputed per pass
+        verdicts = verdicts.persist()
+        pinned.append(verdicts)
+        trusted = verdicts.filter("keep").select(args.text_col)
+        lm = train_stupid_backoff(
+            trusted, text_col=args.text_col, min_count=args.lm_min_count
+        )
+        scored = score_stupid_backoff(
+            verdicts.select(args.id_col, args.text_col),
+            lm,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).select(args.id_col, "logppl")
+        # one id-keyed join attaches logppl to the verdict rows; the
+        # cut and the final keep column both read from this frame
+        verdicts = verdicts.join(scored, args.id_col, "left").persist()
+        pinned.append(verdicts)
+        # exact percentile of the kept slice's logppl = the cut. One
+        # double column over doc rows; at true 100-TB cardinality use
+        # percentile_approx here (same plumbing, disclosed accuracy).
+        lm_cut = (
+            verdicts.filter("keep")
+            .agg(F.expr(f"percentile(logppl, {args.lm_pct / 100.0})"))
+            .collect()[0][0]
+        )
+        if lm_cut is not None:  # no rule-kept scored docs -> no screen
+            lm_keep = F.col("logppl").isNotNull() & (
+                F.col("logppl") <= float(lm_cut)
+            )
+            verdicts = verdicts.withColumn(
+                "reasons",
+                F.when(lm_keep, F.col("reasons")).otherwise(
+                    F.array_union("reasons", F.array(F.lit("lm_ppl")))
+                ),
+            ).withColumn("keep", F.col("keep") & lm_keep)
+
     # the kept and rejected writes are two actions over one plan whose
     # most expensive stage is the langid Arrow UDF: persist so the
     # verdicts compute ONCE, and derive every count from the written
@@ -65,6 +124,8 @@ def run(args) -> dict:
     write_table(verdicts.filter(~F.col("keep")),
                 os.path.join(args.output, "rejected"))
     verdicts.unpersist()
+    for df in pinned:
+        df.unpersist()
 
     kept = spark.read.parquet(os.path.join(args.output, "kept"))
     rej = spark.read.parquet(os.path.join(args.output, "rejected"))
@@ -86,20 +147,43 @@ def run(args) -> dict:
         "reject_rate": round(n_rej / n_docs, 4) if n_docs else 0.0,
         "reasons": dict(sorted(reason_counts.items())),
     }
+    if args.lm_filter:
+        result["lm_cut_logppl"] = (
+            round(lm_cut, 4) if lm_cut is not None else None
+        )
     print(json.dumps(result))
     return result
 
 
-def main() -> None:
+def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="documents parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-tokens", type=int, default=None)
     p.add_argument("--no-check-lang", action="store_true")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--lm-filter",
+        action="store_true",
+        help="CCNet-style perplexity screen under a corpus-trained "
+        "Stupid-Backoff trigram LM (engine/ops/lm.py)",
+    )
+    p.add_argument(
+        "--lm-pct",
+        type=float,
+        default=90.0,
+        help="reject docs above this percentile of the rule-kept "
+        "slice's log-perplexity",
+    )
+    p.add_argument("--lm-min-count", type=int, default=2)
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    run(p.parse_args())
+    return p
+
+
+def main() -> None:
+    run(_parser().parse_args())
 
 
 if __name__ == "__main__":

@@ -66,9 +66,12 @@ def main() -> None:
             embed_text(t[:2000])
 
     def run_fingerprint():
-        for t in texts:
-            fp.minhash_sig_np(t)
-            fp.simhash64_np(t)
+        # mirrors minhash_sig_udf / simhash64_udf: the flat batch
+        # kernels over Arrow-sized groups, NOT the per-doc fallbacks
+        for i in range(0, len(texts), 512):
+            grp = texts[i : i + 512]
+            fp.minhash_sigs(grp)
+            fp.simhash64_many(grp)
 
     stages = {
         "extract": run_extract,
