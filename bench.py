@@ -225,6 +225,32 @@ def main() -> None:
 
     timed("curate_pipeline", run_curate)
 
+    # corpus-trained LM: train (counting) + score (broadcast joins)
+    # over the documents table in one timed pass
+    def run_lm():
+        from engine.ops.lm import score_stupid_backoff, train_stupid_backoff
+        from engine.queries import T
+
+        docs = T(spark, sf_dir, "documents")
+        lm = train_stupid_backoff(docs)
+        score_stupid_backoff(docs, lm).agg(
+            F.count(F.lit(1)), F.sum("logppl")
+        ).collect()
+
+    timed("lm_score_pipeline", run_lm)
+
+    # corpus-wide line-dedup rewrite over the documents table
+    def run_linedup():
+        from engine.ops.linedup import dedup_lines
+        from engine.queries import T
+
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        dedup_lines(docs).agg(
+            F.count(F.lit(1)), F.sum("n_lines_dropped"), F.sum(F.length("text"))
+        ).collect()
+
+    timed("linedup_pipeline", run_linedup)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",

@@ -338,3 +338,66 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .drop("_text_a", "_text_b")
     )
+
+
+def passage_neardup_doc_pairs(
+    chunks: DataFrame,
+    doc_col: str = "url",
+    pos_col: str = "chunk_ix",
+    text_col: str = "chunk_text",
+    min_shared: int = 2,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Doc pairs that share near-duplicate PASSAGES — the partial-
+    overlap case document-level LSH misses (one doc quoting or
+    embedding another scores low whole-doc Jaccard but high
+    passage overlap; cf. Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", which dedups at substring
+    granularity for exactly this reason).
+
+    Runs the SAME banded minhash machinery over the chunks table
+    (chunk id = doc + "\\x1f" + position, so the doc of a chunk is a
+    substring — no join back to the chunks table), drops same-doc
+    chunk pairs, and aggregates to (doc_a, doc_b, n_shared, frac_a,
+    frac_b): how many of each doc's chunks matched. doc_a < doc_b.
+
+    Scale shape inherits minhash_candidate_pairs (banded equi-join +
+    hot-bucket star-pairing; under star-pairing a hot boilerplate
+    passage contributes n-1 pairs instead of n(n-1)/2, so n_shared
+    UNDERCOUNTS through hot buckets — same disclosed trade-off).
+    The per-doc chunk-count joins are keyed equi-joins on the doc id.
+    Assumes doc ids do not contain the \\x1f separator."""
+    cid = F.concat_ws("\x1f", F.col(doc_col), F.col(pos_col).cast("string"))
+    pairs = minhash_candidate_pairs(
+        chunks.select(cid.alias("_cid"), F.col(text_col)),
+        id_col="_cid",
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+    da = F.substring_index("doc_a", "\x1f", 1)
+    db = F.substring_index("doc_b", "\x1f", 1)
+    doc_pairs = (
+        pairs.filter(da != db)
+        .select(
+            F.least(da, db).alias("doc_a"), F.greatest(da, db).alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    counts = chunks.groupBy(F.col(doc_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        doc_pairs.join(counts.withColumnRenamed("_d", "doc_a"), "doc_a")
+        .withColumn("frac_a", F.col("n_shared") / F.col("_n"))
+        .drop("_n")
+        .join(counts.withColumnRenamed("_d", "doc_b"), "doc_b")
+        .withColumn("frac_b", F.col("n_shared") / F.col("_n"))
+        .drop("_n")
+        .select("doc_a", "doc_b", "n_shared", "frac_a", "frac_b")
+    )

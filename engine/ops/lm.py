@@ -63,7 +63,14 @@ def lm_tokens(text_col: str | Column) -> Column:
 
 def _grams(toks: Column, n: int) -> Column:
     """Array of space-joined n-gram strings of `toks` (empty if the
-    doc is shorter than n tokens — sequence() cannot run backwards)."""
+    doc is shorter than n tokens — sequence() cannot run backwards).
+
+    `toks` MUST be a materialized column reference, never the raw
+    lm_tokens(...) expression: the lambda body references it per array
+    element, and higher-order functions re-evaluate non-attribute
+    subtrees per element — an O(tokens^2) split+filter blowup that
+    measured as a multi-minute hang on ~4k-token docs (callers below
+    project tokens in a select first)."""
     if n == 1:
         return toks
     return F.when(
@@ -86,19 +93,22 @@ def train_stupid_backoff(
     every surviving gram's score is exact. Unigrams are never pruned:
     they are the backstop of the backoff chain.
     """
-    toks = lm_tokens(text_col)
+    # project the token array ONCE; _grams lambdas must see a column
+    # reference, not the split+filter expression (see _grams docstring)
+    toked = docs.select(lm_tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     c1 = (
-        docs.select(F.explode(toks).alias("uni"))
+        toked.select(F.explode(toks).alias("uni"))
         .groupBy("uni")
         .agg(F.count(F.lit(1)).alias("count1"))
     )
     c2 = (
-        docs.select(F.explode(_grams(toks, 2)).alias("bi"))
+        toked.select(F.explode(_grams(toks, 2)).alias("bi"))
         .groupBy("bi")
         .agg(F.count(F.lit(1)).alias("count2"))
     )
     c3 = (
-        docs.select(F.explode(_grams(toks, 3)).alias("tri"))
+        toked.select(F.explode(_grams(toks, 3)).alias("tri"))
         .groupBy("tri")
         .agg(F.count(F.lit(1)).alias("count3"))
     )
@@ -197,13 +207,16 @@ def score_stupid_backoff(
     if lm.n_tokens <= 0:
         raise ValueError("empty language model (n_tokens == 0)")
     n = float(lm.n_tokens)
-    toks = lm_tokens(text_col)
+    # same materialization rule as training: the per-position lambda
+    # reads the token array via element_at, so it must be a column
+    toked = docs.select(F.col(id_col), lm_tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     feats = F.when(F.size(toks) >= 1, _position_grams(toks)).otherwise(
         F.array().cast(
             "array<struct<tri:string,bi:string,uni:string>>"
         )
     )
-    pos = docs.select(
+    pos = toked.select(
         F.col(id_col), F.explode_outer(feats).alias("g")
     ).select(
         id_col,

@@ -1,0 +1,223 @@
+"""End-to-end training-corpus build — one orchestrated, stage-
+resumable job over the whole chain (README's manual command sequence,
+as a single spark-submit entry):
+
+    spark-submit --py-files engine.zip jobs/corpus.py \
+        --pages /data/pages --output /data/corpus \
+        [--resume] [--lm-filter] [--sample-fraction 0.5]
+
+Stages, each writing its own parquet table under <output>/:
+
+    extract    pages -> main-content docs (route+extract+dedup latest
+               per url; engine/pipeline.build_extracted)
+    neardup    MinHash+LSH pairs -> connected components -> canonical
+               docs only (engine/ops/{dedup,graph})
+    linedup    corpus-wide repeated-line removal rewrite
+               (engine/ops/linedup)
+    curate     rule verdicts + optional LM perplexity screen —
+               composes jobs/curate.run, so the audit layout
+               (curate/kept, curate/rejected) and reason stats are
+               identical to the standalone job
+    sample     deterministic hash sample -> <output>/final
+
+Stage resume: after each stage commits, <output>/corpus_manifest.json
+is atomically rewritten (tmp + rename, same discipline as
+engine/checkpoint.py). `--resume` skips every stage whose manifest
+entry exists AND whose output _SUCCESS marker is present — a crash
+loses at most the stage in flight, and a finished run reruns as five
+no-ops. Stage outputs are plain parquet tables: any stage can also be
+re-driven by its standalone job (jobs/{dedup,curate}.py) against the
+same directories.
+
+Prints ONE JSON line: per-stage rows + wall seconds + the manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.session import get_spark  # noqa: E402
+
+MANIFEST = "corpus_manifest.json"
+
+
+def _load_manifest(out_dir: str) -> dict:
+    path = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _commit_stage(out_dir: str, manifest: dict, stage: str, info: dict) -> None:
+    manifest["stages"][stage] = info
+    path = os.path.join(out_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _stage_done(out_dir: str, manifest: dict, stage: str, table: str) -> bool:
+    return stage in manifest["stages"] and os.path.exists(
+        os.path.join(out_dir, table, "_SUCCESS")
+    )
+
+
+def run(args) -> dict:
+    for a in _parser()._actions:
+        if a.dest != "help" and not hasattr(args, a.dest):
+            setattr(args, a.dest, a.default)
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name="webtext-corpus",
+    )
+    out = args.output
+    os.makedirs(out, exist_ok=True)
+    manifest = _load_manifest(out) if args.resume else {"stages": {}}
+
+    def stage(name: str, table: str, action) -> None:
+        """Run one stage unless already committed; commit its manifest
+        entry (rows + wall) before the next stage starts."""
+        if args.resume and _stage_done(out, manifest, name, table):
+            return
+        t0 = time.monotonic()
+        rows = action(os.path.join(out, table))
+        _commit_stage(
+            out,
+            manifest,
+            name,
+            {"rows": int(rows), "wall_s": round(time.monotonic() - t0, 2)},
+        )
+
+    # -- extract ------------------------------------------------------
+    def do_extract(path: str) -> int:
+        from engine.pipeline import build_extracted
+
+        pages = spark.read.parquet(args.pages)
+        build_extracted(pages).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
+    stage("extract", "extracted", do_extract)
+
+    # -- near-dup dedup to canonical docs ------------------------------
+    def do_neardup(path: str) -> int:
+        from engine.ops.dedup import minhash_candidate_pairs
+        from engine.ops.graph import dedup_clusters
+
+        docs = spark.read.parquet(os.path.join(out, "extracted"))
+        nonempty = docs.filter(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
+        )
+        pairs = minhash_candidate_pairs(nonempty, id_col="url")
+        clusters = dedup_clusters(nonempty.select("url"), pairs, id_col="url")
+        canonical = nonempty.join(
+            clusters.filter("is_canonical = 1").select("url"), "url"
+        )
+        canonical.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
+    stage("neardup", "canonical", do_neardup)
+
+    # -- corpus-wide line dedup rewrite --------------------------------
+    def do_linedup(path: str) -> int:
+        from engine.ops.linedup import dedup_lines
+
+        docs = spark.read.parquet(os.path.join(out, "canonical"))
+        dedup_lines(docs, id_col="url").write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).count()
+
+    stage("linedup", "cleaned", do_linedup)
+
+    # -- curation (+ optional LM screen): the standalone job, composed -
+    def do_curate(path: str) -> int:
+        import types
+
+        from jobs.curate import run as curate_run
+
+        res = curate_run(
+            types.SimpleNamespace(
+                input=os.path.join(out, "cleaned"),
+                output=path,
+                id_col="url",
+                min_tokens=args.min_tokens,
+                no_check_lang=not args.check_lang,
+                lm_filter=args.lm_filter,
+                lm_pct=args.lm_pct,
+                master=args.master,
+                shuffle_partitions=args.shuffle_partitions,
+            )
+        )
+        return res["kept"]
+
+    # the curate job writes <table>/kept/_SUCCESS, not <table>/_SUCCESS
+    def curate_done() -> bool:
+        return "curate" in manifest["stages"] and os.path.exists(
+            os.path.join(out, "curate", "kept", "_SUCCESS")
+        )
+
+    if not (args.resume and curate_done()):
+        t0 = time.monotonic()
+        kept_rows = do_curate(os.path.join(out, "curate"))
+        _commit_stage(
+            out,
+            manifest,
+            "curate",
+            {"rows": int(kept_rows), "wall_s": round(time.monotonic() - t0, 2)},
+        )
+
+    # -- deterministic sample -> final ----------------------------------
+    def do_sample(path: str) -> int:
+        from engine.ops.sample import hash_sample
+
+        kept = spark.read.parquet(os.path.join(out, "curate", "kept"))
+        hash_sample(kept, args.sample_fraction, id_col="url").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path).count()
+
+    stage("sample", "final", do_sample)
+
+    result = {"output": out, "stages": manifest["stages"]}
+    print(json.dumps(result))
+    return result
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", required=True, help="crawled pages parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip stages already committed in corpus_manifest.json",
+    )
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument(
+        "--check-lang",
+        action="store_true",
+        help="enable the langid screen in curation (off by default)",
+    )
+    p.add_argument("--lm-filter", action="store_true")
+    p.add_argument("--lm-pct", type=float, default=90.0)
+    p.add_argument("--sample-fraction", type=float, default=1.0)
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main() -> None:
+    run(_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -286,3 +286,38 @@ def test_jaccard_verify_salted_equals_plain_on_hub_doc(spark):
     plain = key(jaccard_verify(pairs, docs, threshold=0.5, salt_buckets=None))
     salted = key(jaccard_verify(pairs, docs, threshold=0.5, salt_buckets=8))
     assert salted == plain and len(plain) > 0
+
+
+def test_passage_neardup_doc_pairs(spark):
+    """Partial-overlap docs (one embeds another's passages) pair at
+    chunk granularity even though whole-doc similarity is low."""
+    from engine.ops.dedup import passage_neardup_doc_pairs
+
+    def mk(url, texts):
+        return [(url, i, t) for i, t in enumerate(texts)]
+
+    shared1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    shared2 = "a second shared passage about distributed systems and consensus"
+    rows = (
+        mk("docA", ["unique A opening paragraph of original prose", shared1, shared2, "unique A closing words entirely its own"])
+        + mk("docB", ["B starts differently with its own intro", shared1, shared2, "B ends on an unrelated topic too"])
+        + mk("docC", [shared1, "C shares only one single passage with A"])
+        + mk("docD", ["totally unrelated content about gardening", "more gardening tips and tricks here"])
+    )
+    chunks = spark.createDataFrame(rows, ["url", "chunk_ix", "chunk_text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["frac_a"], r["frac_b"])
+        for r in passage_neardup_doc_pairs(chunks, min_shared=2).collect()
+    }
+    assert ("docA", "docB") in got
+    n, fa, fb = got[("docA", "docB")]
+    assert n == 2 and fa == 0.5 and fb == 0.5
+    # docC shares only ONE passage with A/B: filtered by min_shared=2
+    assert all("docC" not in k for k in got)
+    assert all("docD" not in k for k in got)
+    # min_shared=1 surfaces the single-passage overlaps
+    got1 = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in passage_neardup_doc_pairs(chunks, min_shared=1).collect()
+    }
+    assert got1[("docA", "docC")] == 1 and got1[("docB", "docC")] == 1
