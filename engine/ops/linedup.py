@@ -30,6 +30,8 @@ repeated lines round-trips byte-identically (pinned in tests).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -39,6 +41,7 @@ def dedup_lines(
     text_col: str = "text",
     scope: str = "corpus",
     min_chars: int = 1,
+    sep: str = "\n",
 ) -> DataFrame:
     """Rewrite text_col with repeated lines removed (first/winning
     occurrence kept). Returns the input columns plus n_lines and
@@ -48,13 +51,17 @@ def dedup_lines(
     Lines whose trimmed length is < min_chars are exempt (kept
     verbatim, never counted as duplicates) — empty lines are
     paragraph structure, not content.
+
+    `sep` is the LITERAL line separator (default newline; "\\n\\n"
+    dedups paragraphs, " " dedups tokens). split+join on the same
+    literal separator always round-trips.
     """
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be corpus|doc, got {scope!r}")
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(text, "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(text, re.escape(sep))).alias("_pos", "_line"),
     ).withColumn("_active", F.length(F.trim("_line")) >= min_chars)
     key_cols = ["_key"] if scope == "corpus" else [id_col, "_key"]
     active = lines.filter("_active").withColumn("_key", F.md5("_line"))
@@ -78,11 +85,11 @@ def dedup_lines(
                 F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
                 lambda s: s["_line"],
             ),
-            "\n",
+            sep,
         ).alias("_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    n_lines = F.size(F.split(text, "\n"))
+    n_lines = F.size(F.split(text, re.escape(sep)))
     out = (
         docs.withColumn("n_lines", n_lines)
         .join(rebuilt, id_col, "left")

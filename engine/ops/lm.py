@@ -257,6 +257,35 @@ def score_stupid_backoff(
     )
 
 
+def ppl_buckets(
+    scored: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    logppl_col: str = "logppl",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket docs by the corpus-wide
+    percentile of their log-perplexity (head = most fluent third under
+    the model). Two exact-percentile scalars (one small agg;
+    percentile_approx is the disclosed swap at 10^12 rows), then a
+    map-only CASE — no shuffle of the docs. NULL logppl -> NULL
+    bucket."""
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    row = scored.agg(
+        F.expr(f"percentile({logppl_col}, {lo})").alias("lo"),
+        F.expr(f"percentile({logppl_col}, {hi})").alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        return scored.withColumn("ppl_bucket", F.lit(None).cast("string"))
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col(logppl_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(logppl_col) <= float(row["lo"]), F.lit("head"))
+        .when(F.col(logppl_col) <= float(row["hi"]), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 def lm_quality_filter(
     docs: DataFrame,
     lm: NGramLM,

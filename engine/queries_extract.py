@@ -615,3 +615,122 @@ def x03_streaming(spark, sf_dir):
         )
         .orderBy("path")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained LM perplexity (engine/ops/lm.py) — oracle replicates
+# the full Stupid-Backoff spec in DuckDB SQL (counts, context joins,
+# min_count=2 pruning, backoff cascade, count-one unseen floor)
+# --------------------------------------------------------------------------
+@register(
+    "q42_lm_logppl",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tok
+    ),
+    grams AS (
+      SELECT doc_id,
+             toks[i] AS uni,
+             CASE WHEN i >= 2 THEN toks[i-1] || ' ' || toks[i] END AS bi,
+             CASE WHEN i >= 3 THEN toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i] END AS tri
+      FROM pos
+    ),
+    c1 AS (SELECT uni, COUNT(*) AS count1 FROM grams GROUP BY uni),
+    c2 AS (SELECT bi, COUNT(*) AS count2 FROM grams WHERE bi IS NOT NULL GROUP BY bi),
+    c3 AS (SELECT tri, COUNT(*) AS count3 FROM grams WHERE tri IS NOT NULL GROUP BY tri),
+    n AS (SELECT CAST(SUM(count1) AS DOUBLE) AS nt FROM c1),
+    m2 AS (SELECT c2.bi, c2.count2, c1.count1 AS ctx1 FROM c2
+           JOIN c1 ON string_split(c2.bi, ' ')[1] = c1.uni
+           WHERE c2.count2 >= 2),
+    m3 AS (SELECT c3.tri, c3.count3, c2.count2 AS ctx2 FROM c3
+           JOIN c2 ON string_split(c3.tri, ' ')[1] || ' ' || string_split(c3.tri, ' ')[2] = c2.bi
+           WHERE c3.count3 >= 2),
+    scored AS (
+      SELECT g.doc_id,
+             CASE WHEN g.tri IS NOT NULL THEN
+               COALESCE(m3.count3 / m3.ctx2,
+                 0.4 * COALESCE(m2.count2 / m2.ctx1,
+                   0.4 * COALESCE(c1.count1 / n.nt, 1.0 / n.nt)))
+             WHEN g.bi IS NOT NULL THEN
+               COALESCE(m2.count2 / m2.ctx1,
+                 0.4 * COALESCE(c1.count1 / n.nt, 1.0 / n.nt))
+             ELSE COALESCE(c1.count1 / n.nt, 1.0 / n.nt) END AS score
+      FROM grams g
+      LEFT JOIN m3 ON g.tri = m3.tri
+      LEFT JOIN m2 ON g.bi = m2.bi
+      LEFT JOIN c1 ON g.uni = c1.uni
+      CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(AVG(-ln(score)), 4) AS logppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q42_lm(spark, sf_dir):
+    from engine.ops.lm import score_stupid_backoff, train_stupid_backoff
+
+    docs = T(spark, sf_dir, "documents")
+    lm = train_stupid_backoff(docs, min_count=2)
+    scored = score_stupid_backoff(docs, lm)
+    return (
+        scored.filter("n_scored > 0")
+        .select(
+            "doc_id",
+            F.col("n_scored").cast("long").alias("n_scored"),
+            F.round("logppl", 4).alias("logppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Line-dedup rewrite (engine/ops/linedup.py) at token granularity
+# (sep=" ", scope="doc": the documents table is single-line text, so
+# token-level separation exercises winners/reassembly with real
+# duplication) — oracle replicates winner + ordered reassembly in SQL
+# --------------------------------------------------------------------------
+@register(
+    "q43_linedup_rewrite",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM t
+    ),
+    l2 AS (
+      SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+             len(trim(parts[i])) >= 1 AS act
+      FROM lines
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM l2
+    ),
+    kept AS (SELECT * FROM ranked WHERE NOT act OR rn = 1)
+    SELECT k.doc_id,
+           CAST(len(t.parts) AS BIGINT) AS n_lines,
+           CAST(len(t.parts) - COUNT(*) AS BIGINT) AS n_lines_dropped,
+           string_agg(k.line, ' ' ORDER BY k.pos) AS clean_text
+    FROM kept k JOIN t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.parts ORDER BY k.doc_id
+    """,
+)
+def q43_linedup(spark, sf_dir):
+    from engine.ops.linedup import dedup_lines
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_lines(docs, scope="doc", sep=" ")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        F.col("text").alias("clean_text"),
+    ).orderBy("doc_id")

@@ -80,6 +80,20 @@ def test_min_chars_exempts_short_lines(spark):
     assert out["n_lines_dropped"] == 1
 
 
+def test_custom_separator_tokens(spark):
+    """sep=' ' + scope='doc' = within-doc token dedup; separators with
+    regex metacharacters are treated literally."""
+    rows = [("t1", "a b a c b a"), ("t2", "x.y.x.z", )]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs, scope="doc", sep=" ").collect()}
+    assert out["t1"] == "a b c"
+    outdot = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(docs, scope="doc", sep=".").collect()
+    }
+    assert outdot["t2"] == "x.y.z"  # '.' split literally, not as regex
+
+
 def test_plan_is_keyed_never_cartesian(spark):
     from tests.test_plans import plan
 

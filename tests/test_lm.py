@@ -214,6 +214,21 @@ def test_curate_job_lm_filter(spark, tmp_path):
     assert res2["kept"] == res["kept"]
 
 
+def test_ppl_buckets_head_middle_tail(spark, lm):
+    from engine.ops.lm import ppl_buckets
+
+    docs = spark.createDataFrame(SCORE, ["doc_id", "text"])
+    scored = score_stupid_backoff(docs, lm)
+    out = {r["doc_id"]: r["ppl_bucket"] for r in ppl_buckets(scored).collect()}
+    assert out["d5"] is None  # empty doc: NULL logppl -> NULL bucket
+    assert out["d1"] == "head"  # most in-domain text
+    assert out["d2"] == "tail"  # gibberish
+    vals = [v for v in out.values() if v is not None]
+    assert set(vals) <= {"head", "middle", "tail"}
+    # thirds over 5 scored docs: every bucket non-empty
+    assert {"head", "middle", "tail"} == set(vals)
+
+
 def test_empty_model_raises(spark):
     docs = spark.createDataFrame([("e1", "")], ["doc_id", "text"])
     lm0 = train_stupid_backoff(docs)
