@@ -41,6 +41,33 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
     write_table(df, path, partition_by=partition_by, mode="overwrite")
 
 
+def delete_partition(table_path: str, partition: dict[str, object]) -> None:
+    """Drop one hive partition directory (Iceberg's
+    ``ALTER TABLE ... DROP PARTITION`` / delete-with-predicate
+    equivalent). Dynamic overwrite can only REPLACE partitions that
+    appear in the written frame — a partition whose every row was
+    superseded must be dropped explicitly or stale rows stay live.
+
+    Local filesystem only, and deletion failures RAISE: silently
+    keeping a superseded partition violates latest-wins for every
+    reader. On object stores / HDFS this must go through the table
+    format's delete API — refusing loudly beats a silent no-op."""
+    import os
+    import shutil
+
+    if "://" in table_path:
+        raise NotImplementedError(
+            f"delete_partition on {table_path!r}: non-local table paths "
+            "need the table format's drop-partition API (Iceberg "
+            "overwritePartitions/DROP PARTITION) — no jar in this sandbox"
+        )
+    sub = os.path.join(
+        table_path, *(f"{k}={v}" for k, v in partition.items())
+    )
+    if os.path.exists(sub):
+        shutil.rmtree(sub)  # raises on failure, by design
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -44,64 +44,95 @@ def observe_extraction(
     return observed, obs
 
 
-def lineage_map_in_pandas(run_id: str):
+def lineage_map_in_pandas(run_id: str, by: str | None = None):
     """Returns a mapInPandas fn over extracted rows that emits one
-    lineage trailer row per task partition."""
+    lineage trailer row per task partition — or, with `by`, one row
+    per distinct `by` value per task (so trailers can be written into
+    a table PARTITIONED by that key: jobs/ingest.py partitions lineage
+    by pbucket, making re-done work units overwrite exactly their own
+    trailer rows regardless of how buckets are batched)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
-        n_rows = n_ok = n_err = bytes_in = 0
-        paths = {"html": 0, "pdf_text": 0, "pdf_ocr": 0}
+        groups: dict = {}
+
+        def acc(key):
+            return groups.setdefault(
+                key,
+                {
+                    "n_rows": 0, "n_ok": 0, "n_err": 0, "bytes_in": 0,
+                    "paths": {"html": 0, "pdf_text": 0, "pdf_ocr": 0},
+                },
+            )
+
         for pdf in batches:
-            n_rows += len(pdf)
-            err_mask = pdf["error"].notna()
-            n_err += int(err_mask.sum())
-            n_ok += int((~err_mask).sum())
-            if "n_chars" in pdf:
-                bytes_in += int(pdf["n_chars"].fillna(0).sum())
-            vc = pdf["path"].value_counts()
-            for k in paths:
-                paths[k] += int(vc.get(k, 0))
+            for key, sub in (
+                [(None, pdf)] if by is None else pdf.groupby(by, sort=True)
+            ):
+                g = acc(key)
+                g["n_rows"] += len(sub)
+                err_mask = sub["error"].notna()
+                g["n_err"] += int(err_mask.sum())
+                g["n_ok"] += int((~err_mask).sum())
+                if "n_chars" in sub:
+                    g["bytes_in"] += int(sub["n_chars"].fillna(0).sum())
+                vc = sub["path"].value_counts()
+                for k in g["paths"]:
+                    g["paths"][k] += int(vc.get(k, 0))
+        if by is not None and not groups:
+            return  # empty task: no trailer rows
+        if not groups:
+            acc(None)  # keep the one-trailer-per-task shape
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        yield pd.DataFrame(
-            [
+        wall = int((time.monotonic() - t0) * 1000)
+        rows = []
+        for key in sorted(groups, key=lambda k: (k is None, k)):
+            g = groups[key]
+            paths = g["paths"]
+            rows.append(
                 (
                     run_id,
                     pid,
-                    n_rows,
-                    n_ok,
-                    n_err,
-                    bytes_in,
+                    g["n_rows"],
+                    g["n_ok"],
+                    g["n_err"],
+                    g["bytes_in"],
                     paths["html"],
                     paths["pdf_text"],
                     paths["pdf_ocr"],
-                    int((time.monotonic() - t0) * 1000),
+                    wall,
                     # §1.2 shape: per-path counters ALSO as a proper
                     # map<string,long> column (flat columns kept for
                     # cheap dashboard scans; the map is what a
                     # variable-path deployment consumes)
                     dict(sorted(paths.items())),
                 )
-            ],
-            columns=[
-                "run_id",
-                "partition_id",
-                "n_rows",
-                "n_ok",
-                "n_err",
-                "bytes_in",
-                "n_html",
-                "n_pdf_text",
-                "n_pdf_ocr",
-                "wall_ms",
-                "path_counts",
-            ],
-        )
+                + (() if by is None else (key,))
+            )
+        cols = [
+            "run_id",
+            "partition_id",
+            "n_rows",
+            "n_ok",
+            "n_err",
+            "bytes_in",
+            "n_html",
+            "n_pdf_text",
+            "n_pdf_ocr",
+            "wall_ms",
+            "path_counts",
+        ] + ([] if by is None else [by])
+        yield pd.DataFrame(rows, columns=cols)
 
     return fn
 
 
-def build_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
-    cols = extracted.select("path", "error", "n_chars")
-    return cols.mapInPandas(lineage_map_in_pandas(run_id), LINEAGE_DDL)
+def build_lineage(
+    extracted: DataFrame, run_id: str, by: str | None = None
+) -> DataFrame:
+    sel = ["path", "error", "n_chars"] + ([by] if by else [])
+    ddl = LINEAGE_DDL if by is None else f"{LINEAGE_DDL}, {by} int"
+    return extracted.select(*sel).mapInPandas(
+        lineage_map_in_pandas(run_id, by=by), ddl
+    )

@@ -51,6 +51,7 @@ def contamination_screen(
     probe_text_col: str = "text",
     n: int = DEFAULT_N,
     adaptive_n: bool = True,
+    min_n: int = 2,
 ) -> DataFrame:
     """docs + probe set -> (id, n_hits, contaminated).
 
@@ -69,14 +70,28 @@ def contamination_screen(
     contaminated counts are an over- rather than under-estimate.
     Computing n_eff costs one action over the probe table, which is
     thousands of rows per eval suite — never corpus-scale.
+
+    n_eff is floored at min_n (default 2) and DEGENERATE probes
+    (fewer than min_n tokens: empty strings, lone words) are ignored
+    when computing it — otherwise one bad probe row would collapse
+    the whole screen to unigram matching and flag essentially every
+    doc. Degenerate probes still participate in matching via their
+    full-token-run hash (they can only match a doc whose entire run
+    equals them), so they are safe, just not allowed to set n_eff.
     """
     n_eff = n
     if adaptive_n:
-        shortest = probes.agg(
-            F.min(F.size(F.split(F.lower(F.trim(F.col(probe_text_col))), r"\s+")))
-        ).first()[0]
+        tok_count = F.size(
+            F.split(F.lower(F.trim(F.col(probe_text_col))), r"\s+")
+        )
+        shortest = (
+            probes.select(tok_count.alias("_tc"))
+            .filter(F.col("_tc") >= int(min_n))
+            .agg(F.min("_tc"))
+            .first()[0]
+        )
         if shortest is not None:
-            n_eff = max(1, min(n, int(shortest)))
+            n_eff = max(int(min_n), min(n, int(shortest)))
     ph = F.broadcast(probe_hashes(probes, probe_text_col, n_eff))
     grams = docs.select(
         F.col(id_col), F.explode(ngram_hash_col(text_col, n_eff)).alias("h")

@@ -18,10 +18,15 @@ Scale notes:
     INSIDE its key, so buckets above `hot_bucket_cap` occupancy are
     star-paired instead (every member pairs with the bucket minimum):
     fan-out drops n(n-1)/2 -> n-1 per hot bucket while connected-
-    components clustering over the pairs is IDENTICAL (all members
+    components clustering over the RAW pairs is IDENTICAL (all members
     stay linked through the minimum). Pair-level consumers see fewer
     raw pairs from hot buckets — a disclosed precision/recall
-    trade-off, not a silent drop.
+    trade-off, not a silent drop. CAVEAT: if a verification filter
+    (jaccard_verify, or simhash hamming) runs BETWEEN star-pairing and
+    clustering, members whose only link was a star pair that fails
+    verification end up in separate clusters — the cap + verify
+    combination trades hot-bucket recall for boundedness (see
+    jobs/dedup.py --hot-bucket-cap help).
   * verification joins text onto the PAIRS (a small fraction of docs),
     so the heavy text column crosses a shuffle only pairs-many times,
     twice — never docs x docs.
@@ -361,7 +366,11 @@ def passage_neardup_doc_pairs(
     (chunk id = doc + "\\x1f" + position, so the doc of a chunk is a
     substring — no join back to the chunks table), drops same-doc
     chunk pairs, and aggregates to (doc_a, doc_b, n_shared, frac_a,
-    frac_b): how many of each doc's chunks matched. doc_a < doc_b.
+    frac_b). doc_a < doc_b; n_shared counts matching CHUNK PAIRS
+    between the two docs, while frac_a/frac_b are each side's
+    DISTINCT matched chunks over its chunk count (so three near-
+    identical chunks in B all matching A's one chunk give n_shared=3
+    but frac_a=1.0, never an impossible 3.0).
 
     Scale shape inherits minhash_candidate_pairs (banded equi-join +
     hot-bucket star-pairing; under star-pairing a hot boilerplate
@@ -380,13 +389,21 @@ def passage_neardup_doc_pairs(
     )
     da = F.substring_index("doc_a", "\x1f", 1)
     db = F.substring_index("doc_b", "\x1f", 1)
+    lt = da < db  # orient each chunk pair so chunk ids follow docs
     doc_pairs = (
         pairs.filter(da != db)
         .select(
-            F.least(da, db).alias("doc_a"), F.greatest(da, db).alias("doc_b")
+            F.least(da, db).alias("doc_a"),
+            F.greatest(da, db).alias("doc_b"),
+            F.when(lt, F.col("doc_a")).otherwise(F.col("doc_b")).alias("_ca"),
+            F.when(lt, F.col("doc_b")).otherwise(F.col("doc_a")).alias("_cb"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.countDistinct("_ca").alias("_na"),
+            F.countDistinct("_cb").alias("_nb"),
+        )
         .filter(F.col("n_shared") >= min_shared)
     )
     counts = chunks.groupBy(F.col(doc_col).alias("_d")).agg(
@@ -394,10 +411,10 @@ def passage_neardup_doc_pairs(
     )
     return (
         doc_pairs.join(counts.withColumnRenamed("_d", "doc_a"), "doc_a")
-        .withColumn("frac_a", F.col("n_shared") / F.col("_n"))
+        .withColumn("frac_a", F.col("_na") / F.col("_n"))
         .drop("_n")
         .join(counts.withColumnRenamed("_d", "doc_b"), "doc_b")
-        .withColumn("frac_b", F.col("n_shared") / F.col("_n"))
+        .withColumn("frac_b", F.col("_nb") / F.col("_n"))
         .drop("_n")
         .select("doc_a", "doc_b", "n_shared", "frac_a", "frac_b")
     )

@@ -233,9 +233,6 @@ def upsert_latest(spark, table_path: str, incoming: DataFrame) -> dict:
     Idempotent (latest-wins is a semilattice): re-running the same
     upsert after a crash converges to the same table.
     """
-    import os
-    import shutil
-
     # partition-column inference reads day=yyyy-MM-dd dirs back as DATE;
     # the pipeline's day column is a string — normalize so the affected-
     # partition set and the semi-join compare like with like
@@ -283,11 +280,12 @@ def upsert_latest(spark, table_path: str, incoming: DataFrame) -> dict:
         for r in out.select("day", "pbucket").distinct().collect()
     }
     emptied = aff - written
+    from engine.io.tables import delete_partition
+
     for day, pb in emptied:
-        shutil.rmtree(
-            os.path.join(table_path, f"day={day}", f"pbucket={pb}"),
-            ignore_errors=True,
-        )
+        # through the table seam: raises on failure / non-local paths
+        # (a silently-kept superseded partition violates latest-wins)
+        delete_partition(table_path, {"day": day, "pbucket": pb})
     return {"affected_partitions": len(aff), "emptied_partitions": len(emptied)}
 
 

@@ -143,8 +143,12 @@ def _make_host_stats_fn(ttl_ms: int | None):
             n_docs += len(pdf)
             n_chars += int(pdf["n_chars"].fillna(0).sum())
             if ttl_ms is not None and len(pdf):
-                # naive ts are UTC here (session tz pinned to UTC)
-                max_ts = max(max_ts, int(pdf["warc_ts"].max().timestamp() * 1000))
+                # naive ts are UTC here (session tz pinned to UTC);
+                # dropna: an all-null warc_ts group must not feed
+                # NaT.timestamp()
+                ts = pdf["warc_ts"].dropna()
+                if len(ts):
+                    max_ts = max(max_ts, int(ts.max().timestamp() * 1000))
         state.update((n_docs, n_chars))
         if ttl_ms is not None:
             # idle-in-EVENT-time eviction: timeout = this key's latest
@@ -186,7 +190,7 @@ def host_running_stats(
 
 # --- Streaming near-dup, incremental: growing per-bucket state index --------
 
-NEARDUP_STATE_SCHEMA = "ids array<string>"
+NEARDUP_STATE_SCHEMA = "ids array<string>, overflow array<string>"
 NEARDUP_OUT_SCHEMA = "url string, matched_id string, band int"
 
 # Occupancy cap for a streaming LSH bucket's state: once a bucket holds
@@ -211,9 +215,12 @@ def _make_neardup_bucket_fn(bucket_cap: int | None, ttl_ms: int | None):
             state.remove()  # bucket idle past the event-time TTL
             yield pd.DataFrame([], columns=cols)
             return
-        (ids,) = state.get if state.exists else ([],)
-        ids = list(ids)
+        ids, overflow = (
+            state.get if state.exists else ([], [])
+        )
+        ids, overflow = list(ids), list(overflow or [])
         seen = set(ids)
+        seen.update(overflow)
         out = []
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         # deterministic within-batch order: arrival time, then id
@@ -222,19 +229,29 @@ def _make_neardup_bucket_fn(bucket_cap: int | None, ttl_ms: int | None):
             if r.doc_id in seen:
                 continue  # re-capture of a known doc: nothing new
             if bucket_cap is not None and len(ids) >= bucket_cap:
-                # saturated: link to the bucket's first occupant only
+                # saturated: link to the bucket's first occupant only,
+                # and REMEMBER the doc in a bounded FIFO so later-batch
+                # re-captures do not re-emit the same star link (beyond
+                # the FIFO horizon a re-capture re-emits — at-least-
+                # once for deeply saturated buckets, disclosed)
                 out.append((r.doc_id, ids[0], key[0]))
-                seen.add(r.doc_id)  # still dedup re-captures in-batch
+                seen.add(r.doc_id)
+                overflow.append(r.doc_id)
+                if len(overflow) > bucket_cap:
+                    overflow.pop(0)
                 continue
             out.extend((r.doc_id, m, key[0]) for m in ids)
             ids.append(r.doc_id)
             seen.add(r.doc_id)
-        state.update((ids,))
+        state.update((ids, overflow))
         if ttl_ms is not None:
             # evict when the bucket has been idle ttl_ms of EVENT time
             # (see _make_host_stats_fn on why this keys off the rows'
-            # own max event time rather than the current watermark)
-            max_ts = int(rows["warc_ts"].max().timestamp() * 1000)
+            # own max event time rather than the current watermark).
+            # dropna: warc_ts is nullable — an all-null group must not
+            # feed NaT.timestamp() (it would kill the query)
+            ts = rows["warc_ts"].dropna()
+            max_ts = int(ts.max().timestamp() * 1000) if len(ts) else 0
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(max_ts, wm + 1) + ttl_ms)
         yield pd.DataFrame(out, columns=cols)

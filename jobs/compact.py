@@ -109,6 +109,19 @@ def compact(
     if not plan:
         return {"partitions": 0, "files_before": 0, "files_planned": 0}
     part_cols = plan[0]["cols"]
+    if not part_cols:
+        # unpartitioned table: in-place compaction would be one
+        # non-atomic whole-table overwrite (unbounded blast radius on
+        # crash, unlike the per-partition dynamic overwrite below).
+        # Disclosed no-op — rewrite flat tables to a NEW location
+        # instead (read_table(...).repartition(k).write.parquet(dst)).
+        return {
+            "partitions": 0,
+            "files_before": sum(p["n_files"] for p in plan),
+            "files_planned": 0,
+            "skipped": "unpartitioned table: compact by rewriting to a "
+            "new location",
+        }
 
     from engine.io.tables import overwrite_partitions, read_table
 

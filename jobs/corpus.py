@@ -73,9 +73,9 @@ def _stage_done(out_dir: str, manifest: dict, stage: str, table: str) -> bool:
 
 
 def run(args) -> dict:
-    for a in _parser()._actions:
-        if a.dest != "help" and not hasattr(args, a.dest):
-            setattr(args, a.dest, a.default)
+    from engine.cli import fill_defaults
+
+    fill_defaults(args, _parser())
     spark = get_spark(
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,

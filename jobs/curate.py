@@ -47,12 +47,9 @@ from engine.session import get_spark  # noqa: E402
 
 
 def run(args) -> dict:
-    # fill anything a programmatic caller's namespace omits with the
-    # CLI defaults, so run(SimpleNamespace(input=..., output=...))
-    # stays a stable API as flags are added
-    for a in _parser()._actions:
-        if a.dest != "help" and not hasattr(args, a.dest):
-            setattr(args, a.dest, a.default)
+    from engine.cli import fill_defaults
+
+    fill_defaults(args, _parser())
     spark = get_spark(
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,

@@ -171,7 +171,11 @@ def main() -> None:
         type=int,
         default=256,
         help="LSH buckets above this occupancy are star-paired instead "
-        "of all-pairs joined (0 disables; clustering is unaffected)",
+        "of all-pairs joined (0 disables). Clustering over RAW pairs is "
+        "unaffected; combined with --verify-jaccard (or simhash hamming "
+        "filtering) it can split hot-bucket clusters, because members "
+        "linked only through a star pair that fails verification lose "
+        "their path to each other — a disclosed recall trade-off",
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -86,6 +86,9 @@ def _batches(n_batches: int) -> list[list[str]]:
 
 
 def run(args) -> dict:
+    from engine.cli import fill_defaults
+
+    fill_defaults(args, _parser())
     spark = get_spark(
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
@@ -155,13 +158,18 @@ def run(args) -> dict:
             partition_by=["pbucket"],
         )
 
-        lineage = build_lineage(extracted_rd, args.run_id).withColumn(
-            "pbatch", F.lit(bi)
-        )
+        # lineage partitioned by the STABLE bucket key, not the batch
+        # index: a resume (or rerun) with a different --commit-batches
+        # regroups buckets into different batches, and a batch-index
+        # partition key would then dynamic-overwrite other batches'
+        # committed trailers. Keyed by pbucket, a re-done bucket
+        # overwrites exactly its own lineage rows, mirroring the data
+        # commit.
+        lineage = build_lineage(extracted_rd, args.run_id, by="pbucket")
         write_table(
             lineage,
             os.path.join(args.output, "lineage"),
-            partition_by=["run_id", "pbatch"],
+            partition_by=["run_id", "pbucket"],
         )
 
         if args.upsert_into:
@@ -190,7 +198,7 @@ def run(args) -> dict:
     return result
 
 
-def main() -> None:
+def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--input", default=None, help="pages parquet (else synthesize)")
     p.add_argument("--n-pages", type=int, default=5000)
@@ -222,7 +230,11 @@ def main() -> None:
         "before the per-url dedup key is formed",
     )
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    run(p.parse_args())
+    return p
+
+
+def main() -> None:
+    run(_parser().parse_args())
 
 
 if __name__ == "__main__":

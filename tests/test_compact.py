@@ -167,3 +167,20 @@ def test_compact_single_level_partition_layout(spark, tmp_path):
         F.count(F.lit(1)), F.sum(F.length("url"))
     ).collect()
     assert after == before
+
+
+def test_compact_unpartitioned_table_is_disclosed_noop(spark, tmp_path):
+    """A flat (unpartitioned) parquet table must not crash the planner
+    (round-3 review finding): in-place compaction would be one
+    non-atomic whole-table overwrite, so it is a disclosed no-op."""
+    from jobs.compact import compact
+
+    path = str(tmp_path / "flat")
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS v").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    before = sorted(p.name for p in (tmp_path / "flat").glob("part-*"))
+    res = compact(spark, path, target_bytes=1 << 30)
+    assert res["partitions"] == 0 and "skipped" in res
+    after = sorted(p.name for p in (tmp_path / "flat").glob("part-*"))
+    assert after == before  # untouched

@@ -92,3 +92,31 @@ def test_corpus_side_never_shuffles(spark):
     # AQE replaced) — assert on the final section only
     final = final.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final, final
+
+
+def test_degenerate_probe_does_not_collapse_n_eff(spark):
+    """A single empty/one-token probe row must not drop the whole
+    screen to unigram matching (round-3 review finding): n_eff is
+    floored at min_n=2 and degenerate probes are excluded from the
+    shortest-probe computation. The degenerate probe itself still
+    matches via its full-token-run hash."""
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny probe text"),
+            (2, "shares only the word probe with everything"),
+            (3, "prefix words then tiny probe text hidden inside prose"),
+            (4, "probe"),  # whole run == the degenerate probe
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("tiny probe text",), ("probe",), ("",)], "text string"
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_screen(docs, probes).collect()
+    }
+    # n_eff = 2 (floored; degenerate probes ignored): doc 2 shares only
+    # a unigram -> clean; docs 1 and 3 contain the 2-gram "tiny probe";
+    # doc 4's entire run equals the 1-token probe -> caught
+    assert got == {1: True, 2: False, 3: True, 4: True}

@@ -321,3 +321,20 @@ def test_passage_neardup_doc_pairs(spark):
         for r in passage_neardup_doc_pairs(chunks, min_shared=1).collect()
     }
     assert got1[("docA", "docC")] == 1 and got1[("docB", "docC")] == 1
+
+
+def test_passage_fracs_are_distinct_chunk_based(spark):
+    """Round-3 review finding: three identical chunks in F matching
+    E's single chunk gave frac_e = 3/1 = 3.0 when fractions counted
+    PAIRS; they must count DISTINCT matched chunks per side."""
+    from engine.ops.dedup import passage_neardup_doc_pairs
+
+    passage = "an identical boilerplate passage repeated verbatim everywhere"
+    rows = [("docE", 0, passage)] + [("docF", i, passage) for i in range(3)]
+    chunks = spark.createDataFrame(rows, ["url", "chunk_ix", "chunk_text"])
+    got = passage_neardup_doc_pairs(chunks, min_shared=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == ("docE", "docF")
+    assert r["n_shared"] == 3  # pair count, disclosed semantics
+    assert r["frac_a"] == 1.0 and r["frac_b"] == 1.0  # never > 1

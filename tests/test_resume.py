@@ -153,3 +153,52 @@ def test_fully_resumed_rerun_is_a_noop(spark, tmp_path):
         "pdf_ocr_rows": 0,
         "total_chars": 0,
     }
+
+
+def test_resume_with_different_commit_batches_keeps_lineage_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Lineage is partitioned by the STABLE bucket key (pbucket), not
+    the batch index: resuming a crashed run with a DIFFERENT
+    --commit-batches regroups buckets into different batches, and a
+    batch-index partition key would dynamic-overwrite other batches'
+    committed trailers (round-3 review finding). sum(n_rows) over
+    lineage must still equal the extracted row count."""
+    import jobs.ingest as ingest
+
+    out = str(tmp_path / "rebatch")
+    real_write = ingest.write_table
+    calls = {"n": 0}
+
+    def dying_write(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 5:  # batch 1 committed, batch 2 in flight
+            raise RuntimeError("simulated mid-run crash")
+        return real_write(*a, **kw)
+
+    monkeypatch.setattr(ingest, "write_table", dying_write)
+    with pytest.raises(RuntimeError, match="simulated mid-run crash"):
+        ingest.run(_ingest_args(out, commit_batches=4))
+    assert len(checkpoint.load_done_keys(out, "r1")) == 16
+
+    monkeypatch.setattr(ingest, "write_table", real_write)
+    # resume with a DIFFERENT batching of the remaining 48 buckets
+    ingest.run(_ingest_args(out, resume=True, commit_batches=3))
+    assert checkpoint.load_done_keys(out, "r1") == {str(k) for k in range(64)}
+
+    n_docs = spark.read.parquet(f"{out}/extracted").count()
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.agg(F.sum("n_rows")).first()[0] == n_docs
+    # per-bucket: each pbucket's lineage rows cover exactly its docs
+    ex_per = {
+        r["pbucket"]: r["n"]
+        for r in spark.read.parquet(f"{out}/extracted")
+        .groupBy("pbucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    lin_per = {
+        r["pbucket"]: r["n"]
+        for r in lin.groupBy("pbucket").agg(F.sum("n_rows").alias("n")).collect()
+    }
+    assert lin_per == ex_per

@@ -596,3 +596,85 @@ def test_stateful_ops_on_rocksdb_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing state fns."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def _run_bucket_fn(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "warc_ts", "band", "bh"])
+    return list(fn(("b", 1), iter([pdf]), state))[0]
+
+
+def test_saturated_bucket_recapture_does_not_reemit(spark):
+    """Round-3 review finding: an arrival past bucket_cap used to be
+    forgotten after its batch, so every later re-capture re-emitted
+    the same star link. The bounded overflow FIFO suppresses that."""
+    import datetime as dt
+
+    from engine.streaming import _make_neardup_bucket_fn
+
+    fn = _make_neardup_bucket_fn(bucket_cap=2, ttl_ms=1000)
+    ts = dt.datetime(2025, 5, 1)
+    st = _FakeState()
+    out1 = _run_bucket_fn(
+        fn, st, [(f"d{i}", ts, 0, 1) for i in range(4)]
+    )  # d0,d1 fill the bucket; d2,d3 overflow with one star link each
+    assert len(out1) == 3  # d1->d0, d2->d0 star, d3->d0 star
+    # batch 2: re-capture of the overflowed d3 -> NOTHING re-emitted
+    out2 = _run_bucket_fn(fn, st, [("d3", ts, 0, 1)])
+    assert len(out2) == 0
+    # a genuinely new overflow doc still emits its one star link
+    out3 = _run_bucket_fn(fn, st, [("d9", ts, 0, 1)])
+    assert list(out3.itertuples(index=False))[0][:2] == ("d9", "d0")
+    # state stayed bounded: ids at cap, overflow FIFO at cap
+    ids, overflow = st.get
+    assert len(ids) == 2 and len(overflow) <= 2
+
+
+def test_all_null_event_times_do_not_kill_state_fns(spark):
+    """Round-3 review finding: NaT.timestamp() raised inside the state
+    fns when a group's warc_ts values were all NULL."""
+    import pandas as pd
+
+    from engine.streaming import _make_host_stats_fn, _make_neardup_bucket_fn
+
+    fn = _make_neardup_bucket_fn(bucket_cap=4, ttl_ms=1000)
+    st = _FakeState()
+    out = _run_bucket_fn(fn, st, [("d0", pd.NaT, 0, 1), ("d1", pd.NaT, 0, 1)])
+    assert len(out) == 1  # d1 -> d0; no crash
+    assert st.timeout == 1 + 1000  # wm+1 fallback
+
+    hfn = _make_host_stats_fn(ttl_ms=1000)
+    hst = _FakeState()
+    pdf = pd.DataFrame({"host": ["h"], "n_chars": [10], "warc_ts": [pd.NaT]})
+    rows = list(hfn(("h",), iter([pdf]), hst))[0]
+    assert int(rows["n_docs"].iloc[0]) == 1  # no crash
