@@ -97,20 +97,38 @@ def train_stupid_backoff(
     # reference, not the split+filter expression (see _grams docstring)
     toked = docs.select(lm_tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
-    c1 = (
-        toked.select(F.explode(toks).alias("uni"))
-        .groupBy("uni")
-        .agg(F.count(F.lit(1)).alias("count1"))
+
+    # ONE corpus pass and ONE shuffle for all three orders: tag every
+    # gram with its order inside an array concat, explode once, count
+    # once. (Three separate explode+groupBy chains would scan the
+    # corpus three more times than necessary at 100 TB.) The counts
+    # table is model-sized; localCheckpoint marks the materialization
+    # seam — at 10^12 docs write it to storage instead (save_lm).
+    def tag(arr: Column, order: int) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(order).cast("int").alias("n"), g.alias("gram")
+            ),
+        )
+
+    all_grams = F.concat(
+        tag(toks, 1), tag(_grams(toks, 2), 2), tag(_grams(toks, 3), 3)
     )
-    c2 = (
-        toked.select(F.explode(_grams(toks, 2)).alias("bi"))
-        .groupBy("bi")
-        .agg(F.count(F.lit(1)).alias("count2"))
+    counts = (
+        toked.select(F.explode(all_grams).alias("g"))
+        .groupBy(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    c3 = (
-        toked.select(F.explode(_grams(toks, 3)).alias("tri"))
-        .groupBy("tri")
-        .agg(F.count(F.lit(1)).alias("count3"))
+    c1 = counts.filter("n = 1").select(
+        F.col("gram").alias("uni"), F.col("cnt").alias("count1")
+    )
+    c2 = counts.filter("n = 2").select(
+        F.col("gram").alias("bi"), F.col("cnt").alias("count2")
+    )
+    c3 = counts.filter("n = 3").select(
+        F.col("gram").alias("tri"), F.col("cnt").alias("count3")
     )
     n_tokens = c1.agg(F.sum("count1").alias("n")).collect()[0]["n"] or 0
     # context counts: first (n-1) space-separated fields of the gram.
