@@ -101,6 +101,10 @@ class _Extractor(HTMLParser):
         if not self._open:
             return
         seg = self._open[-1]
+        if not seg.parts:  # nothing buffered: only the order advances
+            seg.linked = 0
+            seg.order = self._next_order()
+            return
         # " ".join(split()) == _WS_RE.sub(" ", ...).strip(): verified
         # char-for-char over the BMP (same Py_UNICODE_ISSPACE set), ~3x faster
         text = " ".join("".join(seg.parts).split())
