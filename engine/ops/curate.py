@@ -23,6 +23,18 @@ STOPWORDS = (
     "this had not are but from or have an"
 ).split()
 
+# shared by the n_pii metric and redact_pii: high-recall by design —
+# a curation pipeline redacts or drops on ANY hit, so false positives
+# cost a token, false negatives leak PII
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# phone-SHAPED only: either separators/parens are present, or the
+# bare run is exactly 10 digits. Both ends digit-guarded so the
+# tail of a timestamp/ISBN/order-id digit run never matches.
+PHONE_RE = (
+    r"(?<!\d)(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)"
+    r"|(?<!\d)\d{10}(?!\d)"
+)
+
 DEFAULT_RULES: dict[str, tuple[float, float]] = {
     # metric -> (min, max) inclusive bounds
     "n_tokens": (20, 100_000),
@@ -56,23 +68,9 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     n_symbols = n_chars - F.length(
         F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
     )
-    # PII screens (counts, JVM regexp_count): emails and phone-shaped
-    # digit runs. Deliberately high-recall patterns — a curation
-    # pipeline redacts or drops on ANY hit, so false positives cost a
-    # doc, false negatives leak PII.
-    n_emails = F.regexp_count(
-        text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
-    )
-    # phone-SHAPED only: either separators/parens are present, or the
-    # bare run is exactly 10 digits. Both ends digit-guarded so the
-    # tail of a timestamp/ISBN/order-id digit run never matches.
-    n_phones = F.regexp_count(
-        text,
-        F.lit(
-            r"(?<!\d)(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)"
-            r"|(?<!\d)\d{10}(?!\d)"
-        ),
-    )
+    # PII screens (counts; the rewrite counterpart is redact_pii below)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(text, F.lit(PHONE_RE))
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 4)
     ).otherwise(F.lit(0.0))
@@ -138,3 +136,28 @@ def curate(
         )
     out = out.withColumn("reasons", F.array_compact(F.array(*reason_cols)))
     return out.withColumn("keep", F.size("reasons") == 0)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Rewrite text_col with emails/phone-shaped runs replaced by
+    sentinel tokens — the redact-instead-of-drop arm of the n_pii
+    policy (keeps the document, removes the PII). Same pinned
+    patterns as the metric, so redact_pii followed by curate() always
+    yields n_pii = 0. Adds n_redacted. Map-only: two JVM
+    regexp_replace calls, no shuffle, no Python."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    after_email = F.regexp_replace(text, EMAIL_RE, email_token)
+    # phones counted on the post-email text: exactly what the second
+    # replace will touch (an email whose charset overlapped a digit
+    # run must not double- or under-count)
+    n_red = F.regexp_count(text, F.lit(EMAIL_RE)) + F.regexp_count(
+        after_email, F.lit(PHONE_RE)
+    )
+    return docs.withColumn("n_redacted", n_red.cast("long")).withColumn(
+        text_col, F.regexp_replace(after_email, PHONE_RE, phone_token)
+    )

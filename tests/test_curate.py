@@ -171,3 +171,37 @@ def test_repetition_screens(spark):
     assert got[1][0] == 0.0 and got[1][1] is True
     assert got[2][0] == 0.9 and "dup_line_frac" in got[2][2]
     assert got[3][0] == 0.0 and got[3][1] is True  # no newlines at all
+
+
+def test_redact_pii_rewrites_and_zeroes_the_metric(spark):
+    from engine.ops.curate import quality_metrics, redact_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or (555) 123-4567 ok"),
+        (2, "order 12345678901234 shipped"),  # 14 digits: not a phone
+        (3, "bare ten 5551234567 digits"),
+        (4, "no pii here at all"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_redacted"]) for r in redact_pii(docs).collect()}
+    assert out[1] == ("contact me at <EMAIL> or <PHONE> ok", 2)
+    assert out[2] == ("order 12345678901234 shipped", 0)
+    assert out[3] == ("bare ten <PHONE> digits", 1)
+    assert out[4] == ("no pii here at all", 0)
+    assert out[5] == ("", 0)
+    # redact -> metric: n_pii is zero for every doc
+    n_pii = {
+        r["doc_id"]: r["n_pii"]
+        for r in quality_metrics(redact_pii(docs)).collect()
+    }
+    assert set(n_pii.values()) == {0}
+
+
+def test_redact_pii_is_map_only(spark):
+    from engine.ops.curate import redact_pii
+    from tests.test_plans import plan
+
+    docs = spark.range(5).selectExpr("id AS doc_id", "'x a@b.cc y' AS text")
+    p = plan(redact_pii(docs))
+    assert "Exchange" not in p, p
