@@ -190,11 +190,26 @@ def main() -> None:
         "q36_ann_lsh_bucket_topk",
         "q39_salted_skew_join",
         "q41_embed_neardup_pairs",
-        "x04_minhash_lsh_pairs",
-        "x05_simhash_pairs",
     ):
         fn, _oracle = ALL[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    # hash-banded near-dup candidates, timed per banding family (the
+    # registry consolidated them into one x04_neardup_pairs entry for
+    # the driver's 50-entry recording cap; the bench keeps the r1/r2
+    # per-method timing keys for round-over-round comparability)
+    from engine.ops.dedup import minhash_candidate_pairs, simhash_candidate_pairs
+    from engine.queries import T as _T
+
+    bench_docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    timed(
+        "x04_minhash_lsh_pairs",
+        lambda: minhash_candidate_pairs(bench_docs, n_bands=8, rows_per_band=4).count(),
+    )
+    timed(
+        "x05_simhash_pairs",
+        lambda: simhash_candidate_pairs(bench_docs, max_hamming=8).count(),
+    )
 
     # end-to-end dedup clustering: minhash-banded candidate pairs ->
     # connected components (large-star/small-star) -> canonical doc
@@ -202,8 +217,11 @@ def main() -> None:
         from engine.ops.graph import dedup_clusters
         from engine.queries import T
 
-        fn, _ = ALL["x04_minhash_lsh_pairs"]
-        pairs = fn(spark, sf_dir)
+        pairs = minhash_candidate_pairs(
+            _T(spark, sf_dir, "documents").select("doc_id", "text"),
+            n_bands=8,
+            rows_per_band=4,
+        )
         docs = T(spark, sf_dir, "documents").select("doc_id")
         dedup_clusters(docs, pairs).agg(
             F.count(F.lit(1)), F.sum("is_canonical")

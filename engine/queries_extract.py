@@ -102,33 +102,35 @@ def x02(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Dedup: MinHash + LSH banding over documents (shingle -> minhash ->
-# band hash -> bucket join -> candidate pairs)
+# Dedup: hash-banded near-dup candidate pairs over documents — BOTH
+# banding families in one registry entry (the driver records only the
+# first 50 sorted entries, so round 3 consolidated the former
+# x04_minhash_lsh_pairs + x05_simhash_pairs; the operators themselves
+# are unchanged and separately pinned in tests/test_dedup_job.py):
+#   - minhash: shingle -> minhash -> band hash -> bucket join
+#     (8 bands x 4 rows)
+#   - simhash: 64-bit fingerprint, 4 x 16-bit slice buckets,
+#     hamming <= 8
 # --------------------------------------------------------------------------
-@register("x04_minhash_lsh_pairs")
+@register("x04_neardup_pairs")
 def x04(spark, sf_dir):
-    # 8 bands x 4 rows; the operator itself lives in engine/ops/dedup.py
-    # (shared with jobs/dedup.py)
-    from engine.ops.dedup import minhash_candidate_pairs
+    # operators live in engine/ops/dedup.py (shared with jobs/dedup.py)
+    from engine.ops.dedup import minhash_candidate_pairs, simhash_candidate_pairs
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_candidate_pairs(docs, n_bands=8, rows_per_band=4)
-    return cand.orderBy("doc_a", "doc_b")
-
-
-# --------------------------------------------------------------------------
-# Dedup: SimHash near-dup candidates (hamming<=8 within 16-bit-prefix
-# buckets — the scalable banding trick for hamming space)
-# --------------------------------------------------------------------------
-@register("x05_simhash_pairs")
-def x05(spark, sf_dir):
-    # 4 x 16-bit slices, hamming <= 8; operator in engine/ops/dedup.py
-    # (shared with jobs/dedup.py --method simhash)
-    from engine.ops.dedup import simhash_candidate_pairs
-
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = simhash_candidate_pairs(docs, max_hamming=8)
-    return cand.orderBy("doc_a", "doc_b")
+    mh = minhash_candidate_pairs(docs, n_bands=8, rows_per_band=4).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    sh = simhash_candidate_pairs(docs, max_hamming=8).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("int"),
+    )
+    return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -404,35 +406,39 @@ def _media(spark, sf_dir):
     return gen_media_df(spark, 300)
 
 
-@register("x12_media_features")
+# Both multimodal operators — per-asset feature extraction AND
+# audio frame-sampling fan-out — in one registry entry (the driver
+# records only the first 50 sorted entries, so round 3 consolidated
+# the former x12_media_features + x13_media_frames; the operators are
+# unchanged and separately pinned in tests/test_multimodal.py). The
+# frame fan-out is aggregated per asset and joined back onto the
+# feature table, then rolled up per (kind, decode_status).
+@register("x12_media_pipeline")
 def x12(spark, sf_dir):
-    from engine.ops.media import build_media_features
+    from engine.ops.media import build_media_features, build_media_frames
 
-    feats = build_media_features(_media(spark, sf_dir), num_partitions=8)
+    media = _media(spark, sf_dir)
+    feats = build_media_features(media, num_partitions=8)
+    frames = (
+        build_media_frames(media, hop=256)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_energy").alias("peak_energy"),
+        )
+    )
     return (
-        feats.groupBy("kind", "decode_status")
+        feats.join(frames, "media_id", "left")
+        .groupBy("kind", "decode_status")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("n_bytes").alias("total_bytes"),
             F.count("ahash").alias("n_hashed"),
             F.avg("px_mean").cast("long").alias("avg_px_mean"),
+            F.sum("n_frames").alias("total_frames"),
+            F.max("peak_energy").alias("max_peak_energy"),
         )
         .orderBy("kind", "decode_status")
-    )
-
-
-@register("x13_media_frames")
-def x13(spark, sf_dir):
-    from engine.ops.media import build_media_frames
-
-    frames = build_media_frames(_media(spark, sf_dir), hop=256)
-    return (
-        frames.groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames"),
-            F.max("frame_energy").alias("peak_energy"),
-        )
-        .orderBy("media_id")
     )
 
 

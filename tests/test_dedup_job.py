@@ -12,23 +12,20 @@ SF_001 = "/root/testdata/sf0.001"
 SF_01 = "/root/testdata/sf0.01"
 
 
-def test_x04_matches_shared_operator_pin(spark):
-    """The registry query delegates to minhash_candidate_pairs; pin the
-    sf0.01 result so the refactor is observably identical (25 pairs,
-    CORRECTNESS_r01 value)."""
+def test_x04_matches_shared_operator_pins(spark):
+    """The consolidated registry entry delegates to
+    minhash_candidate_pairs + simhash_candidate_pairs; pin the sf0.01
+    per-method counts so the consolidation is observably the union of
+    the former x04 (25 minhash pairs) and x05 (389 simhash pairs),
+    the CORRECTNESS_r01/r02 values."""
     from engine.queries_extract import ALL
 
-    fn, _ = ALL["x04_minhash_lsh_pairs"]
-    assert fn(spark, SF_01).count() == 25
-
-
-def test_x05_matches_shared_operator_pin(spark):
-    """x05 delegates to simhash_candidate_pairs; pin the sf0.01 result
-    (389 pairs, CORRECTNESS_r01 value)."""
-    from engine.queries_extract import ALL
-
-    fn, _ = ALL["x05_simhash_pairs"]
-    assert fn(spark, SF_01).count() == 389
+    fn, _ = ALL["x04_neardup_pairs"]
+    counts = {
+        r["method"]: r["n"]
+        for r in fn(spark, SF_01).groupBy("method").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"minhash": 25, "simhash": 389}
 
 
 def test_jaccard_verify_matches_bruteforce(spark):

@@ -182,3 +182,21 @@ def test_media_generation_partition_invariant(spark):
         .toPandas()
     )
     assert a.equals(b)
+
+
+def test_x12_media_pipeline_pin(spark):
+    """The consolidated registry entry (former x12_media_features +
+    x13_media_frames, merged to fit the driver's 50-entry record
+    window) is observably the join of both operators: 5 (kind,
+    decode_status) rows as before, and the wav row carries the frame
+    fan-out aggregate (145 wav assets x 8 frames at hop=256 = 1160,
+    the CORRECTNESS_r02 x13 row count x frames-per-asset)."""
+    from engine.queries_extract import ALL
+
+    fn, _ = ALL["x12_media_pipeline"]
+    rows = {r["kind"]: r for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"jpeg", "mp4", "png", "unknown", "wav"}
+    assert rows["png"]["n"] == 189 and rows["png"]["n_hashed"] == 189
+    assert rows["wav"]["n"] == 145 and rows["wav"]["total_frames"] == 1160
+    assert rows["jpeg"]["decode_status"] == "stub:codec_not_available_in_container"
+    assert rows["wav"]["max_peak_energy"] is not None
