@@ -1,0 +1,152 @@
+"""Training-mix shaping: domain (host) token-share rebalancing and
+deterministic train/val/test splits with a near-dup leakage guard
+(SURVEY §2 training-data extensions; composes engine/ops/sample.py's
+hash-Bernoulli discipline and engine/ops/dedup.py's candidate pairs).
+
+Domain rebalancing caps any one host at `max_share` of the corpus's
+tokens — the standard guard against a handful of mega-sites (wikis,
+forges, link farms) dominating a pretraining mix. Deterministic:
+every keep/drop decision is a pure function of (doc id, salt), never
+an RNG.
+
+100-TB shape: one groupBy(host) agg computes per-host token totals;
+only OVER-CAP hosts (a tiny set by construction — at most
+1/max_share rows) are broadcast back as keep-fractions, and the
+corpus is filtered map-only. The corpus itself is never shuffled.
+The optional exact pass adds a per-host prefix-cumsum window, run
+ONLY on the over-cap hosts' pre-thinned survivors (~cap tokens per
+host), so the window partition is bounded by the cap, not by the
+host's raw size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DENOM = 1 << 30  # same hash-fraction resolution as engine/ops/sample.py
+
+
+def host_token_shares(
+    docs: DataFrame, host_col: str = "host", token_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-host token totals + share of corpus: (host, host_tokens,
+    share). One hash agg; the cross-join of the scalar total is a
+    broadcast of one row."""
+    per_host = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.sum(F.col(token_col).cast("long")).alias("host_tokens")
+    )
+    total = per_host.agg(F.sum("host_tokens").alias("corpus_tokens"))
+    return per_host.crossJoin(F.broadcast(total)).select(
+        "host",
+        "host_tokens",
+        (F.col("host_tokens") / F.col("corpus_tokens")).alias("share"),
+    )
+
+
+def rebalance_domains(
+    docs: DataFrame,
+    max_share: float,
+    host_col: str = "host",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    exact: bool = False,
+) -> DataFrame:
+    """Downsample docs of hosts whose token share exceeds `max_share`
+    (of the ORIGINAL corpus total — one-shot, not a fixed point, so
+    the result is a deterministic pure function of the input).
+
+    Default mode keeps each over-cap host's docs with probability
+    cap_tokens/host_tokens via the hash-Bernoulli rule (map-only after
+    the stats agg; expected tokens == cap, sampling error O(1/sqrt(n))
+    over the cap's doc count). `exact=True` additionally orders each
+    over-cap host's SURVIVORS by (hash, id) and keeps the longest
+    prefix with cumulative tokens <= cap — a hard guarantee, at the
+    cost of one window over the already-thinned survivors."""
+    if not 0.0 < max_share <= 1.0:
+        raise ValueError(f"max_share {max_share} outside (0, 1]")
+    shares = host_token_shares(docs, host_col, token_col)
+    corpus_tokens = F.col("host_tokens") / F.col("share")  # scalar, exact
+    over = shares.filter(F.col("share") > max_share).select(
+        "host",
+        (F.lit(max_share) * corpus_tokens / F.col("host_tokens")).alias("keep_frac"),
+        (F.lit(max_share) * corpus_tokens).cast("long").alias("cap_tokens"),
+    )
+    # slack so the exact prefix pass has enough survivors to fill cap
+    bern = F.col("keep_frac") * (1.25 if exact else 1.0)
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(_DENOM))
+    joined = docs.join(
+        F.broadcast(over), docs[host_col] == over["host"], "left"
+    ).drop(over["host"])
+    kept = joined.filter(
+        F.col("keep_frac").isNull() | (bucket < (bern * _DENOM).cast("long"))
+    )
+    if not exact:
+        return kept.drop("keep_frac", "cap_tokens")
+    # window ONLY the over-cap hosts' pre-thinned survivors (~cap
+    # tokens per host); under-cap hosts bypass the exchange entirely
+    under = kept.filter(F.col("cap_tokens").isNull()).drop("keep_frac", "cap_tokens")
+    w = (
+        Window.partitionBy(F.col(host_col))
+        .orderBy(bucket.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    overk = (
+        kept.filter(F.col("cap_tokens").isNotNull())
+        .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("_cum") <= F.col("cap_tokens"))
+        .drop("keep_frac", "cap_tokens", "_cum")
+    )
+    return under.unionByName(overk)
+
+
+def assign_splits(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "host",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test labeling: the hash bucket of
+    `key_col` picks the split, so the assignment survives re-runs,
+    re-partitioning, and incremental re-crawls. Keying on HOST (the
+    default) keeps every page of a site in one split — the cheap
+    structural guard against near-dup leakage across splits; pass
+    id_col to split at document granularity instead. Map-only."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"invalid split weights {weights}")
+    tot = sum(weights.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {tot}, expected 1.0")
+    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(_DENOM))
+    expr, acc = None, 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < int(acc * _DENOM)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn(split_col, expr)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup pairs whose two sides landed in DIFFERENT splits —
+    the eval-contamination audit. `pairs` is any (doc_a, doc_b) frame
+    (e.g. minhash_candidate_pairs); `labeled` carries (id, split).
+    Two equi-joins against the (small) id->split projection; at scale
+    the projection is far smaller than the corpus and the joins are
+    shuffle-on-id, never corpus x corpus."""
+    lab = labeled.select(F.col(id_col).alias("_id"), F.col(split_col).alias("_sp"))
+    a = lab.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sp", "split_a")
+    b = lab.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sp", "split_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
