@@ -48,7 +48,7 @@ def whitespace_token_count(col) -> "F.Column":
     return F.size(F.split(col, " ")).cast("long")
 
 
-def _pack_shard_fn(budget: int):
+def _pack_shard_fn(budget: int, split_col: str | None = None):
     import pandas as pd
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -87,6 +87,10 @@ def _pack_shard_fn(budget: int):
                 "oversize": pd.array(over_col, dtype="boolean"),
             }
         )
+        if split_col is not None:
+            out.insert(
+                0, split_col, pdf[split_col].iloc[0] if len(pdf) else None
+            )
         return out
 
     return pack
@@ -100,6 +104,7 @@ def pack_sequences(
     chunk_ix_col: str = "chunk_ix",
     token_col: str | None = None,
     text_col: str = "chunk_text",
+    split_col: str | None = None,
 ) -> DataFrame:
     """Assign every chunk to a (shard, example_ix, seq_ix) training
     slot under `budget` tokens per example. Returns PACK_DDL rows —
@@ -107,7 +112,13 @@ def pack_sequences(
 
     If `token_col` is None the count is computed from `text_col` with
     whitespace_token_count (projected BEFORE the shuffle, so only the
-    count crosses the exchange, never the text)."""
+    count crosses the exchange, never the text).
+
+    `split_col` (e.g. the label from engine/ops/mix.assign_splits)
+    joins the packing group key, so an example can NEVER mix chunks
+    from different splits — examples are identified by
+    (split, shard, example_ix) and the label rides along in the
+    output."""
     if budget <= 0:
         raise ValueError(f"budget {budget} must be positive")
     if n_shards <= 0:
@@ -117,22 +128,33 @@ def pack_sequences(
         if token_col
         else whitespace_token_count(F.col(text_col))
     )
-    meta = chunks.select(
+    cols = [
         F.col(doc_col).cast("string").alias("doc_key"),
         F.col(chunk_ix_col).cast("int").alias("chunk_ix"),
         ntok.alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(doc_col).cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
+    ]
+    keys = ["shard"]
+    ddl = PACK_DDL
+    if split_col is not None:
+        cols.append(F.col(split_col).cast("string").alias(split_col))
+        keys = [split_col, "shard"]
+        ddl = f"{split_col} string, " + PACK_DDL
+    meta = chunks.select(*cols)
+    return meta.groupBy(*keys).applyInPandas(
+        _pack_shard_fn(budget, split_col), ddl
     )
-    return meta.groupBy("shard").applyInPandas(_pack_shard_fn(budget), PACK_DDL)
 
 
 def packing_stats(assignments: DataFrame, budget: int) -> DataFrame:
     """One-row packing efficiency summary: examples, chunks, fill rate
     (sum tokens over non-oversize examples / examples*budget), and the
     oversize count. Single agg over the (already small) metadata."""
-    per_ex = assignments.groupBy("shard", "example_ix").agg(
+    base = {"shard", "example_ix", "seq_ix", "doc_key", "chunk_ix", "n_tokens", "oversize"}
+    extra = [c for c in assignments.columns if c not in base]  # e.g. split
+    per_ex = assignments.groupBy(*extra, "shard", "example_ix").agg(
         F.sum("n_tokens").alias("ex_tokens"),
         F.count(F.lit(1)).alias("ex_chunks"),
         F.max(F.col("oversize").cast("int")).alias("is_oversize"),

@@ -19,6 +19,14 @@ Stages, each writing its own parquet table under <output>/:
                (curate/kept, curate/rejected) and reason stats are
                identical to the standalone job
     sample     deterministic hash sample -> <output>/final
+    rebalance  (opt-in, --max-host-share) cap any host's token share
+               -> <output>/balanced (engine/ops/mix, exact hard cap)
+    split      (opt-in, --splits) host-keyed train/val/test labels
+               -> <output>/splits, partitioned by split
+    pack       (opt-in, --pack-budget) sentence-aware chunking +
+               fixed-token-budget example assembly -> <output>/examples
+               (engine/ops/pack; examples never mix splits; packing
+               stats recorded in the manifest)
 
 Stage resume: after each stage commits, <output>/corpus_manifest.json
 is atomically rewritten (tmp + rename, same discipline as
@@ -186,8 +194,87 @@ def run(args) -> dict:
         return spark.read.parquet(path).count()
 
     stage("sample", "final", do_sample)
+    docs_table = "final"
+
+    # -- optional: domain rebalance (host token-share cap) --------------
+    host_expr = F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
+
+    if args.max_host_share < 1.0:
+
+        def do_rebalance(path: str) -> int:
+            from engine.ops.mix import rebalance_domains
+            from engine.ops.pack import whitespace_token_count
+
+            docs = spark.read.parquet(os.path.join(out, docs_table)).withColumn(
+                "host", host_expr
+            ).withColumn("n_tokens", whitespace_token_count(F.col("text")))
+            rebalance_domains(
+                docs, args.max_host_share, id_col="url", exact=True
+            ).drop("host", "n_tokens").write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage("rebalance", "balanced", do_rebalance)
+        docs_table = "balanced"
+
+    # -- optional: host-keyed train/val/test split ----------------------
+    if args.splits:
+        weights = {
+            name: float(w)
+            for name, w in (kv.split("=") for kv in args.splits.split(","))
+        }
+
+        def do_split(path: str) -> int:
+            from engine.ops.mix import assign_splits
+
+            docs = spark.read.parquet(os.path.join(out, docs_table)).withColumn(
+                "host", host_expr
+            )
+            assign_splits(docs, weights).drop("host").write.mode(
+                "overwrite"
+            ).partitionBy("split").parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage("split", "splits", do_split)
+        docs_table = "splits"
+
+    # -- optional: sentence-aware chunking + sequence packing -----------
+    if args.pack_budget:
+
+        def do_pack(path: str) -> int:
+            from engine.ops.pack import pack_sequences, packing_stats
+            from engine.udfs import CHUNKS_DDL, chunk_map_in_pandas
+
+            docs = spark.read.parquet(os.path.join(out, docs_table))
+            # text was rewritten by linedup/curation, so spans are
+            # recomputed inside the chunker (legacy-row fallback)
+            src = docs.filter(F.length(F.coalesce("text", F.lit(""))) > 0).select(
+                "url",
+                "text",
+                F.lit(None).cast("array<long>").alias("sent_spans"),
+            )
+            chunks = src.mapInPandas(chunk_map_in_pandas, CHUNKS_DDL)
+            split_col = None
+            if "split" in docs.columns:
+                labels = docs.select("url", "split")
+                chunks = chunks.join(labels, "url")
+                split_col = "split"
+            asg = pack_sequences(
+                chunks,
+                args.pack_budget,
+                n_shards=args.pack_shards,
+                split_col=split_col,
+            )
+            asg.write.mode("overwrite").parquet(path)
+            asg = spark.read.parquet(path)
+            stats = packing_stats(asg, args.pack_budget).collect()[0].asDict()
+            manifest["packing"] = {k: (float(v) if v is not None else None) for k, v in stats.items()}
+            return asg.count()
+
+        stage("pack", "examples", do_pack)
 
     result = {"output": out, "stages": manifest["stages"]}
+    if "packing" in manifest:
+        result["packing"] = manifest["packing"]
     print(json.dumps(result))
     return result
 
@@ -210,6 +297,26 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--lm-filter", action="store_true")
     p.add_argument("--lm-pct", type=float, default=90.0)
     p.add_argument("--sample-fraction", type=float, default=1.0)
+    p.add_argument(
+        "--max-host-share",
+        type=float,
+        default=1.0,
+        help="cap any one host at this token share of the corpus "
+        "(<1.0 enables the rebalance stage; exact hard cap)",
+    )
+    p.add_argument(
+        "--splits",
+        default=None,
+        help='host-keyed split weights, e.g. "train=0.98,val=0.01,test=0.01"',
+    )
+    p.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="pack chunks into examples of at most this many tokens "
+        "(enables the chunk+pack stage; examples never mix splits)",
+    )
+    p.add_argument("--pack-shards", type=int, default=64)
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p

@@ -88,3 +88,52 @@ def test_partial_resume_recomputes_only_missing_stages(spark, tmp_path, pages_pa
     assert {k: v["rows"] for k, v in res2["stages"].items()} == {
         k: v["rows"] for k, v in res["stages"].items()
     }
+
+
+def test_mix_stages_rebalance_split_pack(spark, tmp_path, pages_path):
+    """Opt-in tail stages: rebalance -> split -> pack. Splits are
+    host-cohesive, examples never mix splits, packing stats land in
+    the manifest, and every chunk of the split table is assigned."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus3")
+    res = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            max_host_share=0.5,
+            splits="train=0.8,val=0.1,test=0.1",
+            pack_budget=128,
+            pack_shards=8,
+        )
+    )
+    st = res["stages"]
+    assert {"rebalance", "split", "pack"} <= set(st)
+    assert st["rebalance"]["rows"] <= st["sample"]["rows"]
+    assert st["split"]["rows"] == st["rebalance"]["rows"]
+
+    from pyspark.sql import functions as F
+
+    splits = spark.read.parquet(f"{out}/splits")
+    assert splits.groupBy("url").agg(
+        F.countDistinct("split").alias("k")
+    ).filter("k > 1").count() == 0
+
+    ex = spark.read.parquet(f"{out}/examples")
+    assert ex.count() == st["pack"]["rows"] > 0
+    assert "split" in ex.columns
+    # each doc's assignments carry its split label
+    lab = splits.select(F.col("url").alias("doc_key"), F.col("split").alias("want"))
+    assert ex.join(lab, "doc_key").filter("split != want").count() == 0
+    # budget respected for non-oversize examples
+    bad = (
+        ex.groupBy("split", "shard", "example_ix")
+        .agg(F.sum("n_tokens").alias("tok"), F.max(F.col("oversize").cast("int")).alias("over"))
+        .filter("over = 0 AND tok > 128")
+        .count()
+    )
+    assert bad == 0
+    assert res["packing"]["n_chunks"] == ex.count()
+    assert 0 < res["packing"]["fill_rate"] <= 1.0
