@@ -269,6 +269,29 @@ def main() -> None:
 
     timed("linedup_pipeline", run_linedup)
 
+    # training-mix tail: domain token-share cap (exact mode) then
+    # sequence packing of the docs-as-chunks into 512-token examples
+    def run_mix_pack():
+        from engine.ops.mix import rebalance_domains
+        from engine.ops.pack import pack_sequences, packing_stats
+        from engine.queries import T
+
+        docs = T(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("source").alias("host"),
+            "text",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        bal = rebalance_domains(docs, 0.2, exact=True)
+        chunks = bal.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(0).alias("chunk_ix"),
+            F.col("text").alias("chunk_text"),
+        )
+        packing_stats(pack_sequences(chunks, 512, n_shards=64), 512).collect()
+
+    timed("mix_pack_pipeline", run_mix_pack)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",
