@@ -418,3 +418,97 @@ def passage_neardup_doc_pairs(
         .drop("_n")
         .select("doc_a", "doc_b", "n_shared", "frac_a", "frac_b")
     )
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    include_new_pairs: bool = True,
+    stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch INCREMENTAL near-dup: candidate pairs of a NEW batch of
+    docs against a persisted LSH band index (the minhash_bands layout
+    — same table engine.streaming.neardup_stream joins), plus the
+    new-vs-new pairs within the batch. The existing corpus is NEVER
+    re-fingerprinted and never self-joined: per re-crawl the work is
+    O(new bands + matching index buckets), not O(corpus^2) — the batch
+    analog of the streaming index join, for cron-style re-crawl
+    ingestion.
+
+    Returns (pairs, new_bands): pairs as (doc_a < doc_b, src) where
+    src = 'index' for new-vs-corpus collisions and 'batch' for
+    new-vs-new (a pair produced by both paths — possible only when an
+    id was re-ingested — records 'batch'); new_bands is the batch's
+    localCheckpointed band table, ready to union-append to the index
+    (jobs/dedup.py --update-index materializes old ∪ new).
+
+    Hot-index buckets (occupancy > hot_bucket_cap) mirror the
+    streaming saturation rule: a new doc star-links to the bucket's
+    MINIMUM index doc only — connectivity through the bucket is
+    preserved for clustering, fan-out per new doc is O(1), and the
+    O(new_in_bucket x index_in_bucket) blowup a boilerplate bucket
+    would cause is gone. The new-vs-new self-join reuses the standard
+    hot-bucket guard.
+    """
+    new_bands = minhash_bands(
+        new_docs, id_col, text_col, n_bands, rows_per_band
+    ).localCheckpoint(eager=True)
+
+    idx = index_bands.select("doc_id", "band", "bh")
+    if hot_bucket_cap and _has_hot_bucket(idx, hot_bucket_cap):
+        cold_idx, hot_idx = _split_hot_buckets(idx, hot_bucket_cap, stats)
+        hot_reps = hot_idx.groupBy("band", "bh").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        # saturated buckets: join the representative only (broadcast —
+        # there are at most a handful of hot buckets by construction)
+        idx_join = cold_idx.unionByName(hot_reps)
+    else:
+        if stats is not None:
+            stats.setdefault("hot_buckets", 0)
+        idx_join = idx
+
+    n = new_bands.select("doc_id", "band", "bh").alias("n")
+    i = idx_join.alias("i")
+    cross = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bh") == F.col("i.bh"))
+            & (F.col("n.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+            F.lit("index").alias("src"),
+        )
+    )
+    pairs = cross
+    if include_new_pairs:
+        self_bands = new_bands
+        hot_pairs = None
+        if hot_bucket_cap and _has_hot_bucket(new_bands, hot_bucket_cap):
+            self_bands, hot_b = _split_hot_buckets(new_bands, hot_bucket_cap)
+            hot_pairs = _star_pairs(hot_b)
+        a = self_bands.alias("a")
+        b = self_bands.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        if hot_pairs is not None:
+            within = within.unionByName(hot_pairs)
+        pairs = pairs.unionByName(
+            within.withColumn("src", F.lit("batch"))
+        )
+    dedup = pairs.groupBy("doc_a", "doc_b").agg(F.min("src").alias("src"))
+    return dedup, new_bands

@@ -14,6 +14,15 @@ verification over the candidates -> connected-components clustering
     <output>/canonical   the deduplicated documents table
 
 Works identically from `python jobs/dedup.py` in local mode.
+
+INCREMENTAL mode (`--index <bands parquet>`): dedup a new crawl batch
+against the persisted corpus band table (bootstrap it with
+`--write-bands` on a full run) — new-vs-corpus duplicates are dropped
+(the corpus copy stays canonical), survivors cluster among themselves,
+and `--update-index` emits <output>/bands = old ∪ surviving new, ready
+for the next batch. Per-batch cost is O(batch + matching buckets),
+never a corpus self-join — the batch analog of jobs/stream.py
+--neardup-index.
 """
 
 from __future__ import annotations
@@ -46,6 +55,9 @@ def run(args) -> dict:
     )
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
+
+    if getattr(args, "index", None):
+        return _incremental(spark, docs, args, t0)
 
     if args.method == "exact":
         clusters = _exact_clusters(docs, args)
@@ -96,7 +108,128 @@ def run(args) -> dict:
         n_pairs = pairs.count()
         clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
 
+        if getattr(args, "write_bands", False):
+            # bootstrap the incremental index: persist the corpus band
+            # table (one extra minhash pass; subsequent re-crawls run
+            # with --index <output>/bands instead of a full self-join)
+            from engine.ops.dedup import minhash_bands
+
+            write_table(
+                minhash_bands(
+                    nonempty,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    n_bands=args.bands,
+                    rows_per_band=args.rows_per_band,
+                ),
+                os.path.join(args.output, "bands"),
+            )
+
     return _finish(spark, docs, clusters, args, t0, n_pairs)
+
+
+def _incremental(spark, docs, args, t0) -> dict:
+    """Incremental mode (--index): dedup a NEW crawl batch against a
+    persisted LSH band table without touching the existing corpus.
+
+    Semantics: a new doc that collides with the index is a duplicate
+    of the existing corpus and is dropped (the corpus copy stays
+    canonical); the survivors are then near-dup-clustered among
+    themselves as usual. Work per run is O(batch) + the matching
+    index buckets — never a corpus self-join. --update-index writes
+    <output>/bands = old ∪ (surviving new docs' bands), so the next
+    run's index already knows this batch.
+    """
+    from engine.ops.dedup import incremental_candidate_pairs
+
+    if args.verify_jaccard is not None:
+        raise SystemExit(
+            "--verify-jaccard needs both sides' text; the index holds "
+            "bands only — run verification on the full-corpus job"
+        )
+    if args.method != "minhash":
+        raise SystemExit("--index supports --method minhash only")
+    idx = spark.read.parquet(args.index)
+    nonempty = docs.filter(
+        F.length(F.coalesce(F.col(args.text_col), F.lit(""))) > 0
+    )
+    cap = getattr(args, "hot_bucket_cap", 256) or None
+    pairs, new_bands = incremental_candidate_pairs(
+        nonempty,
+        idx,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        hot_bucket_cap=cap,
+    )
+    pairs_path = os.path.join(args.output, "pairs")
+    write_table(pairs, pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    n_pairs = pairs.count()
+
+    # new docs matching the CORPUS: drop (the corpus copy is canonical)
+    new_ids = nonempty.select(F.col(args.id_col))
+    cross_members = (
+        pairs.filter(F.col("src") == "index")
+        .select(F.explode(F.array("doc_a", "doc_b")).alias(args.id_col))
+        .distinct()
+    )
+    dup_vs_index = cross_members.join(new_ids, args.id_col, "semi")
+    survivors = nonempty.join(dup_vs_index, args.id_col, "anti")
+
+    # then the usual clustering among the batch's own pairs
+    batch_pairs = pairs.filter(F.col("src") == "batch").select(
+        "doc_a", "doc_b"
+    )
+    surv_a = survivors.select(F.col(args.id_col).alias("doc_a"))
+    surv_b = survivors.select(F.col(args.id_col).alias("doc_b"))
+    batch_pairs = batch_pairs.join(surv_a, "doc_a", "semi").join(
+        surv_b, "doc_b", "semi"
+    )
+    clusters = dedup_clusters(survivors, batch_pairs, id_col=args.id_col)
+
+    cl_path = os.path.join(args.output, "clusters")
+    write_table(clusters, cl_path)
+    clusters = spark.read.parquet(cl_path)
+    canonical = survivors.join(
+        clusters.filter(F.col("is_canonical") == 1).select(args.id_col),
+        args.id_col,
+        "semi",
+    )
+    write_table(canonical, os.path.join(args.output, "canonical"))
+
+    if getattr(args, "update_index", False):
+        # the index tracks the CORPUS: append bands of the batch docs
+        # that actually joined it (canonical survivors), so a future
+        # batch can never collide with an id that was itself dropped
+        canon_bands = new_bands.join(
+            canonical.select(F.col(args.id_col).alias("doc_id")),
+            "doc_id",
+            "semi",
+        )
+        write_table(
+            idx.select("doc_id", "band", "bh").unionByName(
+                canon_bands.select("doc_id", "band", "bh")
+            ),
+            os.path.join(args.output, "bands"),
+        )
+
+    n_batch = docs.count()
+    n_dropped_idx = dup_vs_index.count()
+    n_kept = canonical.count()
+    result = {
+        "mode": "incremental",
+        "wall_s": round(time.monotonic() - t0, 2),
+        "docs": n_batch,
+        "candidate_pairs": n_pairs,
+        "dropped_vs_index": n_dropped_idx,
+        "kept": n_kept,
+        "removed": n_batch - n_kept,
+        "dup_rate": round((n_batch - n_kept) / n_batch, 4) if n_batch else 0.0,
+    }
+    print(json.dumps(result))
+    return result
 
 
 def _exact_clusters(docs, args):
@@ -176,6 +309,25 @@ def main() -> None:
         "filtering) it can split hot-bucket clusters, because members "
         "linked only through a star pair that fails verification lose "
         "their path to each other — a disclosed recall trade-off",
+    )
+    p.add_argument(
+        "--index",
+        default=None,
+        help="persisted LSH band table (parquet): switch to INCREMENTAL "
+        "mode — dedup this batch against the existing corpus via the "
+        "index, never re-fingerprinting the corpus",
+    )
+    p.add_argument(
+        "--update-index",
+        action="store_true",
+        help="with --index: write <output>/bands = old index + the "
+        "surviving batch docs' bands",
+    )
+    p.add_argument(
+        "--write-bands",
+        action="store_true",
+        help="full mode: also persist <output>/bands (the corpus band "
+        "table) to bootstrap later --index runs",
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -1,0 +1,174 @@
+"""Batch incremental near-dup (engine/ops/dedup.incremental_candidate_
+pairs + jobs/dedup.py --index): new-batch-vs-persisted-index dedup
+without re-fingerprinting the corpus."""
+
+from __future__ import annotations
+
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops.dedup import (
+    incremental_candidate_pairs,
+    minhash_bands,
+    minhash_candidate_pairs,
+)
+
+SF_01 = "/root/testdata/sf0.01"
+
+
+def _pairset(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_incremental_equals_full_corpus_pairs(spark):
+    """Ground truth: pairs(old ∪ new) == pairs(old) ∪ incremental(new
+    vs index(old)) when no bucket saturates — the incremental path
+    loses nothing relative to a monolithic re-run."""
+    docs = (
+        spark.read.parquet(f"{SF_01}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+
+    full = _pairset(minhash_candidate_pairs(docs, n_bands=8, rows_per_band=4))
+    old_pairs = _pairset(minhash_candidate_pairs(old, n_bands=8, rows_per_band=4))
+    idx = minhash_bands(old, n_bands=8, rows_per_band=4)
+    inc_pairs, new_bands = incremental_candidate_pairs(
+        new, idx, n_bands=8, rows_per_band=4
+    )
+    assert old_pairs | _pairset(inc_pairs) == full
+    # band table shape matches the persisted-index contract
+    assert new_bands.columns == ["doc_id", "band", "bh"]
+    assert new_bands.count() == new.count() * 8
+
+
+def test_incremental_src_labels(spark):
+    rows = [(1, "alpha beta gamma delta " * 20)]
+    old = spark.createDataFrame(rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, rows[0][1]), (11, "zeta eta theta iota " * 20), (12, "zeta eta theta iota " * 20)],
+        "doc_id long, text string",
+    )
+    idx = minhash_bands(old)
+    pairs, _ = incremental_candidate_pairs(new, idx)
+    got = {(r["doc_a"], r["doc_b"]): r["src"] for r in pairs.collect()}
+    assert got[(1, 10)] == "index"
+    assert got[(11, 12)] == "batch"
+    assert len(got) == 2
+
+
+def test_incremental_hot_index_bucket_star_links(spark):
+    """A saturated index bucket (boilerplate) star-links each new doc
+    to the bucket's minimum corpus id only — fan-out O(1) per new doc
+    instead of O(bucket occupancy)."""
+    text = "the same boilerplate nav line repeated " * 30
+    old = spark.createDataFrame(
+        [(i, text) for i in range(100, 150)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    idx = minhash_bands(old)
+    stats = {}
+    pairs, _ = incremental_candidate_pairs(
+        new, idx, hot_bucket_cap=8, stats=stats
+    )
+    got = _pairset(pairs)
+    assert got == {(7, 100)}  # min corpus id only, not 50 pairs
+    assert stats["hot_buckets"] > 0
+
+
+def test_incremental_job_end_to_end(spark, tmp_path):
+    """Bootstrap (--write-bands) -> incremental run (--index
+    --update-index): corpus dups dropped, batch dups clustered,
+    updated index covers survivors."""
+    from jobs.dedup import run
+
+    base = "unique original content piece number %d with words " + "filler " * 30
+    old_rows = [(i, base % i) for i in range(10)]
+    new_rows = [
+        (100, old_rows[3][1]),            # dup of corpus doc 3 -> dropped
+        (101, "brand new page alpha " * 25),
+        (102, "brand new page alpha " * 25),  # dup within batch
+        (103, "completely different page " * 25),
+    ]
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    spark.createDataFrame(old_rows, "doc_id long, text string").write.parquet(old_p)
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(new_p)
+
+    def ns(**kw):
+        d = dict(
+            id_col="doc_id",
+            text_col="text",
+            method="minhash",
+            bands=8,
+            rows_per_band=4,
+            max_hamming=8,
+            verify_jaccard=None,
+            hot_bucket_cap=256,
+            master="local[4]",
+            shuffle_partitions=4,
+            index=None,
+            update_index=False,
+            write_bands=False,
+        )
+        d.update(kw)
+        return types.SimpleNamespace(**d)
+
+    out1 = str(tmp_path / "full")
+    run(ns(input=old_p, output=out1, write_bands=True))
+    bands = spark.read.parquet(f"{out1}/bands")
+    assert bands.count() == 10 * 8
+
+    out2 = str(tmp_path / "incr")
+    res = run(
+        ns(
+            input=new_p,
+            output=out2,
+            index=f"{out1}/bands",
+            update_index=True,
+        )
+    )
+    assert res["mode"] == "incremental"
+    assert res["docs"] == 4
+    assert res["dropped_vs_index"] == 1  # doc 100
+    assert res["kept"] == 2  # 103 + one of {101,102}
+    canon = {r["doc_id"] for r in spark.read.parquet(f"{out2}/canonical").collect()}
+    assert 103 in canon and 100 not in canon
+    assert len(canon & {101, 102}) == 1
+    # updated index = corpus 10 docs + the 2 CANONICAL survivors
+    # (100 dropped vs corpus; the non-canonical batch dup excluded)
+    upd = spark.read.parquet(f"{out2}/bands")
+    assert upd.count() == (10 + 2) * 8
+    assert upd.filter("doc_id = 100").count() == 0
+    assert upd.filter("doc_id = 103").count() == 8
+
+
+def test_incremental_job_rejects_verify(spark, tmp_path):
+    from jobs.dedup import run
+
+    p = str(tmp_path / "d")
+    spark.createDataFrame([(1, "x " * 50)], "doc_id long, text string").write.parquet(p)
+    with pytest.raises(SystemExit):
+        run(
+            types.SimpleNamespace(
+                input=p,
+                output=str(tmp_path / "o"),
+                id_col="doc_id",
+                text_col="text",
+                method="minhash",
+                bands=8,
+                rows_per_band=4,
+                max_hamming=8,
+                verify_jaccard=0.5,
+                hot_bucket_cap=256,
+                master="local[4]",
+                shuffle_partitions=4,
+                index=p,
+                update_index=False,
+                write_bands=False,
+            )
+        )
