@@ -79,7 +79,11 @@ def _split_hot_buckets(
         .localCheckpoint(eager=True)
     )
     if stats is not None:
-        stats["hot_buckets"] = hot_b.select("band", "bh").distinct().count()
+        # accumulate — incremental_candidate_pairs splits both the
+        # index side and the batch side; the caller sees the sum
+        stats["hot_buckets"] = stats.get("hot_buckets", 0) + (
+            hot_b.select("band", "bh").distinct().count()
+        )
     return cold_b, hot_b
 
 
@@ -443,7 +447,11 @@ def incremental_candidate_pairs(
     Returns (pairs, new_bands): pairs as (doc_a < doc_b, src) where
     src = 'index' for new-vs-corpus collisions and 'batch' for
     new-vs-new (a pair produced by both paths — possible only when an
-    id was re-ingested — records 'batch'); new_bands is the batch's
+    id was re-ingested — records 'index', the corpus collision); note
+    that a re-ingested id never collides with its OWN index entry
+    (self-pairs are excluded), so id-level re-ingestion must be
+    handled by the caller with an id membership check against the
+    index — jobs/dedup.py does. new_bands is the batch's
     localCheckpointed band table, ready to union-append to the index
     (jobs/dedup.py --update-index materializes old ∪ new).
 
@@ -458,8 +466,23 @@ def incremental_candidate_pairs(
     new_bands = minhash_bands(
         new_docs, id_col, text_col, n_bands, rows_per_band
     ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats.setdefault("hot_buckets", 0)
 
-    idx = index_bands.select("doc_id", "band", "bh")
+    # Restrict the index to buckets the batch actually touches BEFORE
+    # the hot-bucket guard and the join: one semi-join pass (AQE picks
+    # broadcast when the batch is small) instead of guard-probing and
+    # window-splitting the whole corpus-sized index on every re-crawl.
+    # Buckets with no batch member can never produce a pair, and a hot
+    # bucket the batch never touches needs no saturation handling.
+    # localCheckpoint: the restricted slice is O(matching buckets) and
+    # feeds the guard probe + split + join, so materialize it once.
+    batch_buckets = new_bands.select("band", "bh").distinct()
+    idx = (
+        index_bands.select("doc_id", "band", "bh")
+        .join(batch_buckets, ["band", "bh"], "semi")
+        .localCheckpoint(eager=True)
+    )
     if hot_bucket_cap and _has_hot_bucket(idx, hot_bucket_cap):
         cold_idx, hot_idx = _split_hot_buckets(idx, hot_bucket_cap, stats)
         hot_reps = hot_idx.groupBy("band", "bh").agg(
@@ -469,8 +492,6 @@ def incremental_candidate_pairs(
         # there are at most a handful of hot buckets by construction)
         idx_join = cold_idx.unionByName(hot_reps)
     else:
-        if stats is not None:
-            stats.setdefault("hot_buckets", 0)
         idx_join = idx
 
     n = new_bands.select("doc_id", "band", "bh").alias("n")
@@ -493,7 +514,9 @@ def incremental_candidate_pairs(
         self_bands = new_bands
         hot_pairs = None
         if hot_bucket_cap and _has_hot_bucket(new_bands, hot_bucket_cap):
-            self_bands, hot_b = _split_hot_buckets(new_bands, hot_bucket_cap)
+            self_bands, hot_b = _split_hot_buckets(
+                new_bands, hot_bucket_cap, stats
+            )
             hot_pairs = _star_pairs(hot_b)
         a = self_bands.alias("a")
         b = self_bands.alias("b")
@@ -510,5 +533,10 @@ def incremental_candidate_pairs(
         pairs = pairs.unionByName(
             within.withColumn("src", F.lit("batch"))
         )
-    dedup = pairs.groupBy("doc_a", "doc_b").agg(F.min("src").alias("src"))
+    # A pair produced by BOTH paths (possible when a member's id is in
+    # both the batch and the index — a re-ingestion) must keep the
+    # 'index' label: it records a collision with the existing corpus,
+    # which the caller uses to drop the batch copy. max works because
+    # 'index' > 'batch' lexicographically.
+    dedup = pairs.groupBy("doc_a", "doc_b").agg(F.max("src").alias("src"))
     return dedup, new_bands

@@ -25,20 +25,27 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _DENOM = 1 << 30  # same hash-fraction resolution as engine/ops/sample.py
 
+# exact-mode rebalancing: hosts with at most this many docs skip the
+# Bernoulli pre-thin (the cumsum window sees every row), and larger
+# hosts' pre-thin never keeps fewer than this many docs in expectation
+_EXACT_PRETHIN_MIN = 4096
+
 
 def host_token_shares(
     docs: DataFrame, host_col: str = "host", token_col: str = "n_tokens"
 ) -> DataFrame:
     """Per-host token totals + share of corpus: (host, host_tokens,
-    share). One hash agg; the cross-join of the scalar total is a
-    broadcast of one row."""
+    n_docs, share). One hash agg; the cross-join of the scalar total
+    is a broadcast of one row."""
     per_host = docs.groupBy(F.col(host_col).alias("host")).agg(
-        F.sum(F.col(token_col).cast("long")).alias("host_tokens")
+        F.sum(F.col(token_col).cast("long")).alias("host_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     total = per_host.agg(F.sum("host_tokens").alias("corpus_tokens"))
     return per_host.crossJoin(F.broadcast(total)).select(
         "host",
         "host_tokens",
+        "n_docs",
         (F.col("host_tokens") / F.col("corpus_tokens")).alias("share"),
     )
 
@@ -61,19 +68,47 @@ def rebalance_domains(
     the stats agg; expected tokens == cap, sampling error O(1/sqrt(n))
     over the cap's doc count). `exact=True` additionally orders each
     over-cap host's SURVIVORS by (hash, id) and keeps the longest
-    prefix with cumulative tokens <= cap — a hard guarantee, at the
-    cost of one window over the already-thinned survivors."""
+    prefix with cumulative tokens <= cap, at the cost of one window
+    over the already-thinned survivors. The cap is a hard MAXIMUM
+    unconditionally; filling it is guaranteed for hosts that skip the
+    pre-thin (n_docs <= _EXACT_PRETHIN_MIN — the window sees every
+    doc) and holds with overwhelming probability otherwise: the
+    pre-thin keeps >= max(1.5x the tokens the cap needs, ~4096 docs)
+    in expectation, so undershooting the cap requires the Bernoulli
+    sample to fall 33% below its mean over thousands of draws. (A
+    host whose every doc alone exceeds cap_tokens keeps no docs —
+    prefix-with-cum<=cap is empty — which is the cap semantics, not
+    a sampling accident.)"""
     if not 0.0 < max_share <= 1.0:
         raise ValueError(f"max_share {max_share} outside (0, 1]")
     shares = host_token_shares(docs, host_col, token_col)
     corpus_tokens = F.col("host_tokens") / F.col("share")  # scalar, exact
     over = shares.filter(F.col("share") > max_share).select(
         "host",
+        "n_docs",
         (F.lit(max_share) * corpus_tokens / F.col("host_tokens")).alias("keep_frac"),
         (F.lit(max_share) * corpus_tokens).cast("long").alias("cap_tokens"),
     )
-    # slack so the exact prefix pass has enough survivors to fill cap
-    bern = F.col("keep_frac") * (1.25 if exact else 1.0)
+    if exact:
+        # Pre-thin only when it provably leaves enough survivors to
+        # fill the cap: small over-cap hosts (few, large docs — where
+        # a fixed Bernoulli slack CAN zero the host) window all their
+        # rows instead, and huge hosts keep >= _EXACT_PRETHIN_MIN
+        # expected docs AND >= 1.5x the cap's tokens in expectation.
+        # The window partition stays bounded either way.
+        bern = F.when(
+            F.col("n_docs") <= F.lit(_EXACT_PRETHIN_MIN), F.lit(1.0)
+        ).otherwise(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.col("keep_frac") * 1.5,
+                    F.lit(float(_EXACT_PRETHIN_MIN)) / F.col("n_docs"),
+                ),
+            )
+        )
+    else:
+        bern = F.col("keep_frac")
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(_DENOM))
     joined = docs.join(
         F.broadcast(over), docs[host_col] == over["host"], "left"
@@ -81,11 +116,12 @@ def rebalance_domains(
     kept = joined.filter(
         F.col("keep_frac").isNull() | (bucket < (bern * _DENOM).cast("long"))
     )
+    drop_cols = ("keep_frac", "cap_tokens", "n_docs")
     if not exact:
-        return kept.drop("keep_frac", "cap_tokens")
+        return kept.drop(*drop_cols)
     # window ONLY the over-cap hosts' pre-thinned survivors (~cap
     # tokens per host); under-cap hosts bypass the exchange entirely
-    under = kept.filter(F.col("cap_tokens").isNull()).drop("keep_frac", "cap_tokens")
+    under = kept.filter(F.col("cap_tokens").isNull()).drop(*drop_cols)
     w = (
         Window.partitionBy(F.col(host_col))
         .orderBy(bucket.asc(), F.col(id_col).asc())
@@ -95,7 +131,7 @@ def rebalance_domains(
         kept.filter(F.col("cap_tokens").isNotNull())
         .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
         .filter(F.col("_cum") <= F.col("cap_tokens"))
-        .drop("keep_frac", "cap_tokens", "_cum")
+        .drop(*drop_cols, "_cum")
     )
     return under.unionByName(overk)
 

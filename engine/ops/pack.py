@@ -164,11 +164,17 @@ def packing_stats(assignments: DataFrame, budget: int) -> DataFrame:
         F.sum("ex_chunks").alias("n_chunks"),
         F.sum("ex_tokens").alias("total_tokens"),
         F.sum("is_oversize").alias("n_oversize"),
+        # try_divide: NULL (not an ANSI DIVIDE_BY_ZERO crash) when every
+        # example is an oversize singleton or assignments is empty
         F.round(
-            F.sum(F.when(F.col("is_oversize") == 0, F.col("ex_tokens")).otherwise(0))
-            / (
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("is_oversize") == 0, F.col("ex_tokens")
+                    ).otherwise(0)
+                ),
                 F.sum(F.when(F.col("is_oversize") == 0, 1).otherwise(0))
-                * F.lit(float(budget))
+                * F.lit(float(budget)),
             ),
             4,
         ).alias("fill_rate"),

@@ -197,7 +197,11 @@ def run(args) -> dict:
     docs_table = "final"
 
     # -- optional: domain rebalance (host token-share cap) --------------
-    host_expr = F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
+    # try_parse_url: malformed crawl urls yield '' instead of an ANSI
+    # INVALID_URL crash (same discipline as engine/ops/urlnorm.py)
+    host_expr = F.lower(
+        F.coalesce(F.try_parse_url("url", F.lit("HOST")), F.lit(""))
+    )
 
     if args.max_host_share < 1.0:
 
@@ -205,12 +209,21 @@ def run(args) -> dict:
             from engine.ops.mix import rebalance_domains
             from engine.ops.pack import whitespace_token_count
 
+            # temp column names: docs may already carry an n_tokens
+            # curation metric, which must survive into <output>/balanced
             docs = spark.read.parquet(os.path.join(out, docs_table)).withColumn(
-                "host", host_expr
-            ).withColumn("n_tokens", whitespace_token_count(F.col("text")))
+                "_rb_host", host_expr
+            ).withColumn("_rb_tokens", whitespace_token_count(F.col("text")))
             rebalance_domains(
-                docs, args.max_host_share, id_col="url", exact=True
-            ).drop("host", "n_tokens").write.mode("overwrite").parquet(path)
+                docs,
+                args.max_host_share,
+                host_col="_rb_host",
+                token_col="_rb_tokens",
+                id_col="url",
+                exact=True,
+            ).drop("_rb_host", "_rb_tokens").write.mode("overwrite").parquet(
+                path
+            )
             return spark.read.parquet(path).count()
 
         stage("rebalance", "balanced", do_rebalance)
@@ -227,11 +240,11 @@ def run(args) -> dict:
             from engine.ops.mix import assign_splits
 
             docs = spark.read.parquet(os.path.join(out, docs_table)).withColumn(
-                "host", host_expr
+                "_sp_host", host_expr
             )
-            assign_splits(docs, weights).drop("host").write.mode(
-                "overwrite"
-            ).partitionBy("split").parquet(path)
+            assign_splits(docs, weights, key_col="_sp_host").drop(
+                "_sp_host"
+            ).write.mode("overwrite").partitionBy("split").parquet(path)
             return spark.read.parquet(path).count()
 
         stage("split", "splits", do_split)

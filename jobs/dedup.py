@@ -109,14 +109,21 @@ def run(args) -> dict:
         clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
 
         if getattr(args, "write_bands", False):
-            # bootstrap the incremental index: persist the corpus band
-            # table (one extra minhash pass; subsequent re-crawls run
-            # with --index <output>/bands instead of a full self-join)
+            # bootstrap the incremental index: persist the band table
+            # of the CANONICAL survivors only (one extra minhash pass;
+            # subsequent re-crawls run with --index <output>/bands
+            # instead of a full self-join). Canonical-only is the same
+            # invariant --update-index maintains: the index never
+            # holds an id this run itself dropped, so a future batch
+            # can never collide with a non-existent corpus doc.
             from engine.ops.dedup import minhash_bands
 
+            canon_ids = clusters.filter(F.col("is_canonical") == 1).select(
+                args.id_col
+            )
             write_table(
                 minhash_bands(
-                    nonempty,
+                    nonempty.join(canon_ids, args.id_col, "semi"),
                     id_col=args.id_col,
                     text_col=args.text_col,
                     n_bands=args.bands,
@@ -175,8 +182,26 @@ def _incremental(spark, docs, args, t0) -> dict:
         .select(F.explode(F.array("doc_a", "doc_b")).alias(args.id_col))
         .distinct()
     )
-    dup_vs_index = cross_members.join(new_ids, args.id_col, "semi")
-    survivors = nonempty.join(dup_vs_index, args.id_col, "anti")
+    # re-ingestion: a batch id ALREADY IN the index is the corpus doc
+    # itself coming back (cron re-crawl of an unchanged page). The band
+    # join can't see it — self-pairs are excluded — so it's caught by
+    # id membership here: drop it (the corpus copy stays canonical)
+    # and, crucially, never re-append its bands via --update-index.
+    reingested = docs.select(F.col(args.id_col)).join(
+        idx.select(F.col("doc_id").alias(args.id_col)).distinct(),
+        args.id_col,
+        "semi",
+    )
+    dup_vs_index = (
+        cross_members.join(new_ids, args.id_col, "semi")
+        .unionByName(reingested)
+        .distinct()
+    )
+    # survivors keep the EMPTY-text docs too (they were screened out
+    # of pair generation only): full mode keeps them as singleton
+    # clusters, so incremental mode must as well, and they must not be
+    # miscounted as dedup removals.
+    survivors = docs.join(dup_vs_index, args.id_col, "anti")
 
     # then the usual clustering among the batch's own pairs
     batch_pairs = pairs.filter(F.col("src") == "batch").select(
@@ -217,6 +242,7 @@ def _incremental(spark, docs, args, t0) -> dict:
 
     n_batch = docs.count()
     n_dropped_idx = dup_vs_index.count()
+    n_reingested = reingested.count()
     n_kept = canonical.count()
     result = {
         "mode": "incremental",
@@ -224,6 +250,7 @@ def _incremental(spark, docs, args, t0) -> dict:
         "docs": n_batch,
         "candidate_pairs": n_pairs,
         "dropped_vs_index": n_dropped_idx,
+        "reingested": n_reingested,
         "kept": n_kept,
         "removed": n_batch - n_kept,
         "dup_rate": round((n_batch - n_kept) / n_batch, 4) if n_batch else 0.0,

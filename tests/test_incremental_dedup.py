@@ -86,8 +86,13 @@ def test_incremental_job_end_to_end(spark, tmp_path):
     updated index covers survivors."""
     from jobs.dedup import run
 
-    base = "unique original content piece number %d with words " + "filler " * 30
-    old_rows = [(i, base % i) for i in range(10)]
+    # per-doc-distinct tokens: corpus docs must NOT near-dup each other,
+    # so the full run keeps all 10 as canonical
+    old_rows = [
+        (i, f"unique original content piece number {i} with words "
+            + " ".join(f"tok{i}x{j}" for j in range(30)))
+        for i in range(10)
+    ]
     new_rows = [
         (100, old_rows[3][1]),            # dup of corpus doc 3 -> dropped
         (101, "brand new page alpha " * 25),
@@ -119,9 +124,13 @@ def test_incremental_job_end_to_end(spark, tmp_path):
         return types.SimpleNamespace(**d)
 
     out1 = str(tmp_path / "full")
-    run(ns(input=old_p, output=out1, write_bands=True))
+    res1 = run(ns(input=old_p, output=out1, write_bands=True))
+    # --write-bands persists CANONICAL survivors only (the invariant
+    # --update-index maintains), not every corpus doc
+    n_corpus_canon = res1["kept"]
     bands = spark.read.parquet(f"{out1}/bands")
-    assert bands.count() == 10 * 8
+    assert bands.count() == n_corpus_canon * 8
+    assert bands.select("doc_id").distinct().count() == n_corpus_canon
 
     out2 = str(tmp_path / "incr")
     res = run(
@@ -139,10 +148,10 @@ def test_incremental_job_end_to_end(spark, tmp_path):
     canon = {r["doc_id"] for r in spark.read.parquet(f"{out2}/canonical").collect()}
     assert 103 in canon and 100 not in canon
     assert len(canon & {101, 102}) == 1
-    # updated index = corpus 10 docs + the 2 CANONICAL survivors
-    # (100 dropped vs corpus; the non-canonical batch dup excluded)
+    # updated index = corpus canonical docs + the 2 CANONICAL batch
+    # survivors (100 dropped vs corpus; non-canonical batch dup excluded)
     upd = spark.read.parquet(f"{out2}/bands")
-    assert upd.count() == (10 + 2) * 8
+    assert upd.count() == (n_corpus_canon + 2) * 8
     assert upd.filter("doc_id = 100").count() == 0
     assert upd.filter("doc_id = 103").count() == 8
 
@@ -172,3 +181,99 @@ def test_incremental_job_rejects_verify(spark, tmp_path):
                 write_bands=False,
             )
         )
+
+
+def test_incremental_reingestion_and_empty_docs(spark, tmp_path):
+    """Round-3 review regressions, all in one job run:
+    (a) a batch doc whose id is ALREADY IN the index (cron re-crawl of
+        an unchanged page) is dropped and its bands are not re-appended
+        — previously it duplicated the corpus and bloated the index;
+    (b) a genuinely-new near-dup of that re-ingested doc keeps the
+        'index' label (corpus collision wins over 'batch') and is
+        dropped too;
+    (c) empty-text batch docs stay as singletons in canonical and are
+        not miscounted as dedup removals."""
+    from jobs.dedup import run
+
+    # per-doc-distinct tokens (see test_incremental_job_end_to_end):
+    # all 10 corpus docs stay canonical, so doc 3 is in the index
+    old_rows = [
+        (i, f"unique original content piece number {i} with words "
+            + " ".join(f"tok{i}x{j}" for j in range(30)))
+        for i in range(10)
+    ]
+    new_rows = [
+        (3, old_rows[3][1]),        # re-ingestion: same id, same text
+        (200, old_rows[3][1]),      # new near-dup of re-ingested doc 3
+        (201, "fresh standalone page " * 25),
+        (202, ""),                  # empty text: kept as singleton
+        (203, None),                # null text: kept as singleton
+    ]
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame(old_rows, "doc_id long, text string").write.parquet(old_p)
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(new_p)
+
+    def ns(**kw):
+        d = dict(
+            id_col="doc_id", text_col="text", method="minhash", bands=8,
+            rows_per_band=4, max_hamming=8, verify_jaccard=None,
+            hot_bucket_cap=256, master="local[4]", shuffle_partitions=4,
+            index=None, update_index=False, write_bands=False,
+        )
+        d.update(kw)
+        return types.SimpleNamespace(**d)
+
+    out1 = str(tmp_path / "full")
+    run(ns(input=old_p, output=out1, write_bands=True))
+
+    out2 = str(tmp_path / "incr")
+    res = run(ns(input=new_p, output=out2, index=f"{out1}/bands", update_index=True))
+    canon = {r["doc_id"] for r in spark.read.parquet(f"{out2}/canonical").collect()}
+    assert canon == {201, 202, 203}        # (a)+(b) dropped, (c) kept
+    assert res["reingested"] == 1
+    assert res["dropped_vs_index"] == 2    # doc 3 (by id) + doc 200 (by bands)
+    assert res["removed"] == 2             # empties NOT counted as removals
+    # (a) index not bloated: corpus 10 docs + canonical survivor 201 only
+    upd = spark.read.parquet(f"{out2}/bands")
+    assert upd.count() == (10 + 1) * 8
+    assert upd.filter("doc_id = 3").count() == 8  # original entry, once
+
+
+def test_incremental_untouched_hot_index_bucket_ignored(spark):
+    """The hot-bucket guard probes only buckets the batch touches: a
+    saturated index bucket the batch never joins costs nothing and is
+    not reported in stats."""
+    boiler = "the same boilerplate nav line repeated " * 30
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(100, 150)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(7, "entirely unrelated fresh content words " * 30)],
+        "doc_id long, text string",
+    )
+    stats = {}
+    pairs, _ = incremental_candidate_pairs(
+        new, minhash_bands(old), hot_bucket_cap=8, stats=stats
+    )
+    assert pairs.count() == 0
+    assert stats["hot_buckets"] == 0
+
+
+def test_incremental_batch_side_hot_bucket_counted(spark):
+    """Batch-internal saturation is visible through the stats hook
+    (previously only index-side splits were counted)."""
+    boiler = "identical batch boilerplate page body text " * 30
+    old = spark.createDataFrame(
+        [(1, "some unrelated corpus doc " * 30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "doc_id long, text string"
+    )
+    stats = {}
+    pairs, _ = incremental_candidate_pairs(
+        new, minhash_bands(old), hot_bucket_cap=8, stats=stats
+    )
+    assert stats["hot_buckets"] > 0
+    # saturation star-links batch docs to the bucket minimum: O(n) pairs
+    n = pairs.count()
+    assert 0 < n <= 49 * 8

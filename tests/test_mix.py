@@ -178,3 +178,21 @@ def test_split_leakage_with_minhash_pairs(spark):
         leaks.join(ha, "doc_a").join(hb, "doc_b").filter("host_a = host_b").count()
     )
     assert same_host_leaks == 0
+
+
+def test_rebalance_exact_small_overcap_host_never_vanishes(spark):
+    """Round-3 review regression: an over-cap host with FEW, LARGE
+    docs must not be zeroed (or thinned below the cap) by the exact
+    mode's Bernoulli pre-thin — small hosts skip the pre-thin and the
+    cumsum window sees every doc, so the prefix fills the cap exactly
+    regardless of where the id hashes land."""
+    rows = [(i, "whale", 30_000) for i in range(4)]
+    rows += [(100 + i, f"s{i}", 1_000) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, n_tokens long")
+    total = 4 * 30_000 + 60 * 1_000  # 180_000; whale share = 2/3
+    cap = int((1 / 3) * total)  # 60_000 -> exactly two whale docs fit
+    kept = rebalance_domains(docs, 1 / 3, exact=True)
+    wt = kept.filter("host = 'whale'").agg(F.sum("n_tokens")).collect()[0][0]
+    assert wt == cap
+    assert kept.filter("host != 'whale'").count() == 60
+    assert kept.columns == docs.columns

@@ -190,3 +190,20 @@ def test_pack_split_isolation(spark):
     s = packing_stats(got, BUDGET)
     assert "split" in [c for c in ("split",) if "split" in got.columns]
     assert s.collect()[0]["n_chunks"] == chunks.count()
+
+
+def test_packing_stats_all_oversize_no_crash(spark):
+    """Round-3 review regression: every chunk exceeding the budget
+    used to crash packing_stats with an ANSI DIVIDE_BY_ZERO; fill_rate
+    is NULL when there are no non-oversize examples."""
+    chunks = spark.createDataFrame(
+        [(f"d{i}", 0, "w " * 300, 300) for i in range(5)],
+        "url string, chunk_ix int, chunk_text string, nt long",
+    )
+    s = packing_stats(pack_sequences(chunks, BUDGET, n_shards=2, token_col="nt"), BUDGET).collect()[0]
+    assert s["n_examples"] == 5 and s["n_oversize"] == 5
+    assert s["fill_rate"] is None
+
+    empty = chunks.filter("chunk_ix < 0")
+    s2 = packing_stats(pack_sequences(empty, BUDGET, n_shards=2, token_col="nt"), BUDGET).collect()[0]
+    assert s2["n_examples"] == 0 and s2["fill_rate"] is None
