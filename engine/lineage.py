@@ -86,6 +86,12 @@ def lineage_map_in_pandas(run_id: str, by: str | None = None):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         wall = int((time.monotonic() - t0) * 1000)
+        # wall_ms is APPORTIONED across a task's trailer rows by row
+        # share: a task spanning 4 buckets emits 4 rows whose wall_ms
+        # SUM to the task wall, so per-run / per-bucket dashboard sums
+        # stay truthful instead of multi-counting the task (by=None
+        # keeps the single full-wall trailer unchanged).
+        task_rows = sum(g["n_rows"] for g in groups.values())
         rows = []
         for key in sorted(groups, key=lambda k: (k is None, k)):
             g = groups[key]
@@ -101,7 +107,7 @@ def lineage_map_in_pandas(run_id: str, by: str | None = None):
                     paths["html"],
                     paths["pdf_text"],
                     paths["pdf_ocr"],
-                    wall,
+                    wall if task_rows == 0 else round(wall * g["n_rows"] / task_rows),
                     # §1.2 shape: per-path counters ALSO as a proper
                     # map<string,long> column (flat columns kept for
                     # cheap dashboard scans; the map is what a

@@ -337,8 +337,17 @@ def jaccard_verify(
 
         ta = ta.join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
         tb = tb.join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
+        # salt on the slim pair key, not big.columns: after the first
+        # join the big side carries _text_a, and hashing a full document
+        # per pair row just to pick a salt bucket wastes exactly the CPU
+        # this path exists to save
+        keys = ["doc_a", "doc_b"]
         joined = salted_join(
-            salted_join(pairs, ta, "doc_a", salt_buckets), tb, "doc_b", salt_buckets
+            salted_join(pairs, ta, "doc_a", salt_buckets, salt_cols=keys),
+            tb,
+            "doc_b",
+            salt_buckets,
+            salt_cols=keys,
         )
     else:
         joined = pairs.join(ta, "doc_a").join(tb, "doc_b")

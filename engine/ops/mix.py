@@ -75,10 +75,16 @@ def rebalance_domains(
     doc) and holds with overwhelming probability otherwise: the
     pre-thin keeps >= max(1.5x the tokens the cap needs, ~4096 docs)
     in expectation, so undershooting the cap requires the Bernoulli
-    sample to fall 33% below its mean over thousands of draws. (A
-    host whose every doc alone exceeds cap_tokens keeps no docs —
-    prefix-with-cum<=cap is empty — which is the cap semantics, not
-    a sampling accident.)"""
+    sample to fall 33% below its mean over thousands of draws. Docs
+    INDIVIDUALLY larger than cap_tokens are excluded before the
+    cumsum (they can never sit inside a hard cap, and left in they
+    would block every smaller doc behind them in hash order); a host
+    whose every doc exceeds the cap therefore keeps no docs — the cap
+    semantics, not a sampling accident. A doc that fits the cap but
+    not the REMAINING budget still ends the prefix (a first-fit rule
+    would skip it and keep filling; the prefix rule is kept for its
+    single-window determinism and can undershoot the cap by up to
+    that one doc's size — never overshoot)."""
     if not 0.0 < max_share <= 1.0:
         raise ValueError(f"max_share {max_share} outside (0, 1]")
     shares = host_token_shares(docs, host_col, token_col)
@@ -129,6 +135,11 @@ def rebalance_domains(
     )
     overk = (
         kept.filter(F.col("cap_tokens").isNotNull())
+        # a doc alone bigger than the cap can NEVER be inside it — drop
+        # it before the cumsum so it cannot block every smaller doc
+        # behind it in hash order (one early 65k-token doc under a 60k
+        # cap would otherwise zero the whole host)
+        .filter(F.col(token_col).cast("long") <= F.col("cap_tokens"))
         .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
         .filter(F.col("_cum") <= F.col("cap_tokens"))
         .drop(*drop_cols, "_cum")

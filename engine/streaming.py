@@ -190,6 +190,13 @@ def host_running_stats(
 
 # --- Streaming near-dup, incremental: growing per-bucket state index --------
 
+# STATE SCHEMA VERSION NOTE: this schema gained the `overflow` field
+# when the bucket cap landed (round 3). applyInPandasWithState does
+# not support state-schema evolution: a checkpoint written by the
+# 1-field (round-2) build cannot restart on this build — resume such
+# a stream from a FRESH checkpointLocation (re-seeding state from the
+# persisted band index via neardup_stream covers the gap). Future
+# state fields carry the same cost; extend this note when they do.
 NEARDUP_STATE_SCHEMA = "ids array<string>, overflow array<string>"
 NEARDUP_OUT_SCHEMA = "url string, matched_id string, band int"
 

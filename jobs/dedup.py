@@ -175,13 +175,6 @@ def _incremental(spark, docs, args, t0) -> dict:
     pairs = spark.read.parquet(pairs_path)
     n_pairs = pairs.count()
 
-    # new docs matching the CORPUS: drop (the corpus copy is canonical)
-    new_ids = nonempty.select(F.col(args.id_col))
-    cross_members = (
-        pairs.filter(F.col("src") == "index")
-        .select(F.explode(F.array("doc_a", "doc_b")).alias(args.id_col))
-        .distinct()
-    )
     # re-ingestion: a batch id ALREADY IN the index is the corpus doc
     # itself coming back (cron re-crawl of an unchanged page). The band
     # join can't see it — self-pairs are excluded — so it's caught by
@@ -192,27 +185,19 @@ def _incremental(spark, docs, args, t0) -> dict:
         args.id_col,
         "semi",
     )
-    dup_vs_index = (
-        cross_members.join(new_ids, args.id_col, "semi")
-        .unionByName(reingested)
-        .distinct()
-    )
-    # survivors keep the EMPTY-text docs too (they were screened out
-    # of pair generation only): full mode keeps them as singleton
-    # clusters, so incremental mode must as well, and they must not be
-    # miscounted as dedup removals.
-    survivors = docs.join(dup_vs_index, args.id_col, "anti")
+    # COMPONENT-level corpus verdicts (engine.ops.graph): a batch doc
+    # in any pair-component containing a corpus id is dropped, even if
+    # its only link to the corpus runs THROUGH another dropped batch
+    # doc — matching what full-mode clustering over old ∪ new decides.
+    # The same components give the survivors' clusters; docs in no pair
+    # (including EMPTY-text docs, screened out of pair generation only)
+    # stay as singleton clusters, exactly as full mode keeps them.
+    from engine.ops.graph import incremental_dedup_clusters
 
-    # then the usual clustering among the batch's own pairs
-    batch_pairs = pairs.filter(F.col("src") == "batch").select(
-        "doc_a", "doc_b"
+    dup_vs_index, clusters = incremental_dedup_clusters(
+        docs, pairs, id_col=args.id_col, reingested=reingested
     )
-    surv_a = survivors.select(F.col(args.id_col).alias("doc_a"))
-    surv_b = survivors.select(F.col(args.id_col).alias("doc_b"))
-    batch_pairs = batch_pairs.join(surv_a, "doc_a", "semi").join(
-        surv_b, "doc_b", "semi"
-    )
-    clusters = dedup_clusters(survivors, batch_pairs, id_col=args.id_col)
+    survivors = docs.join(dup_vs_index, args.id_col, "anti")
 
     cl_path = os.path.join(args.output, "clusters")
     write_table(clusters, cl_path)

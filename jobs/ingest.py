@@ -137,6 +137,16 @@ def run(args) -> dict:
         for k in METRIC_KEYS:
             totals[k] += int(metrics.get(k) or 0)
 
+        if not int(metrics.get("rows") or 0):
+            # empty batch (no input hashed into these buckets — routine
+            # on concentrated inputs, e.g. a single-host re-crawl):
+            # nothing was written, so the read-back below would fail
+            # schema inference on a table that does not exist yet.
+            # Commit the batch as done and move on.
+            checkpoint.mark_done(args.output, args.run_id, batch_keys)
+            n_committed += 1
+            continue
+
         # read back ONLY this batch's partitions (partition-pruned:
         # pbucket values == the batch's part_key values by construction)
         batch_ints = [int(k) for k in todo]

@@ -277,3 +277,106 @@ def test_incremental_batch_side_hot_bucket_counted(spark):
     # saturation star-links batch docs to the bucket minimum: O(n) pairs
     n = pairs.count()
     assert 0 < n <= 49 * 8
+
+
+def test_incremental_transitive_corpus_drop(spark):
+    """Round-3 review: a batch doc whose only link to the corpus runs
+    THROUGH another dropped batch doc must also drop — the verdict is
+    component-level, matching full-mode clustering over old ∪ new.
+    Graph: corpus C=1 — X=10 ('index' pair), X=10 — Y=11 ('batch'
+    pair, no shared band with C), plus an untainted pair 20—21 and a
+    pair-free singleton 30."""
+    from engine.ops.graph import incremental_dedup_clusters
+
+    batch = spark.createDataFrame(
+        [(10,), (11,), (20,), (21,), (30,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 10, "index"), (10, 11, "batch"), (20, 21, "batch")],
+        "doc_a long, doc_b long, src string",
+    )
+    dropped, clusters = incremental_dedup_clusters(batch, pairs)
+    assert {r["doc_id"] for r in dropped.collect()} == {10, 11}
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in clusters.collect()
+    }
+    assert got == {20: (20, 1), 21: (20, 0), 30: (30, 1)}
+
+
+def test_incremental_reingested_id_taints_its_component(spark):
+    """A re-ingested id (already in the index) stands for a corpus
+    doc: batch docs clustered with it drop transitively too."""
+    from engine.ops.graph import incremental_dedup_clusters
+
+    batch = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(5, 6, "batch")], "doc_a long, doc_b long, src string"
+    )
+    reingested = spark.createDataFrame([(5,)], "doc_id long")
+    dropped, clusters = incremental_dedup_clusters(
+        batch, pairs, reingested=reingested
+    )
+    assert {r["doc_id"] for r in dropped.collect()} == {5, 6}
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {7: 7}
+
+
+def test_incremental_job_drops_transitive_chain(spark, tmp_path):
+    """Job-level: jobs/dedup.py --index drops a Y that near-dups X
+    (dropped vs corpus) even when Y itself never collides with the
+    corpus index. The index is crafted to hold only ONE of X's bands,
+    and Y is searched to share a band with X but not THAT band."""
+    import types
+
+    import jobs.dedup as dj
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna "
+            "aliqua ut enim ad minim veniam quis nostrud exercitation ")
+    x_text = base * 3
+    x = spark.createDataFrame([(10, x_text)], "doc_id long, text string")
+    x_bands = {
+        (r["band"], r["bh"])
+        for r in minhash_bands(x, n_bands=8, rows_per_band=4).collect()
+    }
+    # find a Y sharing >=1 band with X but NOT band_c (the corpus band)
+    y_text = None
+    for i in range(200):
+        cand = x_text.replace("dolor", f"dolor{i}", 1)
+        ydf = spark.createDataFrame([(11, cand)], "doc_id long, text string")
+        yb = {
+            (r["band"], r["bh"])
+            for r in minhash_bands(ydf, n_bands=8, rows_per_band=4).collect()
+        }
+        shared = x_bands & yb
+        only_x = x_bands - yb
+        if shared and only_x:
+            band_c = sorted(only_x)[0]  # corpus band Y does NOT hit
+            y_text = cand
+            break
+    assert y_text is not None, "no Y candidate found"
+
+    # corpus doc C=1 holds exactly the band of X that Y misses
+    idx_path = str(tmp_path / "bands_idx")
+    spark.createDataFrame(
+        [(1, band_c[0], band_c[1])], "doc_id long, band int, bh long"
+    ).write.parquet(idx_path)
+    in_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(10, x_text), (11, y_text)], "doc_id long, text string"
+    ).write.parquet(in_path)
+
+    res = dj.run(
+        types.SimpleNamespace(
+            input=in_path, output=str(tmp_path / "out"), id_col="doc_id",
+            text_col="text", method="minhash", bands=8, rows_per_band=4,
+            max_hamming=8, verify_jaccard=None, hot_bucket_cap=256,
+            index=idx_path, update_index=True, write_bands=False,
+            master="local[4]", shuffle_partitions=4,
+        )
+    )
+    assert res["kept"] == 0 and res["removed"] == 2
+    # the index gained NO bands: neither X nor Y survived
+    n_idx = spark.read.parquet(str(tmp_path / "out" / "bands")).count()
+    assert n_idx == 1

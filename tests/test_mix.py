@@ -196,3 +196,23 @@ def test_rebalance_exact_small_overcap_host_never_vanishes(spark):
     assert wt == cap
     assert kept.filter("host != 'whale'").count() == 60
     assert kept.columns == docs.columns
+
+
+def test_rebalance_exact_oversize_doc_cannot_block_host(spark):
+    """Round-3 review: a doc individually larger than cap_tokens must
+    be excluded BEFORE the prefix cumsum — left in, it would (when it
+    sorts early in hash order) push _cum past the cap on row one and
+    zero the host even though plenty of small docs would fit."""
+    rows = [(1, "whale", 65_000)]  # alone exceeds the cap
+    rows += [(10 + i, "whale", 10_000) for i in range(10)]
+    rows += [(200 + i, f"s{i}", 1_350) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, n_tokens long")
+    total = 65_000 + 100_000 + 135_000  # 300_000
+    cap = int(0.2 * total)  # 60_000
+    kept = rebalance_domains(docs, 0.2, exact=True)
+    wt = kept.filter("host = 'whale'").agg(F.sum("n_tokens")).collect()[0][0]
+    # the oversize doc is gone, and the 10k docs fill the cap exactly
+    # (they all fit pairwise: 6 * 10_000 == cap)
+    assert wt == cap
+    assert kept.filter("doc_id = 1").count() == 0
+    assert kept.filter("host != 'whale'").count() == 100

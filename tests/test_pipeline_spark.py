@@ -170,3 +170,43 @@ def test_cos_pairs_udf_zero_norm_yields_null(spark):
     assert rows[0]["c"] is None
     assert abs(rows[1]["c"] - 1.0) < 1e-9
     assert df.filter(cos_pairs_udf("a", "b") >= 0.4).count() == 1
+
+
+def test_lineage_wall_ms_apportioned_not_multicounted():
+    """Round-3 review: with `by` set, a task spanning K buckets emits K
+    trailer rows whose wall_ms must SUM to ~the task wall (row-share
+    apportioning), not K copies of the full wall — summing wall_ms
+    over the lineage table is the natural dashboard query and must not
+    multi-count. Called in-process with a slow batch iterator so the
+    task wall is known to within scheduling noise."""
+    import time as _time
+
+    import pandas as pd
+
+    from engine.lineage import lineage_map_in_pandas
+
+    pdf = pd.DataFrame(
+        {
+            "path": ["html"] * 8,
+            "error": [None] * 8,
+            "n_chars": [10] * 8,
+            "pbucket": [0, 0, 0, 0, 1, 1, 2, 3],
+        }
+    )
+
+    def slow_batches():
+        yield pdf.iloc[:4]
+        _time.sleep(0.08)
+        yield pdf.iloc[4:]
+
+    t0 = _time.monotonic()
+    (out,) = list(lineage_map_in_pandas("r", by="pbucket")(slow_batches()))
+    outer_ms = (_time.monotonic() - t0) * 1000
+    walls = dict(zip(out["pbucket"], out["wall_ms"]))
+    total = sum(walls.values())
+    # the old bug gave total ~= 4 * outer_ms; apportioned it is ~outer
+    assert total <= outer_ms + len(walls), (total, outer_ms)
+    assert total >= 0.5 * outer_ms
+    # shares follow row counts (4:2:1:1 over 8 rows) up to rounding
+    assert walls[0] >= walls[1] >= walls[2]
+    assert abs(walls[2] - walls[3]) <= 1

@@ -202,3 +202,28 @@ def test_resume_with_different_commit_batches_keeps_lineage_exact(
         for r in lin.groupBy("pbucket").agg(F.sum("n_rows").alias("n")).collect()
     }
     assert lin_per == ex_per
+
+
+def test_empty_commit_batch_is_skipped_and_committed(spark, tmp_path):
+    """Round-3 review: a concentrated input (single host -> one part
+    key) leaves most commit batches EMPTY; an empty first batch used
+    to crash the read-back on a not-yet-existing extracted table.
+    Empty batches must commit as done and the run must finish."""
+    import jobs.ingest as ingest
+
+    pages = with_partition_key(gen_pages_df(spark, N))
+    keys = [r[0] for r in pages.select("part_key").distinct().collect()]
+    # pick a part key NOT in batch 0 of 8 (k % 8 != 0) so the very
+    # first processed batch is empty — the crashing case
+    key = next(k for k in sorted(keys) if int(k) % 8 != 0)
+    in_path = str(tmp_path / "pages")
+    pages.filter(F.col("part_key") == key).drop("part_key").write.parquet(in_path)
+
+    out = str(tmp_path / "out")
+    res = ingest.run(_ingest_args(out, input=in_path, commit_batches=8))
+    assert res["docs"] > 0
+    assert res["batches_committed"] == 8  # empty ones committed too
+    assert checkpoint.load_done_keys(out, "r1") == {str(k) for k in range(64)}
+    got = spark.read.parquet(out + "/extracted")
+    assert got.count() == res["docs"]
+    assert {r[0] for r in got.select("pbucket").distinct().collect()} == {int(key)}
