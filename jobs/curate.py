@@ -16,6 +16,13 @@ slice's scores are rejected with reason "lm_ppl". Training is one
 count groupBy; scoring broadcasts the pruned model, so the extra cost
 is two more map-shaped passes over the input — no corpus shuffle.
 
+`--classifier-ref <parquet>` trains the CCNet-style quality
+classifier (engine/ops/classify.py) with the given TRUSTED docs as
+the positive class and this corpus as the negative, then attaches
+`quality_score` (a pure codegen projection — the verdict rows already
+carry the metric feature columns); `--classifier-min-score` turns the
+score into a screen (reason "clf_score").
+
 Writes:
 
     <output>/kept        documents passing every rule
@@ -111,6 +118,34 @@ def run(args) -> dict:
                 ),
             ).withColumn("keep", F.col("keep") & lm_keep)
 
+    clf_stats = {}
+    if args.classifier_ref:
+        from engine.ops.classify import quality_classifier, score_logreg
+
+        # CCNet §4.4 proper: the reference is an EXTERNAL trusted set
+        # (a wiki dump, a hand-kept sample) — the model learns what
+        # "looks like the reference" from the raw metric columns, so
+        # its score is independent signal on top of the rule verdicts.
+        ref = spark.read.parquet(args.classifier_ref)
+        model = quality_classifier(
+            docs.select(args.id_col, args.text_col),
+            ref.select(args.id_col, args.text_col),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            stats=clf_stats,
+        )
+        # verdict rows already carry the metric feature columns, so
+        # scoring is a free codegen projection — no recompute, no join
+        verdicts = score_logreg(verdicts, model)
+        if args.classifier_min_score is not None:
+            clf_ok = F.col("quality_score") >= float(args.classifier_min_score)
+            verdicts = verdicts.withColumn(
+                "reasons",
+                F.when(clf_ok, F.col("reasons")).otherwise(
+                    F.array_union("reasons", F.array(F.lit("clf_score")))
+                ),
+            ).withColumn("keep", F.col("keep") & clf_ok)
+
     # the kept and rejected writes are two actions over one plan whose
     # most expensive stage is the langid Arrow UDF: persist so the
     # verdicts compute ONCE, and derive every count from the written
@@ -148,6 +183,11 @@ def run(args) -> dict:
         result["lm_cut_logppl"] = (
             round(lm_cut, 4) if lm_cut is not None else None
         )
+    if args.classifier_ref:
+        result["classifier"] = {
+            "iters": clf_stats.get("iters"),
+            "loss": round(clf_stats["loss"], 6) if "loss" in clf_stats else None,
+        }
     print(json.dumps(result))
     return result
 
@@ -174,6 +214,21 @@ def _parser() -> argparse.ArgumentParser:
         "slice's log-perplexity",
     )
     p.add_argument("--lm-min-count", type=int, default=2)
+    p.add_argument(
+        "--classifier-ref",
+        default=None,
+        help="parquet of TRUSTED reference docs: train the CCNet-style "
+        "quality classifier (engine/ops/classify.py) reference-vs-"
+        "corpus and attach quality_score to every verdict row",
+    )
+    p.add_argument(
+        "--classifier-min-score",
+        type=float,
+        default=None,
+        help="with --classifier-ref: additionally reject docs scoring "
+        "below this (reason clf_score); omit to attach the score "
+        "without screening",
+    )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p

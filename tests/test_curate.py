@@ -205,3 +205,48 @@ def test_redact_pii_is_map_only(spark):
     docs = spark.range(5).selectExpr("id AS doc_id", "'x a@b.cc y' AS text")
     p = plan(redact_pii(docs))
     assert "Exchange" not in p, p
+
+
+def test_curate_job_with_classifier_ref(spark, tmp_path):
+    """--classifier-ref: the job trains the CCNet reference-vs-corpus
+    classifier, attaches quality_score to every verdict row, and with
+    --classifier-min-score rejects low scorers with reason clf_score."""
+    import types
+
+    import jobs.curate as cj
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    in_path = str(tmp_path / "docs")
+    docs.write.parquet(in_path)
+    # trusted reference: the longest third of the corpus (an external
+    # "looks good" slice stand-in)
+    ref_path = str(tmp_path / "ref")
+    docs.filter(F.length("text") > 400).write.parquet(ref_path)
+
+    out = str(tmp_path / "out")
+    res = cj.run(
+        types.SimpleNamespace(
+            input=in_path,
+            output=out,
+            no_check_lang=True,
+            classifier_ref=ref_path,
+            classifier_min_score=0.5,
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert res["classifier"]["iters"] >= 1
+    kept = spark.read.parquet(f"{out}/kept")
+    rej = spark.read.parquet(f"{out}/rejected")
+    assert "quality_score" in kept.columns
+    assert res["reasons"].get("clf_score", 0) > 0
+    # every kept row clears the cut; every clf_score rejection is below
+    assert kept.filter("quality_score < 0.5").count() == 0
+    assert (
+        rej.filter(F.array_contains("reasons", "clf_score"))
+        .filter("quality_score >= 0.5")
+        .count()
+        == 0
+    )
