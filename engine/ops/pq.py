@@ -1,0 +1,193 @@
+"""Product quantization (PQ) for the vector path — compact codes +
+asymmetric-distance (ADC) top-k search (Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search"; the standard companion to
+the IVF cells engine/ops/kmeans.py trains).
+
+Why it matters at 10^12 vectors: a float32[d] embedding is 4d bytes;
+PQ stores m uint8 codes (m=8-16), a 16-64x compression, and ADC
+scores a query against a code with m table lookups instead of d
+multiply-adds. The vector-index sink can hold the codes table in a
+fraction of the footprint and still answer top-k.
+
+Spark-first shape:
+
+  * training reuses engine/ops/kmeans.train_codebook once per
+    subspace over the SAME deterministic hash-sample discipline —
+    m small k-means problems, never a corpus-sized one.
+  * encoding is MAP-ONLY (codebooks ride in the UDF closure, one BLAS
+    matmul per subspace per Arrow batch — the assign_cells shape).
+  * ADC search: queries broadcast as per-query lookup tables (m x k
+    floats each — query-side work is codebook-sized); one mapInPandas
+    pass emits each task's LOCAL top-k per query (bounded fan-out:
+    tasks x |Q| x k rows), then one small window takes the global
+    top-k. The codes table is scanned once and never shuffled.
+
+Exactness contract (the test oracle): ADC distance of query q to code
+c equals the true L2 distance of q to the DECODED vector of c, so
+adc_topk == brute-force top-k over pq_decode output, exactly — the
+approximation lives entirely in the encoding, never in the search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from engine.ops.kmeans import train_codebook
+
+ADC_DDL = "qid long, vec_id long, dist double"
+
+
+def train_pq(
+    vecs: DataFrame,
+    m: int,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_per_centroid: int = 64,
+    max_iter: int = 15,
+) -> np.ndarray:
+    """Train m sub-codebooks of k centroids each; returns float64
+    array (m, k, d/m). Requires d % m == 0 (standard PQ constraint)."""
+    d = int(vecs.select(F.size(vec_col)).limit(1).collect()[0][0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = vecs.select(
+            F.col(id_col),
+            # F.slice is 1-based
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            train_codebook(
+                sub,
+                k=k,
+                vec_col=vec_col,
+                id_col=id_col,
+                sample_per_centroid=sample_per_centroid,
+                max_iter=max_iter,
+                salt=f"pq{j}",
+            )
+        )
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """MAP-ONLY encoding: nearest sub-centroid per subspace, emitted as
+    array<int> of length m (values < k; int keeps the column readable —
+    the parquet sink dictionary-encodes it to ~1 byte at k<=256)."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="object")
+        M = np.array(list(emb), dtype=np.float64)
+        codes = np.empty((len(M), m), dtype=np.int64)
+        for j in range(m):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            d2 = (S * S).sum(axis=1, keepdims=True) - 2.0 * (S @ B[j].T) + (
+                B[j] * B[j]
+            ).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    return df.withColumn(code_col, enc(vec_col))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    code_col: str = "pq_code",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Reconstruct the quantized vector (concatenated sub-centroids)."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m = B.shape[0]
+
+    @F.pandas_udf("array<double>")
+    def dec(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="object")
+        C = np.array(list(codes), dtype=np.int64)
+        out = np.concatenate(
+            [B[j][C[:, j]] for j in range(m)], axis=1
+        )
+        return pd.Series([row.tolist() for row in out])
+
+    return df.withColumn(out_col, dec(code_col))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    topk: int = 3,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, an (m, k) lookup table of
+    sub-distances is precomputed ON THE DRIVER (query-side cost is
+    codebook-sized); the codes table is scanned ONCE by a mapInPandas
+    that emits each task's local top-k per query; a window over the
+    tasks x |Q| x topk survivors picks the global top-k.
+
+    Returns (qid, vec_id, dist) — true L2 distance of the query to the
+    decoded vector, ascending; ties broken by vec_id asc."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+    qrows = queries.select(
+        F.col(qid_col).cast("long"), F.col(vec_col)
+    ).collect()  # bounded: the query set, never the corpus
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    # LUT[q, j, c] = ||Q[q] subspace j - B[j][c]||^2
+    lut = np.stack(
+        [
+            ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - B[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[code_col]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # dist (n, |Q|): sum over subspaces of per-query LUT rows
+            dist = np.zeros((len(C), len(qids)))
+            for j in range(m):
+                dist += lut[:, j, :][:, C[:, j]].T
+            rows = []
+            kk = min(topk, len(C))
+            for qi, qid in enumerate(qids):
+                order = np.lexsort((ids, dist[:, qi]))[:kk]
+                rows.extend(
+                    (int(qid), int(ids[i]), float(dist[i, qi])) for i in order
+                )
+            yield pd.DataFrame(rows, columns=["qid", "vec_id", "dist"])
+
+    local = codes.select(id_col, code_col).mapInPandas(local_topk, ADC_DDL)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .drop("_rn")
+    )

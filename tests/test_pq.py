@@ -1,0 +1,128 @@
+"""Product quantization (engine/ops/pq): encode/decode round-trip on
+codebook-representable data, the ADC == brute-force-over-decoded
+exactness contract, partition invariance of the local-top-k merge,
+and end-to-end compression+search over the real embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops.pq import pq_adc_topk, pq_decode, pq_encode, train_pq
+
+DIM = 8
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _grid_rows(n=240):
+    """Vectors whose two 4-dim halves each take one of 3 exact anchor
+    values -> a (3 x 3)-codebook-representable corpus (PQ can encode
+    it losslessly once each subspace recovers its 3 anchors)."""
+    half_anchors = [
+        [5.0, 0.0, 0.0, 0.0],
+        [0.0, 5.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 5.0],
+    ]
+    rows = []
+    for i in range(n):
+        a, b = half_anchors[i % 3], half_anchors[(i // 3) % 3]
+        rows.append((i, a + b))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return spark.createDataFrame(
+        _grid_rows(), "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_roundtrip_lossless_on_representable_data(grid):
+    B = train_pq(grid, m=2, k=3, sample_per_centroid=500)
+    assert B.shape == (2, 3, 4)
+    enc = pq_encode(grid, B)
+    dec = pq_decode(enc, B)
+    # decoded == original exactly (anchors are the exact centroids of
+    # each subspace's 3-point clusters)
+    bad = dec.filter(
+        F.exists(
+            F.zip_with(
+                "embedding", "decoded", lambda a, b: F.abs(a - b) > 1e-9
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_adc_equals_bruteforce_over_decoded(grid):
+    """The exactness contract: adc_topk == exact L2 top-k over the
+    DECODED vectors, including distances."""
+    B = train_pq(grid, m=2, k=3, sample_per_centroid=500)
+    enc = pq_encode(grid, B).select("vec_id", "pq_code")
+    queries = grid.filter("vec_id in (0, 4, 8)").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = {
+        (r["qid"], r["vec_id"], round(r["dist"], 9))
+        for r in pq_adc_topk(enc, queries, B, topk=4).collect()
+    }
+    # oracle: decode everything, exact L2, same tie rule
+    dec = {
+        r["vec_id"]: np.array(r["decoded"])
+        for r in pq_decode(enc, B).collect()
+    }
+    qs = {r["qid"]: np.array(r["embedding"]) for r in queries.collect()}
+    exp = set()
+    for qid, qv in qs.items():
+        scored = sorted(
+            ((float(((qv - v) ** 2).sum()), vid) for vid, v in dec.items()),
+        )[:4]
+        exp |= {(qid, vid, round(d, 9)) for d, vid in scored}
+    assert got == exp
+
+
+def test_adc_partition_invariant(grid):
+    B = train_pq(grid, m=2, k=3, sample_per_centroid=500)
+    q = grid.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "embedding")
+    enc = pq_encode(grid, B).select("vec_id", "pq_code")
+    a = {(r["qid"], r["vec_id"]) for r in pq_adc_topk(enc.repartition(1), q, B, topk=5).collect()}
+    b = {(r["qid"], r["vec_id"]) for r in pq_adc_topk(enc.repartition(13), q, B, topk=5).collect()}
+    assert a == b
+
+
+def test_train_pq_validation(grid):
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(grid, m=3)
+
+
+def test_end_to_end_on_real_embeddings(spark):
+    """Real table: 16x fewer stored values than the float vector, and
+    ADC recall@10 vs exact search comfortably above chance."""
+    e = spark.read.parquet(EMB)
+    d = len(e.select("embedding").first()[0])
+    m = 8 if d % 8 == 0 else 4
+    B = train_pq(e, m=m, k=16, sample_per_centroid=64)
+    enc = pq_encode(e, B).select("vec_id", "pq_code")
+    assert len(enc.first()["pq_code"]) == m
+    q = e.filter("vec_id < 3").select(F.col("vec_id").alias("qid"), "embedding")
+    got = pq_adc_topk(enc, q, B, topk=10)
+    per_q = {
+        r["qid"]: r["n"]
+        for r in got.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_q) == {0, 1, 2} and all(v == 10 for v in per_q.values())
+    # recall@10 vs exact L2 for qid 0
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qv = M[ids == 0][0]
+    d2 = ((M - qv) ** 2).sum(axis=1)
+    exact = set(int(i) for i in ids[np.lexsort((ids, d2))][:11] if i != 0)
+    approx = {r["vec_id"] for r in got.filter("qid = 0").collect()}
+    # qid 0 itself encodes to distance ~its quantization error and may
+    # appear in its own result (no self-exclusion in ADC — disclosed);
+    # compare against the exact set allowing that
+    overlap = len((approx - {0}) & exact)
+    assert overlap >= 3, (sorted(approx), sorted(exact))
