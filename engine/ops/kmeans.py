@@ -41,26 +41,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+# the engine's ONE deterministic sampling rule (review r3: this module
+# briefly carried its own copy; one implementation, one place)
+from engine.ops.sample import hash_sample
+
 _DENOM = 1 << 30  # hash-fraction resolution (engine/ops/sample.py)
 
 PARTIAL_DDL = "cid int, n long, sum_vec array<double>"
-
-
-def hash_sample(
-    df: DataFrame,
-    fraction: float,
-    id_col: str = "vec_id",
-    salt: str = "kmeans",
-) -> DataFrame:
-    """Deterministic Bernoulli sample: pure function of (id, salt),
-    partition-invariant, map-only (the q-sample rule shared with
-    engine/ops/sample.py)."""
-    if fraction >= 1.0:
-        return df
-    bucket = F.pmod(
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(_DENOM)
-    )
-    return df.filter(bucket < int(fraction * _DENOM))
 
 
 def _partials_fn(C: np.ndarray):
@@ -68,13 +55,18 @@ def _partials_fn(C: np.ndarray):
     matmul), emit (cid, n, sum_vec) partials — k rows per batch."""
     k = C.shape[0]
 
+    # squared-distance proxy for the argmin: ||c||^2 - 2 m.c — the
+    # ||m||^2 term is constant PER ROW and safely dropped, but ||c||^2
+    # varies per centroid and MUST stay (review r3: dropping it biased
+    # assignment toward large-norm centroids at every site)
+    c2 = (C * C).sum(axis=1)[None, :]
+
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.array(list(pdf["_vec"]), dtype=np.float64)
-            d2 = (M * M).sum(axis=1, keepdims=True) - 2.0 * (M @ C.T)
-            cid = np.argmin(d2, axis=1)  # ||m||^2 term constant per row
+            cid = np.argmin(c2 - 2.0 * (M @ C.T), axis=1)
             rows = []
             for c in np.unique(cid):
                 sel = M[cid == c]
@@ -94,6 +86,7 @@ def train_codebook(
     tol: float = 1e-6,
     salt: str = "kmeans",
     stats: dict | None = None,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Lloyd's k-means over a deterministic hash-sample of `vecs`;
     returns the (k, dim) float64 codebook, centroids sorted by their
@@ -102,7 +95,14 @@ def train_codebook(
     Init: the k sampled vectors with the smallest (xxhash64(id), id) —
     deterministic, spread by the hash's uniformity. Each iteration is
     one map-only pass + a driver combine of codebook-sized partials
-    (see module docstring for the 100-TB cost shape)."""
+    (see module docstring for the 100-TB cost shape).
+
+    sample_fraction overrides the auto fraction (pass 1.0 when `vecs`
+    IS already a training sample — engine/ops/pq.py does, so its m
+    sub-trainings share one sample instead of re-scanning the corpus).
+    The Bernoulli sample's size is checked against k: a short sample
+    (possible at tiny sample_per_centroid) widens once by 8x before
+    raising, so training never silently fits fewer than k centroids."""
     if k <= 0:
         raise ValueError(f"k {k} must be positive")
     if max_iter < 1:
@@ -110,15 +110,33 @@ def train_codebook(
     n_total = vecs.count()
     if n_total < k:
         raise ValueError(f"k {k} exceeds corpus size {n_total}")
-    frac = min(1.0, (k * sample_per_centroid) / n_total)
-    sample = (
-        hash_sample(vecs, frac, id_col=id_col, salt=salt)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_vec"),
-        )
-        .localCheckpoint(eager=True)  # re-read every iteration
+    # 1.2x headroom keeps P(sample < k) negligible at spc >= 8
+    frac = (
+        sample_fraction
+        if sample_fraction is not None
+        else min(1.0, 1.2 * (k * sample_per_centroid) / n_total)
     )
+
+    def take(fr: float, s: str) -> DataFrame:
+        return (
+            hash_sample(vecs, fr, id_col=id_col, salt=s)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_vec"),
+            )
+            .localCheckpoint(eager=True)  # re-read every iteration
+        )
+
+    sample = take(frac, salt)
+    n_sample = sample.count()
+    if n_sample < k and frac < 1.0:  # short draw: widen once
+        sample = take(min(1.0, frac * 8), salt)
+        n_sample = sample.count()
+    if n_sample < k:
+        raise ValueError(
+            f"sample of {n_sample} rows cannot fit k={k} centroids; "
+            "raise sample_per_centroid"
+        )
     h = F.pmod(F.xxhash64(F.col("_id").cast("string"), F.lit(salt + "_init")), F.lit(_DENOM))
     init = (
         sample.orderBy(h.asc(), F.col("_id").asc())
@@ -163,14 +181,16 @@ def assign_cells(
     closure, one matmul per Arrow batch, no shuffle (the q35 plan
     shape, locked there by tests/test_plans.py)."""
     C = np.asarray(codebook, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)[None, :]  # see _partials_fn on the proxy
 
     @F.pandas_udf("int")
     def cell(emb: pd.Series) -> pd.Series:
         if not len(emb):
             return pd.Series([], dtype="int32")
         M = np.array(list(emb), dtype=np.float64)
-        d2 = (M * M).sum(axis=1, keepdims=True) - 2.0 * (M @ C.T)
-        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+        return pd.Series(
+            np.argmin(c2 - 2.0 * (M @ C.T), axis=1).astype("int32")
+        )
 
     return df.withColumn(cell_col, cell(vec_col))
 
@@ -184,6 +204,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "qid",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Trained-IVF ANN: each query probes its `nprobe` nearest cells,
     candidates are the corpus rows of those cells (equi-join on cell
@@ -192,19 +213,28 @@ def ivf_topk(
 
     Returns (qid, vec_id, cos_sim) with ties broken by vec_id asc.
     Recall knob: nprobe=1 is the classic IVF fast path; each +1 probe
-    recovers boundary neighbors at proportional candidate cost."""
+    recovers boundary neighbors at proportional candidate cost.
+
+    exclude_self (default True) drops candidates whose id equals the
+    query's qid — correct when queries ARE corpus rows (self is a
+    trivial sim-1.0 hit). Pass False for EXTERNAL queries whose qid
+    numbering happens to overlap corpus ids, or a coinciding id would
+    silently lose a valid neighbor (review r3)."""
     C = np.asarray(codebook, dtype=np.float64)
     corpus = assign_cells(vecs, C, vec_col=vec_col, cell_col="_cell").select(
         F.col(id_col), F.col(vec_col).alias("_cv"), "_cell"
     )
+
+    c2 = (C * C).sum(axis=1)[None, :]  # see _partials_fn on the proxy
 
     @F.pandas_udf("array<int>")
     def probe_cells(emb: pd.Series) -> pd.Series:
         if not len(emb):
             return pd.Series([], dtype="object")
         M = np.array(list(emb), dtype=np.float64)
-        d2 = (M * M).sum(axis=1, keepdims=True) - 2.0 * (M @ C.T)
-        order = np.argsort(d2, kind="stable", axis=1)[:, :nprobe]
+        order = np.argsort(
+            c2 - 2.0 * (M @ C.T), kind="stable", axis=1
+        )[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     q = queries.select(
@@ -219,10 +249,11 @@ def ivf_topk(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    cand = corpus.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("_qid"))
     cand = (
-        corpus.join(F.broadcast(q), "_cell")
-        .filter(F.col(id_col) != F.col("_qid"))
-        .select(
+        cand.select(
             F.col("_qid").alias(qid_col),
             id_col,
             (dot / (norm(F.col("_cv")) * norm(F.col("_qv")))).alias("cos_sim"),

@@ -49,14 +49,32 @@ def train_pq(
     max_iter: int = 15,
 ) -> np.ndarray:
     """Train m sub-codebooks of k centroids each; returns float64
-    array (m, k, d/m). Requires d % m == 0 (standard PQ constraint)."""
+    array (m, k, d/m). Requires d % m == 0 (standard PQ constraint).
+
+    The corpus is counted and hash-sampled ONCE (the sample is
+    localCheckpointed); each subspace training slices ITS columns off
+    that one sample and runs with sample_fraction=1.0 — m Lloyd
+    problems over one shared sample, never m corpus scans (review r3:
+    the per-subspace train_codebook calls each re-sampled the corpus
+    before this)."""
     d = int(vecs.select(F.size(vec_col)).limit(1).collect()[0][0])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
+    from engine.ops.sample import hash_sample
+
+    n_total = vecs.count()
+    if n_total < k:
+        raise ValueError(f"k {k} exceeds corpus size {n_total}")
+    frac = min(1.0, 1.2 * (k * sample_per_centroid) / n_total)
+    sample = (
+        hash_sample(vecs, frac, id_col=id_col, salt="pq")
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
     books = []
     for j in range(m):
-        sub = vecs.select(
+        sub = sample.select(
             F.col(id_col),
             # F.slice is 1-based
             F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
@@ -67,9 +85,9 @@ def train_pq(
                 k=k,
                 vec_col=vec_col,
                 id_col=id_col,
-                sample_per_centroid=sample_per_centroid,
                 max_iter=max_iter,
                 salt=f"pq{j}",
+                sample_fraction=1.0,
             )
         )
     return np.stack(books)

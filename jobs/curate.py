@@ -127,8 +127,25 @@ def run(args) -> dict:
         # "looks like the reference" from the raw metric columns, so
         # its score is independent signal on top of the rule verdicts.
         ref = spark.read.parquet(args.classifier_ref)
+        # CCNet trains on a SAMPLE: full-batch GD makes max_iter passes
+        # over its training frame, so the negative class is a
+        # deterministic hash-sample of the corpus sized at
+        # --classifier-neg-ratio x the reference (the model needs
+        # reference-vs-corpus contrast, not the whole corpus), keeping
+        # the 100-iteration loop over a bounded frame instead of 100
+        # corpus scans (review r3)
+        from engine.ops.sample import hash_sample
+
+        n_ref = ref.count()
+        n_docs_total = docs.count()
+        neg_frac = min(
+            1.0, args.classifier_neg_ratio * n_ref / max(1, n_docs_total)
+        )
+        neg = hash_sample(
+            docs, neg_frac, id_col=args.id_col, salt="clf_neg"
+        )
         model = quality_classifier(
-            docs.select(args.id_col, args.text_col),
+            neg.select(args.id_col, args.text_col),
             ref.select(args.id_col, args.text_col),
             id_col=args.id_col,
             text_col=args.text_col,
@@ -228,6 +245,14 @@ def _parser() -> argparse.ArgumentParser:
         help="with --classifier-ref: additionally reject docs scoring "
         "below this (reason clf_score); omit to attach the score "
         "without screening",
+    )
+    p.add_argument(
+        "--classifier-neg-ratio",
+        type=float,
+        default=4.0,
+        help="negative (corpus) training sample size as a multiple of "
+        "the reference count — training runs over this bounded "
+        "sample, never the full corpus",
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)

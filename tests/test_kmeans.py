@@ -77,10 +77,15 @@ def test_train_validation(blobs, spark):
 
 
 def test_hash_sample_deterministic_and_partition_invariant(blobs):
-    a = {r["vec_id"] for r in hash_sample(blobs, 0.5).select("vec_id").collect()}
+    a = {
+        r["vec_id"]
+        for r in hash_sample(blobs, 0.5, id_col="vec_id").select("vec_id").collect()
+    }
     b = {
         r["vec_id"]
-        for r in hash_sample(blobs.repartition(9), 0.5).select("vec_id").collect()
+        for r in hash_sample(blobs.repartition(9), 0.5, id_col="vec_id")
+        .select("vec_id")
+        .collect()
     }
     assert a == b
     assert 0.3 * 360 < len(a) < 0.7 * 360
@@ -145,3 +150,45 @@ def test_ivf_on_real_embeddings(spark):
     res = ivf_topk(e, q, C, topk=3, nprobe=2)
     per_q = {r["qid"]: r["n"] for r in res.groupBy("qid").agg(F.count("*").alias("n")).collect()}
     assert set(per_q) == {0, 1, 2, 3, 4} and all(v == 3 for v in per_q.values())
+
+
+def test_assignment_correct_with_unequal_norm_centroids(spark):
+    """Round-3 review regression: the argmin proxy must keep the
+    per-centroid ||c||^2 term. Point [1,0,...] lies 1 from the origin
+    centroid and 2 from [3,0,...]; a proxy that drops ||c||^2 picks
+    the far, large-norm centroid instead."""
+    C = np.zeros((2, DIM))
+    C[1, 0] = 3.0
+    pt = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * (DIM - 1))], "vec_id long, embedding array<double>"
+    )
+    got = assign_cells(pt, C).collect()[0]["cell"]
+    assert got == 0
+    # ivf_topk's probe path uses the same proxy: nprobe=1 must probe
+    # the origin cell, where the only (self-excluded) corpus row is
+    corpus = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * (DIM - 1)), (2, [0.5] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.filter("vec_id = 1").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    res = ivf_topk(corpus, q, C, topk=1, nprobe=1).collect()
+    assert [(r["qid"], r["vec_id"]) for r in res] == [(1, 2)]
+    # external queries whose qid collides with a corpus id keep the
+    # colliding row when exclude_self=False
+    res2 = ivf_topk(corpus, q, C, topk=1, nprobe=1, exclude_self=False).collect()
+    assert [(r["qid"], r["vec_id"]) for r in res2] == [(1, 1)]
+
+
+def test_train_codebook_short_sample_widens_or_raises(spark):
+    """k near the corpus size with a tiny sample_per_centroid: the
+    sample-size guard must widen the draw (never IndexError, never a
+    silent sub-k codebook) and raise a clear error when even the full
+    table cannot fit k."""
+    rows = [(i, [float(i)] + [0.0] * (DIM - 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = train_codebook(df, k=20, sample_per_centroid=1, max_iter=2)
+    assert C.shape == (20, DIM)
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        train_codebook(df, k=100)
