@@ -100,7 +100,18 @@ def run(args) -> dict:
         if args.input:
             from engine.io.validate import assert_pages_schema
 
-            pages = assert_pages_schema(spark.read.parquet(args.input))
+            fmt = getattr(args, "input_format", "parquet") or "parquet"
+            if fmt == "warc":
+                from engine.io.warc import read_warc
+
+                pages = read_warc(spark, args.input)
+            elif fmt == "raw":
+                from engine.io.rawfiles import read_raw_drop
+
+                pages = read_raw_drop(spark, args.input)
+            else:
+                pages = spark.read.parquet(args.input)
+            pages = assert_pages_schema(pages)
         else:
             pages = gen_pages_df(spark, args.n_pages, seed=args.seed)
         if args.canonical_urls:
@@ -210,7 +221,13 @@ def run(args) -> dict:
 
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", default=None, help="pages parquet (else synthesize)")
+    p.add_argument("--input", default=None, help="pages input (else synthesize)")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc", "raw"],
+        default="parquet",
+        help="pages parquet | *.warc(.gz) archives | raw-file crawl drop",
+    )
     p.add_argument("--n-pages", type=int, default=5000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output", required=True)

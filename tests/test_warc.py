@@ -1,0 +1,184 @@
+"""WARC ingestion (engine/io/warc.py): parser + Spark reader.
+
+Covers the framing/tolerance contract: multi-member gzip, CRLF and
+bare-LF header blocks, chunked transfer decode, conversion (WET)
+records, unwanted record types, lost framing, and the end-to-end
+hand-off into build_extracted.
+"""
+
+import gzip
+import os
+
+import pytest
+
+from engine.io.warc import (
+    http_response,
+    parse_warc_bytes,
+    read_warc,
+    write_warc_gz,
+)
+
+TS = "2017-03-22T17:04:32Z"
+
+
+def _mk_records():
+    html = (
+        b"<html><body><p>Hello WARC world, this paragraph is long "
+        b"enough to clear the main-content extractor's pinned "
+        b"minimum-segment threshold.</p></body></html>"
+    )
+    return [
+        {  # skipped: not a wanted type
+            "type": "warcinfo",
+            "url": "urn:warcinfo",
+            "ts": TS,
+            "payload": b"software: test\r\n",
+        },
+        {
+            "type": "response",
+            "url": "https://a.example/page",
+            "ts": TS,
+            "payload": http_response(html),
+        },
+        {  # skipped: request
+            "type": "request",
+            "url": "https://a.example/page",
+            "ts": TS,
+            "payload": b"GET /page HTTP/1.1\r\nHost: a.example\r\n\r\n",
+        },
+        {
+            "type": "conversion",
+            "url": "https://b.example/wet",
+            "ts": "2018-01-05T00:00:01Z",
+            "payload": "plain text wét".encode("utf-8"),
+            "extra": {"WARC-Identified-Content-Language": "fra,eng"},
+        },
+        {
+            "type": "resource",
+            "url": "https://c.example/raw",
+            "ts": TS,
+            "payload": b"%PDF-1.4 fake",
+        },
+    ]
+
+
+def test_roundtrip_multimember_gz(tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    write_warc_gz(p, _mk_records())
+    rows = list(parse_warc_bytes(open(p, "rb").read()))
+    assert [r["url"] for r in rows] == [
+        "https://a.example/page",
+        "https://b.example/wet",
+        "https://c.example/raw",
+    ]
+    resp, wet, res = rows
+    assert b"Hello WARC world" in resp["html"]
+    assert resp["text"] is None and resp["lang"] is None
+    assert resp["warc_ts"].isoformat() == "2017-03-22T17:04:32"
+    assert wet["html"] is None and wet["text"] == "plain text wét"
+    assert wet["lang"] == "fra"  # first tag only
+    assert res["html"] == b"%PDF-1.4 fake"
+
+
+def test_plain_uncompressed_and_bare_lf():
+    # bare-LF producer: headers separated by \n, blank line \n\n
+    payload = http_response(b"<p>lf</p>")
+    rec = (
+        "WARC/1.0\nWARC-Type: response\n"
+        "WARC-Target-URI: https://lf.example/\n"
+        f"WARC-Date: {TS}\nContent-Length: {len(payload)}\n\n"
+    ).encode() + payload + b"\n\n"
+    rows = list(parse_warc_bytes(rec))
+    assert len(rows) == 1 and rows[0]["html"] == b"<p>lf</p>"
+
+
+def test_chunked_transfer_decoded():
+    from engine.io.warc import _record_bytes
+
+    body = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nHello\r\n7\r\n, chunk\r\n0\r\n\r\n"
+    )
+    raw = _record_bytes("response", "https://ch.example/", TS, body)
+    rows = list(parse_warc_bytes(raw))
+    assert rows[0]["html"] == b"Hello, chunk"
+
+
+def test_malformed_http_degrades_to_raw_payload():
+    raw_payload = b"HTTP/1.1 200 OK\r\nNo-Blank-Line-Ever"
+    from engine.io.warc import _record_bytes
+
+    raw = _record_bytes("response", "https://bad.example/", TS, raw_payload)
+    rows = list(parse_warc_bytes(raw))
+    assert rows[0]["html"] == raw_payload
+
+
+def test_lost_framing_keeps_prior_records():
+    from engine.io.warc import _record_bytes
+
+    good = _record_bytes(
+        "response", "https://ok.example/", TS, http_response(b"<p>ok</p>")
+    )
+    rows = list(parse_warc_bytes(good + b"GARBAGE NOT A WARC HEADER"))
+    assert [r["url"] for r in rows] == ["https://ok.example/"]
+
+
+def test_missing_url_or_bad_length_handled():
+    from engine.io.warc import _record_bytes
+
+    no_url = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: "
+        + TS.encode()
+        + b"\r\nContent-Length: 2\r\n\r\nab\r\n\r\n"
+    )
+    assert list(parse_warc_bytes(no_url)) == []
+    bad_len = no_url.replace(b"Content-Length: 2", b"Content-Length: x")
+    assert list(parse_warc_bytes(bad_len)) == []
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from engine.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)
+
+
+def test_read_warc_spark_and_extract(spark, tmp_path):
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+    write_warc_gz(os.path.join(d, "a.warc.gz"), _mk_records())
+    write_warc_gz(
+        os.path.join(d, "b.warc.gz"),
+        [
+            {
+                "type": "response",
+                "url": f"https://bulk.example/{i}",
+                "ts": TS,
+                "payload": http_response(
+                    f"<html><body><p>Doc {i} body text, padded well past the extractor minimum-segment threshold.</p></body></html>".encode()
+                ),
+            }
+            for i in range(20)
+        ],
+    )
+    pages = read_warc(spark, d)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 23
+    assert rows["https://a.example/page"]["html"] is not None
+    assert rows["https://b.example/wet"]["lang"] == "fra"
+    assert rows["https://b.example/wet"]["text"].startswith("plain text")
+    # timestamps land as UTC session-tz values
+    assert rows["https://a.example/page"]["warc_ts"].year == 2017
+
+    # map-only plan: no Exchange anywhere in the scan+parse
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # the hand-off: WARC rows drive the extraction pipeline directly
+    from engine.pipeline import build_extracted
+
+    extracted = build_extracted(pages)
+    out = {r["url"]: r for r in extracted.collect()}
+    assert out["https://a.example/page"]["path"] == "html"
+    assert "Hello WARC world" in out["https://a.example/page"]["text"]
+    assert out["https://c.example/raw"]["path"].startswith("pdf")
