@@ -54,7 +54,26 @@ def run(args) -> dict:
         app_name="webtext-dedup",
     )
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.input)
+    since = getattr(args, "since_snapshot", None)
+    if since is not None:
+        # consume ONLY the files the producer committed after snapshot
+        # `since` (engine/io/snapshots) — the new-crawl batch, selected
+        # by table metadata instead of a side-channel hand-off; pairs
+        # naturally with --index for incremental near-dup
+        from engine.io.snapshots import incremental_read
+
+        docs = incremental_read(spark, args.input, after=since)
+        if docs is None:
+            result = {
+                "method": args.method,
+                "docs": 0,
+                "note": f"no files added after snapshot {since}",
+                "wall_s": round(time.monotonic() - t0, 2),
+            }
+            print(json.dumps(result))
+            return result
+    else:
+        docs = spark.read.parquet(args.input)
 
     if getattr(args, "index", None):
         return _incremental(spark, docs, args, t0)
@@ -328,6 +347,14 @@ def main() -> None:
         help="persisted LSH band table (parquet): switch to INCREMENTAL "
         "mode — dedup this batch against the existing corpus via the "
         "index, never re-fingerprinting the corpus",
+    )
+    p.add_argument(
+        "--since-snapshot",
+        type=int,
+        default=None,
+        help="read ONLY files added to --input after this snapshot id "
+        "(engine/io/snapshots commit log) — the new-crawl batch by "
+        "table metadata; pairs with --index",
     )
     p.add_argument(
         "--update-index",

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from engine import checkpoint
 from engine.corpus import gen_pages_df
+from engine.io.snapshots import commit_snapshot
 from engine.io.tables import write_table
 from engine.lineage import build_lineage, observe_extraction
 from engine.pipeline import (
@@ -204,6 +205,10 @@ def run(args) -> dict:
         # overwrites) — commit it. Crash before this line re-does the
         # batch; crash after it skips the batch on --resume.
         checkpoint.mark_done(args.output, args.run_id, batch_keys)
+        # snapshot the extracted table's file set (metadata-only) so
+        # downstream incremental consumers can read "files added since
+        # snapshot N" without the producer handing them the batch
+        commit_snapshot(ex_path, operation=f"ingest-batch:{args.run_id}")
         n_committed += 1
 
     wall = time.monotonic() - t0
