@@ -182,3 +182,44 @@ def test_read_warc_spark_and_extract(spark, tmp_path):
     assert out["https://a.example/page"]["path"] == "html"
     assert "Hello WARC world" in out["https://a.example/page"]["text"]
     assert out["https://c.example/raw"]["path"].startswith("pdf")
+
+
+# ------------------------------------------------------------ property
+# Writer -> parser round-trip over arbitrary payloads: framing is
+# Content-Length arithmetic, so ANY byte payload (including ones
+# containing "WARC/1.0", blank lines, or gzip magic) must survive.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        payloads=st.lists(
+            st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+        ),
+        gz=st.booleans(),
+    )
+    def test_roundtrip_arbitrary_payload_bytes(payloads, gz, tmp_path_factory):
+        import gzip as _gz
+
+        from engine.io.warc import _record_bytes
+
+        recs = [
+            _record_bytes("resource", f"https://fuzz.example/{i}", TS, p)
+            for i, p in enumerate(payloads)
+        ]
+        blob = b"".join(
+            _gz.compress(r, mtime=0) if gz else r for r in recs
+        )
+        rows = list(parse_warc_bytes(blob))
+        assert [r["url"] for r in rows] == [
+            f"https://fuzz.example/{i}" for i in range(len(payloads))
+        ]
+        # resource payloads round-trip byte-identically
+        assert [r["html"] for r in rows] == payloads
