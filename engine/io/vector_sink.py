@@ -61,6 +61,7 @@ def sink_vectors(
     index_dir: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     client_factory=None,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """vectors(vec_id, url, chunk_ix, embedding, label) -> receipts.
 
@@ -68,8 +69,14 @@ def sink_vectors(
     performs the writes executor-side. ``client_factory`` is invoked
     ONCE PER TASK (connection amortized across all its batches) and
     must return an object with ``put_vectors(index, entries)``.
+
+    ``meta_cols``: extra columns of `vectors` to carry into each
+    entry's metadata dict (e.g. title/description from
+    engine/kernels/docmeta) — nulls are omitted, values stringified
+    per the put-API metadata shape.
     """
     factory = client_factory or (lambda: DryRunVectorClient(index_dir))
+    meta_cols = list(meta_cols or [])
 
     def write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -89,13 +96,18 @@ def sink_vectors(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                meta = {"label": int(row.label)}
+                for c in meta_cols:
+                    v = getattr(row, c)
+                    if v is not None and v == v:  # skip null/NaN
+                        meta[c] = str(v)
                 pending.append(
                     {
                         "_pid": pid,
                         "_seq": seq,
                         "key": f"{row.url}#{row.chunk_ix}",
                         "data": {"float32": [float(x) for x in row.embedding]},
-                        "metadata": {"label": int(row.label)},
+                        "metadata": meta,
                     }
                 )
                 n_vec += 1
@@ -108,5 +120,5 @@ def sink_vectors(
         )
 
     return vectors.select(
-        "url", "chunk_ix", "embedding", "label"
+        "url", "chunk_ix", "embedding", "label", *meta_cols
     ).mapInPandas(write_batches, RECEIPTS_DDL)

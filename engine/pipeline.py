@@ -163,6 +163,20 @@ def build_vectors(chunks: DataFrame) -> DataFrame:
     )
 
 
+def build_docmeta(pages: DataFrame) -> DataFrame:
+    """pages -> (url, title, description, canonical): per-document
+    metadata for the vector sink (engine/kernels/docmeta). A separate
+    map-only pass over the html column, NOT folded into the pinned
+    extraction UDF — extraction goldens never move. Joinable onto
+    vectors by url; sink_vectors(meta_cols=[...]) carries the fields
+    into every put_vectors entry."""
+    from engine.udfs import docmeta_udf
+
+    return pages.select("url", docmeta_udf("html").alias("_m")).select(
+        "url", "_m.title", "_m.description", "_m.canonical"
+    )
+
+
 def merge_latest(
     existing: DataFrame, incoming: DataFrame
 ) -> DataFrame:

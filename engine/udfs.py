@@ -173,6 +173,26 @@ def cos_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return out
 
 
+DOCMETA_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("canonical", StringType()),
+    ]
+)
+
+
+@pandas_udf(DOCMETA_TYPE)
+def docmeta_udf(html: pd.Series) -> pd.DataFrame:
+    """title/description/canonical from raw HTML bytes
+    (engine/kernels/docmeta) — the per-vector metadata surface; kept
+    OUT of the pinned extraction UDF so extraction goldens never move."""
+    from engine.kernels.docmeta import extract_docmeta
+
+    rows = [extract_docmeta(b) for b in html]
+    return pd.DataFrame(rows, columns=["title", "description", "canonical"])
+
+
 @pandas_udf(IntegerType())
 def n_sentences_udf(text: pd.Series) -> pd.Series:
     from engine.kernels.sentences import sentence_spans_batch
