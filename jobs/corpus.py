@@ -271,11 +271,28 @@ def run(args) -> dict:
                 labels = docs.select("url", "split")
                 chunks = chunks.join(labels, "url")
                 split_col = "split"
+            token_col = None
+            if getattr(args, "bpe_merges", 0):
+                # size examples in REAL subword tokens: train BPE on
+                # this corpus (engine/ops/bpe — sample-trained,
+                # map-only apply), persist merges beside the corpus
+                from engine.ops.bpe import bpe_encode, save_bpe, train_bpe
+
+                merges = train_bpe(
+                    docs, n_merges=args.bpe_merges, id_col="url"
+                )
+                save_bpe(spark, merges, os.path.join(out, "bpe_merges"))
+                manifest["bpe"] = {"n_merges": len(merges)}
+                chunks = bpe_encode(
+                    chunks, merges, text_col="chunk_text", count_only=True
+                )
+                token_col = "n_bpe_tokens"
             asg = pack_sequences(
                 chunks,
                 args.pack_budget,
                 n_shards=args.pack_shards,
                 split_col=split_col,
+                token_col=token_col,
             )
             asg.write.mode("overwrite").parquet(path)
             asg = spark.read.parquet(path)
@@ -286,8 +303,9 @@ def run(args) -> dict:
         stage("pack", "examples", do_pack)
 
     result = {"output": out, "stages": manifest["stages"]}
-    if "packing" in manifest:
-        result["packing"] = manifest["packing"]
+    for k in ("packing", "bpe"):
+        if k in manifest:
+            result[k] = manifest[k]
     print(json.dumps(result))
     return result
 
@@ -330,6 +348,15 @@ def _parser() -> argparse.ArgumentParser:
         "(enables the chunk+pack stage; examples never mix splits)",
     )
     p.add_argument("--pack-shards", type=int, default=64)
+    p.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="with --pack-budget: train a BPE tokenizer of this many "
+        "merges on the corpus (engine/ops/bpe), persist it to "
+        "<output>/bpe_merges, and pack by real subword token counts "
+        "instead of whitespace words",
+    )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p

@@ -137,3 +137,63 @@ def test_mix_stages_rebalance_split_pack(spark, tmp_path, pages_path):
     assert bad == 0
     assert res["packing"]["n_chunks"] == ex.count()
     assert 0 < res["packing"]["fill_rate"] <= 1.0
+
+
+def test_pack_with_trained_bpe_tokens(spark, tmp_path, pages_path):
+    """--bpe-merges: the pack stage sizes examples in trained subword
+    tokens; merges persist beside the corpus and re-applying them
+    reproduces the packed counts exactly."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus_bpe")
+    res = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            pack_budget=256,
+            pack_shards=4,
+            bpe_merges=64,
+        )
+    )
+    assert res["bpe"]["n_merges"] > 0
+    from pyspark.sql import functions as F
+
+    from engine.ops.bpe import bpe_encode, load_bpe
+
+    merges = load_bpe(spark, f"{out}/bpe_merges")
+    assert 0 < len(merges) <= 64
+
+    ex = spark.read.parquet(f"{out}/examples")
+    assert ex.count() > 0
+    # budget respected in BPE tokens for non-oversize examples
+    bad = (
+        ex.groupBy("shard", "example_ix")
+        .agg(
+            F.sum("n_tokens").alias("tok"),
+            F.max(F.col("oversize").cast("int")).alias("over"),
+        )
+        .filter("over = 0 AND tok > 256")
+        .count()
+    )
+    assert bad == 0
+    # n_tokens in the assignment == re-encoding the chunk text with
+    # the persisted merges (model round-trip, exact)
+    from engine.udfs import CHUNKS_DDL, chunk_map_in_pandas
+
+    docs = spark.read.parquet(f"{out}/final")
+    src = docs.filter(F.length(F.coalesce("text", F.lit(""))) > 0).select(
+        "url", "text", F.lit(None).cast("array<long>").alias("sent_spans")
+    )
+    chunks = bpe_encode(
+        src.mapInPandas(chunk_map_in_pandas, CHUNKS_DDL),
+        merges,
+        text_col="chunk_text",
+        count_only=True,
+    ).select("url", "chunk_ix", "n_bpe_tokens")
+    joined = ex.join(
+        chunks.withColumnRenamed("url", "doc_key"), ["doc_key", "chunk_ix"]
+    )
+    assert joined.filter("n_tokens != n_bpe_tokens").count() == 0
+    assert joined.count() == ex.count()
