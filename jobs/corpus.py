@@ -14,6 +14,9 @@ Stages, each writing its own parquet table under <output>/:
                docs only (engine/ops/{dedup,graph})
     linedup    corpus-wide repeated-line removal rewrite
                (engine/ops/linedup)
+    substrdedup (opt-in, --substr-w) duplicated >=w-token verbatim-run
+               removal rewrite -> <output>/substr_cleaned
+               (engine/ops/substrdedup; Lee et al. 2022 ExactSubstr)
     curate     rule verdicts + optional LM perplexity screen —
                composes jobs/curate.run, so the audit layout
                (curate/kept, curate/rejected) and reason stats are
@@ -145,6 +148,22 @@ def run(args) -> dict:
         return spark.read.parquet(path).count()
 
     stage("linedup", "cleaned", do_linedup)
+    curate_input = "cleaned"
+
+    # -- optional: exact-substring dedup rewrite (Lee et al. 2022) ------
+    if args.substr_w:
+
+        def do_substr(path: str) -> int:
+            from engine.ops.substrdedup import dedup_substrings
+
+            docs = spark.read.parquet(os.path.join(out, "cleaned"))
+            dedup_substrings(docs, w=args.substr_w, id_col="url").write.mode(
+                "overwrite"
+            ).parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage("substrdedup", "substr_cleaned", do_substr)
+        curate_input = "substr_cleaned"
 
     # -- curation (+ optional LM screen): the standalone job, composed -
     def do_curate(path: str) -> int:
@@ -154,7 +173,7 @@ def run(args) -> dict:
 
         res = curate_run(
             types.SimpleNamespace(
-                input=os.path.join(out, "cleaned"),
+                input=os.path.join(out, curate_input),
                 output=path,
                 id_col="url",
                 min_tokens=args.min_tokens,
@@ -324,6 +343,14 @@ def _parser() -> argparse.ArgumentParser:
         "--check-lang",
         action="store_true",
         help="enable the langid screen in curation (off by default)",
+    )
+    p.add_argument(
+        "--substr-w",
+        type=int,
+        default=0,
+        help="remove duplicated verbatim runs of at least this many "
+        "tokens corpus-wide (Lee et al. 2022 ExactSubstr; 0 = off, "
+        "published setting is 50)",
     )
     p.add_argument("--lm-filter", action="store_true")
     p.add_argument("--lm-pct", type=float, default=90.0)

@@ -197,3 +197,33 @@ def test_pack_with_trained_bpe_tokens(spark, tmp_path, pages_path):
     )
     assert joined.filter("n_tokens != n_bpe_tokens").count() == 0
     assert joined.count() == ex.count()
+
+
+def test_substrdedup_stage_wires_into_curation(spark, tmp_path, pages_path):
+    """--substr-w: the ExactSubstr rewrite runs between linedup and
+    curation; rows are preserved (it rewrites, never drops), the stage
+    commits to the manifest, and curation consumes the rewritten
+    table."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus_substr")
+    res = run(
+        _args(pages_path, out, min_tokens=5, sample_fraction=1.0, substr_w=5)
+    )
+    st = res["stages"]
+    assert "substrdedup" in st
+    assert st["substrdedup"]["rows"] == st["linedup"]["rows"]
+    assert os.path.exists(f"{out}/substr_cleaned/_SUCCESS")
+    sub = spark.read.parquet(f"{out}/substr_cleaned")
+    assert {"n_tokens", "n_tokens_removed"} <= set(sub.columns)
+    # the synthetic corpus shares template boilerplate runs: something
+    # must actually be removed, and no doc may lose ALL its tokens'
+    # uniqueness accounting (n_tokens_removed <= n_tokens)
+    from pyspark.sql import functions as F
+
+    agg = sub.agg(
+        F.sum("n_tokens_removed").alias("rm"),
+        F.max(F.col("n_tokens_removed") > F.col("n_tokens")).alias("bad"),
+    ).first()
+    assert agg["rm"] > 0
+    assert agg["bad"] is False
