@@ -179,3 +179,64 @@ def packing_stats(assignments: DataFrame, budget: int) -> DataFrame:
             4,
         ).alias("fill_rate"),
     )
+
+
+def assemble_examples(
+    assignments: DataFrame,
+    chunks: DataFrame,
+    doc_col: str = "url",
+    chunk_ix_col: str = "chunk_ix",
+    text_col: str = "chunk_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize packed training examples: join the metadata-only
+    pack_sequences output back onto the chunk text and concatenate
+    each example's chunks in seq_ix order.
+
+    Output: (example_id string, [split,] shard, example_ix, n_seqs,
+    n_tokens, oversize, text). example_id is a stable key
+    ([split/]shard/example_ix) suitable for export sharding
+    (engine/io/export.export_jsonl).
+
+    Scale shapes: ONE equi-join on (doc_key, chunk_ix) brings text to
+    assignments (both sides shuffle on the same key; text crosses the
+    exchange exactly once), then ONE groupBy per example with the
+    order-by folded into JVM expressions — collect_list of
+    (seq_ix, text) structs, array_sort (sorts on the leading int
+    field), transform + concat_ws. No window, no Python."""
+    split_cols = [c for c in assignments.columns if c == "split"]
+    asg = assignments.withColumnRenamed("doc_key", "_dk")
+    txt = chunks.select(
+        F.col(doc_col).cast("string").alias("_dk"),
+        F.col(chunk_ix_col).cast("int").alias("chunk_ix"),
+        F.col(text_col).alias("_txt"),
+    )
+    joined = asg.join(txt, ["_dk", "chunk_ix"])
+    per_ex = joined.groupBy(*split_cols, "shard", "example_ix").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seq_ix"), F.col("_txt").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("text"),
+    )
+    id_parts = [F.col(c) for c in split_cols] + [
+        F.col("shard").cast("string"),
+        F.col("example_ix").cast("string"),
+    ]
+    return per_ex.select(
+        F.concat_ws("/", *id_parts).alias("example_id"),
+        *split_cols,
+        "shard",
+        "example_ix",
+        "n_seqs",
+        "n_tokens",
+        "oversize",
+        "text",
+    )

@@ -29,7 +29,12 @@ Stages, each writing its own parquet table under <output>/:
     pack       (opt-in, --pack-budget) sentence-aware chunking +
                fixed-token-budget example assembly -> <output>/examples
                (engine/ops/pack; examples never mix splits; packing
-               stats recorded in the manifest)
+               stats recorded in the manifest; chunk text persisted to
+               <output>/chunks for the export join)
+    export     (opt-in, --export-shard-mb) trainer-ready gzip JSONL
+               shards -> <output>/export (engine/io/export; packed
+               examples when --pack-budget is set, else the final
+               docs table)
 
 Stage resume: after each stage commits, <output>/corpus_manifest.json
 is atomically rewritten (tmp + rename, same discipline as
@@ -306,6 +311,10 @@ def run(args) -> dict:
                     chunks, merges, text_col="chunk_text", count_only=True
                 )
                 token_col = "n_bpe_tokens"
+            # persist chunk text beside the assignments: the export
+            # stage joins it back (and downstream vector jobs reuse it)
+            chunks.write.mode("overwrite").parquet(os.path.join(out, "chunks"))
+            chunks = spark.read.parquet(os.path.join(out, "chunks"))
             asg = pack_sequences(
                 chunks,
                 args.pack_budget,
@@ -321,8 +330,39 @@ def run(args) -> dict:
 
         stage("pack", "examples", do_pack)
 
+    # -- optional: JSONL training export --------------------------------
+    if args.export_shard_mb:
+
+        def do_export(path: str) -> int:
+            from engine.io.export import export_jsonl
+
+            if args.pack_budget:
+                # packed path: materialize examples (ordered chunk
+                # concat, engine/ops/pack.assemble_examples) and ship
+                # those — the trainer-ready unit
+                from engine.ops.pack import assemble_examples
+
+                asg = spark.read.parquet(os.path.join(out, "examples"))
+                chunks = spark.read.parquet(os.path.join(out, "chunks"))
+                rows, key = assemble_examples(asg, chunks), "example_id"
+            else:
+                rows, key = (
+                    spark.read.parquet(os.path.join(out, docs_table)),
+                    "url",
+                )
+            info = export_jsonl(
+                rows,
+                path,
+                key_col=key,
+                shard_max_bytes=args.export_shard_mb << 20,
+            )
+            manifest["export"] = info
+            return info["rows"]
+
+        stage("export", "export", do_export)
+
     result = {"output": out, "stages": manifest["stages"]}
-    for k in ("packing", "bpe"):
+    for k in ("packing", "bpe", "export"):
         if k in manifest:
             result[k] = manifest[k]
     print(json.dumps(result))
@@ -383,6 +423,14 @@ def _parser() -> argparse.ArgumentParser:
         "merges on the corpus (engine/ops/bpe), persist it to "
         "<output>/bpe_merges, and pack by real subword token counts "
         "instead of whitespace words",
+    )
+    p.add_argument(
+        "--export-shard-mb",
+        type=int,
+        default=0,
+        help="write the final table (or packed examples, with "
+        "--pack-budget) as deterministic gzip JSONL shards of at most "
+        "this many MB uncompressed under <output>/export (0 = off)",
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)

@@ -227,3 +227,40 @@ def test_substrdedup_stage_wires_into_curation(spark, tmp_path, pages_path):
     ).first()
     assert agg["rm"] > 0
     assert agg["bad"] is False
+
+
+def test_export_stage_ships_packed_examples(spark, tmp_path, pages_path):
+    """--export-shard-mb + --pack-budget: the export stage assembles
+    packed examples and writes gzip JSONL shards; line count equals
+    the example count and every line carries the trainer fields."""
+    from jobs.corpus import run
+    from tests.test_export import _read_shards
+
+    out = str(tmp_path / "corpus_export")
+    res = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            pack_budget=64,
+            pack_shards=4,
+            export_shard_mb=1,
+        )
+    )
+    st = res["stages"]
+    assert "export" in st and st["export"]["rows"] > 0
+    assert res["export"]["n_shards"] >= 1
+    assert os.path.exists(f"{out}/export/_SUCCESS")
+    lines = [r for v in _read_shards(f"{out}/export").values() for r in v]
+    assert len(lines) == st["export"]["rows"]
+    n_examples = (
+        spark.read.parquet(f"{out}/examples")
+        .select("shard", "example_ix")
+        .distinct()
+        .count()
+    )
+    assert len(lines) == n_examples
+    for r in lines[:5]:
+        assert {"example_id", "text", "n_tokens", "n_seqs"} <= set(r)
+        assert r["text"]

@@ -1,0 +1,133 @@
+"""Training export (engine/io/export.export_jsonl) and packed-example
+assembly (engine/ops/pack.assemble_examples)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _read_shards(path: str) -> dict[int, list[dict]]:
+    """shard id -> parsed JSON lines, in on-disk order."""
+    out: dict[int, list[dict]] = {}
+    for d in glob.glob(os.path.join(path, "shard=*")):
+        sid = int(d.rsplit("=", 1)[1])
+        lines: list[dict] = []
+        for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+            opener = gzip.open if f.endswith(".gz") else open
+            with opener(f, "rt") as fh:
+                lines.extend(json.loads(ln) for ln in fh if ln.strip())
+        out[sid] = lines
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(f"u{i:03d}", i, [float(i), 0.5], f"text body {i} " * 20) for i in range(200)]
+    return spark.createDataFrame(
+        rows, "url string, n int, vec array<double>, text string"
+    )
+
+
+def test_export_round_trips_and_shards(docs, tmp_path):
+    from engine.io.export import export_jsonl
+
+    path = str(tmp_path / "exp")
+    info = export_jsonl(docs, path, key_col="url", shard_max_bytes=8 << 10)
+    assert info["rows"] == 200
+    assert info["n_shards"] > 1
+    shards = _read_shards(path)
+    assert set(shards) <= set(range(info["n_shards"]))
+    got = [r for lines in shards.values() for r in lines]
+    assert len(got) == 200
+    want = {r["url"]: r.asDict() for r in docs.collect()}
+    for r in got:
+        assert r == want[r["url"]]
+    # rows within a shard are in sorted key order (reproducible layout)
+    for lines in shards.values():
+        keys = [r["url"] for r in lines]
+        assert keys == sorted(keys)
+
+
+def test_export_is_deterministic_across_runs_and_partitionings(docs, tmp_path):
+    from engine.io.export import export_jsonl
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    export_jsonl(docs, a, key_col="url", shard_max_bytes=8 << 10)
+    export_jsonl(
+        docs.repartition(13, "n"), b, key_col="url", shard_max_bytes=8 << 10
+    )
+    assert _read_shards(a) == _read_shards(b)
+
+
+def test_export_explicit_shards_and_bad_key(docs, tmp_path):
+    from engine.io.export import export_jsonl
+
+    info = export_jsonl(
+        docs, str(tmp_path / "e"), key_col="url", n_shards=3
+    )
+    assert info["n_shards"] == 3 and info["rows"] is None
+    assert set(_read_shards(str(tmp_path / "e"))) <= {0, 1, 2}
+    with pytest.raises(ValueError, match="key_col"):
+        export_jsonl(docs, str(tmp_path / "x"), key_col="nope")
+
+
+# ------------------------------------------------------- assembly
+
+
+def _chunks(spark):
+    rows = []
+    for d in range(12):
+        for c in range(4):
+            rows.append((f"doc{d:02d}", c, f"d{d}c{c} " + "tok " * (5 + c)))
+    return spark.createDataFrame(rows, "url string, chunk_ix int, chunk_text string")
+
+
+def test_assemble_examples_reconstructs_ordered_text(spark):
+    from engine.ops.pack import assemble_examples, pack_sequences
+
+    chunks = _chunks(spark)
+    asg = pack_sequences(chunks, budget=16, n_shards=4)
+    ex = assemble_examples(asg, chunks, sep="\n")
+    rows = ex.collect()
+    # every chunk appears in exactly one example
+    total_seqs = sum(r["n_seqs"] for r in rows)
+    assert total_seqs == chunks.count()
+    text_by_chunk = {
+        (r["url"], r["chunk_ix"]): r["chunk_text"] for r in chunks.collect()
+    }
+    a = {
+        (r["doc_key"], r["chunk_ix"]): (r["shard"], r["example_ix"], r["seq_ix"])
+        for r in asg.collect()
+    }
+    # example text == its chunks joined in seq_ix order, verbatim
+    for r in rows:
+        members = sorted(
+            (v[2], k) for k, v in a.items() if v[:2] == (r["shard"], r["example_ix"])
+        )
+        want = "\n".join(text_by_chunk[k] for _, k in members)
+        assert r["text"] == want
+        assert r["example_id"] == f"{r['shard']}/{r['example_ix']}"
+    # token accounting matches the assignments
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_assemble_examples_carries_split(spark):
+    from engine.ops.pack import assemble_examples, pack_sequences
+
+    chunks = _chunks(spark).withColumn(
+        "split", F.when(F.col("url") < "doc06", "train").otherwise("val")
+    )
+    asg = pack_sequences(chunks, budget=16, n_shards=2, split_col="split")
+    ex = assemble_examples(asg, chunks)
+    assert "split" in ex.columns
+    # no example mixes splits, and ids embed the split
+    for r in ex.collect():
+        assert r["example_id"].startswith(f"{r['split']}/")
+    got = {r["split"] for r in ex.collect()}
+    assert got == {"train", "val"}
