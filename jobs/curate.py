@@ -16,6 +16,13 @@ slice's scores are rejected with reason "lm_ppl". Training is one
 count groupBy; scoring broadcasts the pruned model, so the extra cost
 is two more map-shaped passes over the input — no corpus shuffle.
 
+`--url-filter` prepends a RefinedWeb-style URL screen
+(engine/ops/urlfilter): pinned keyword scoring over the url plus an
+optional domain blocklist (`--url-blocklist`, subdomain-suffix
+matched) — rejected with reasons "url_domain" / "url_score" before
+any content rule runs, and the LM/classifier below then train only
+on url-clean docs.
+
 `--classifier-ref <parquet>` trains the CCNet-style quality
 classifier (engine/ops/classify.py) with the given TRUSTED docs as
 the positive class and this corpus as the negative, then attaches
@@ -74,6 +81,46 @@ def run(args) -> dict:
         rules=rules,
         check_lang=not args.no_check_lang,
     )
+
+    if args.url_filter:
+        # URL screen FIRST (RefinedWeb order: a URL verdict costs
+        # bytes of the url column; content screens cost the document)
+        # — and the LM below then trains only on url-clean docs.
+        from engine.ops.urlfilter import filter_urls
+
+        bl = None
+        if args.url_blocklist:
+            if args.url_blocklist.endswith(".txt"):
+                bl = (
+                    spark.read.text(args.url_blocklist)
+                    .withColumnRenamed("value", "domain")
+                )
+            else:
+                bl = spark.read.parquet(args.url_blocklist)
+        verdicts = filter_urls(
+            verdicts,
+            bl,
+            url_col=args.url_col,
+            threshold=args.url_threshold,
+        )
+        verdicts = (
+            verdicts.withColumn(
+                "reasons",
+                F.when(
+                    F.col("blocked_domain"),
+                    F.array_union("reasons", F.array(F.lit("url_domain"))),
+                ).otherwise(F.col("reasons")),
+            )
+            .withColumn(
+                "reasons",
+                F.when(
+                    ~F.col("blocked_domain") & ~F.col("url_keep"),
+                    F.array_union("reasons", F.array(F.lit("url_score"))),
+                ).otherwise(F.col("reasons")),
+            )
+            .withColumn("keep", F.col("keep") & F.col("url_keep"))
+            .drop("url_keep")  # blocked_domain + url_score stay (audit)
+        )
 
     lm_cut = None
     pinned = []  # persist handles to release after the writes
@@ -254,6 +301,22 @@ def _parser() -> argparse.ArgumentParser:
         "the reference count — training runs over this bounded "
         "sample, never the full corpus",
     )
+    p.add_argument(
+        "--url-filter",
+        action="store_true",
+        help="RefinedWeb-style URL screen (engine/ops/urlfilter): "
+        "keyword score + optional domain blocklist, applied before "
+        "the content rules (reasons url_domain / url_score)",
+    )
+    p.add_argument(
+        "--url-blocklist",
+        default=None,
+        help="blocked-domain list: parquet with a 'domain' column, or "
+        "a .txt file one domain per line (UT1 layout); subdomains of "
+        "a listed domain are blocked too",
+    )
+    p.add_argument("--url-threshold", type=float, default=1.0)
+    p.add_argument("--url-col", default="url")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p
