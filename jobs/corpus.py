@@ -183,6 +183,8 @@ def run(args) -> dict:
                 id_col="url",
                 min_tokens=args.min_tokens,
                 no_check_lang=not args.check_lang,
+                url_filter=args.url_filter or bool(args.url_blocklist),
+                url_blocklist=args.url_blocklist,
                 lm_filter=args.lm_filter,
                 lm_pct=args.lm_pct,
                 master=args.master,
@@ -391,6 +393,18 @@ def _parser() -> argparse.ArgumentParser:
         help="remove duplicated verbatim runs of at least this many "
         "tokens corpus-wide (Lee et al. 2022 ExactSubstr; 0 = off, "
         "published setting is 50)",
+    )
+    p.add_argument(
+        "--url-filter",
+        action="store_true",
+        help="enable the RefinedWeb-style URL screen in curation "
+        "(keyword scoring; add --url-blocklist for the domain list)",
+    )
+    p.add_argument(
+        "--url-blocklist",
+        default=None,
+        help="blocked-domain list (.txt one domain per line, or "
+        "parquet with a 'domain' column); implies --url-filter",
     )
     p.add_argument("--lm-filter", action="store_true")
     p.add_argument("--lm-pct", type=float, default=90.0)

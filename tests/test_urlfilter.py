@@ -130,3 +130,48 @@ def test_curate_job_url_screen(spark, tmp_path):
     assert [r["url"] for r in kept.collect()] == ["http://fine.example.com/a"]
     rej = spark.read.parquet(str(tmp_path / "out" / "rejected"))
     assert {"blocked_domain", "url_score"} <= set(rej.columns)
+
+
+def test_corpus_job_url_blocklist_passthrough(spark, tmp_path):
+    """jobs/corpus.py --url-blocklist implies the URL screen inside
+    its curate stage (reason counts land in the curate summary via
+    the rejected audit table)."""
+    import types
+
+    from engine.corpus import gen_pages_df
+    from jobs.corpus import run
+
+    pages = str(tmp_path / "pages")
+    gen_pages_df(spark, 120).write.parquet(pages)
+    # block the corpus generator's most common host outright
+    host = (
+        spark.read.parquet(pages)
+        .selectExpr("lower(parse_url(url, 'HOST')) h")
+        .groupBy("h")
+        .count()
+        .orderBy("count", ascending=False)
+        .first()["h"]
+    )
+    bl = str(tmp_path / "bl.txt")
+    with open(bl, "w") as f:
+        f.write(host + "\n")
+    out = str(tmp_path / "corpus")
+    run(
+        types.SimpleNamespace(
+            pages=pages,
+            output=out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            url_blocklist=bl,
+        )
+    )
+    rej = spark.read.parquet(f"{out}/curate/rejected")
+    n_dom = rej.filter(
+        F.array_contains("reasons", "url_domain")
+    ).count()
+    assert n_dom > 0
+    kept = spark.read.parquet(f"{out}/curate/kept")
+    assert (
+        kept.filter(F.lower(F.parse_url("url", F.lit("HOST"))) == host).count()
+        == 0
+    )
