@@ -75,9 +75,12 @@ def host_edges(links: DataFrame, src: str = "url", dst: str = "dst") -> DataFram
     """(src url, dst url) -> (src, dst, n_links) host-level edges,
     lowercased, self-host loops dropped. Host parsing is pure JVM
     (parse_url in codegen) — no Python crossing."""
+    # try_parse_url: malformed crawl urls yield NULL (filtered below)
+    # instead of an ANSI INVALID_URL crash (engine/ops/urlnorm.py
+    # discipline)
     e = links.select(
-        F.lower(F.parse_url(F.col(src), F.lit("HOST"))).alias("src"),
-        F.lower(F.parse_url(F.col(dst), F.lit("HOST"))).alias("dst"),
+        F.lower(F.try_parse_url(F.col(src), F.lit("HOST"))).alias("src"),
+        F.lower(F.try_parse_url(F.col(dst), F.lit("HOST"))).alias("dst"),
     ).filter(
         F.col("src").isNotNull()
         & F.col("dst").isNotNull()
@@ -121,7 +124,13 @@ def pagerank(
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-        .filter(F.col("src") != F.col("dst"))
+        # null endpoints would silently leak rank mass (a null dst's
+        # incoming weight joins nothing): drop them at entry
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
         .localCheckpoint(eager=True)
     )
     nodes = (

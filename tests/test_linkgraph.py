@@ -194,3 +194,25 @@ def test_outlink_extraction_is_map_only(spark):
 
     p = plan(extract_outlinks_df(_cross_host_pages(spark)))
     assert "Exchange" not in p, p
+
+
+def test_malformed_urls_and_null_endpoints_are_safe(spark):
+    from engine.ops.linkgraph import host_edges, pagerank
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/x", "http://b.com/y"),
+            ("not a url at all", "http://b.com/y"),  # try_parse_url -> NULL
+            ("http://a.com/x", None),
+        ],
+        "url string, dst string",
+    )
+    e = host_edges(links)
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {("a.com", "b.com")}
+    # null endpoints dropped at pagerank entry: mass still sums to 1
+    edges = spark.createDataFrame(
+        [("a", "b"), (None, "b"), ("a", None)], "src string, dst string"
+    )
+    ranks = pagerank(edges, tol=0, max_iter=10).collect()
+    assert {r["node"] for r in ranks} == {"a", "b"}
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-9)
