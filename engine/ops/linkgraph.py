@@ -71,6 +71,77 @@ def extract_outlinks_df(
     )
 
 
+def anchors_udf(max_links: int = DEFAULT_MAX_LINKS):
+    from engine.kernels.outlinks import extract_anchors
+
+    @pandas_udf("array<struct<dst:string,anchor:string>>")
+    def _udf(url: pd.Series, html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [{"dst": u, "anchor": a} for u, a in extract_anchors(u0, b, max_links)]
+                for u0, b in zip(url, html)
+            ]
+        )
+
+    return _udf
+
+
+def extract_anchors_df(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links: int = DEFAULT_MAX_LINKS,
+) -> DataFrame:
+    """pages -> (url, dst, anchor): one row per distinct outlink with
+    the linking page's anchor text. Map-only."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(anchors_udf(max_links)(F.col(url_col), F.col(html_col))).alias("_l"),
+    ).select("url", F.col("_l.dst").alias("dst"), F.col("_l.anchor").alias("anchor"))
+
+
+def top_anchors(
+    links: DataFrame,
+    k: int = 5,
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """(.., dst, anchor) -> (dst, top_anchors array<struct<anchor,n>>):
+    the k most frequent non-empty anchor texts pointing at each target
+    url — the classic inlink description signal (retrieval metadata a
+    vector sink can carry per document, cf. engine/kernels/docmeta).
+
+    Scale shapes: ONE groupBy(dst, anchor) count (map-side combinable,
+    so a nav anchor repeated 10^9 times pre-reduces per partition),
+    then a row_number window over (dst) of the already-aggregated
+    (dst, anchor, n) triples — bounded rows per dst by distinct
+    anchors, never by inlink count — kept to k before the per-dst
+    collect_list, so the assembled array is bounded at k by
+    construction. Ties break on anchor text: deterministic under
+    repartitioning."""
+    from pyspark.sql import Window
+
+    per = (
+        links.filter(F.length(F.trim(F.col(anchor))) > 0)
+        .groupBy(F.col(dst).alias("dst"), F.col(anchor).alias("anchor"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        per.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("dst")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_r"), F.col("anchor"), F.col("n")))
+                ),
+                lambda s: F.struct(s["anchor"].alias("anchor"), s["n"].alias("n")),
+            ).alias("top_anchors")
+        )
+    )
+
+
 def host_edges(links: DataFrame, src: str = "url", dst: str = "dst") -> DataFrame:
     """(src url, dst url) -> (src, dst, n_links) host-level edges,
     lowercased, self-host loops dropped. Host parsing is pure JVM

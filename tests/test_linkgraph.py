@@ -216,3 +216,65 @@ def test_malformed_urls_and_null_endpoints_are_safe(spark):
     ranks = pagerank(edges, tol=0, max_iter=10).collect()
     assert {r["node"] for r in ranks} == {"a", "b"}
     assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------------- anchor text
+
+
+def test_kernel_anchor_text_semantics():
+    from engine.kernels.outlinks import MAX_ANCHOR_CHARS, extract_anchors
+
+    raw = _page(
+        '<a href="http://a.com/1">  Read <b>more</b>\n here </a>'
+        '<a href="http://a.com/2">second'  # implicitly closed by next <a>
+        '<a href="http://a.com/1">dup url keeps FIRST anchor</a>'
+        '<a href="http://a.com/3">' + "x" * 600
+    )
+    got = extract_anchors("http://h.com/", raw)
+    d = dict(got)
+    assert d["http://a.com/1"] == "Read more here"  # collapsed, tags skipped
+    assert d["http://a.com/2"] == "second"
+    assert len(d["http://a.com/3"]) == MAX_ANCHOR_CHARS  # capped
+    assert [u for u, _ in got] == [
+        "http://a.com/1",
+        "http://a.com/2",
+        "http://a.com/3",  # unclosed at EOF still kept
+    ]
+
+
+def test_top_anchors_aggregation(spark):
+    from engine.ops.linkgraph import top_anchors
+
+    rows = (
+        [("s", "http://t.com/x", "Widgets")] * 3
+        + [("s", "http://t.com/x", "Best Widgets")] * 3
+        + [("s", "http://t.com/x", "spam")] * 1
+        + [("s", "http://t.com/x", "  ")] * 9  # empty anchors filtered
+        + [("s", "http://t.com/y", "Other")]
+    )
+    links = spark.createDataFrame(rows, "url string, dst string, anchor string")
+    got = {r["dst"]: r["top_anchors"] for r in top_anchors(links, k=2).collect()}
+    x = [(a["anchor"], a["n"]) for a in got["http://t.com/x"]]
+    # tie at n=3 breaks on anchor text ascending; k bounds the array
+    assert x == [("Best Widgets", 3), ("Widgets", 3)]
+    assert [(a["anchor"], a["n"]) for a in got["http://t.com/y"]] == [("Other", 1)]
+    # partition invariance
+    got2 = {
+        r["dst"]: r["top_anchors"]
+        for r in top_anchors(links.repartition(7, "anchor"), k=2).collect()
+    }
+    assert got == got2
+
+
+def test_anchor_extraction_df_is_map_only(spark):
+    from engine.ops.linkgraph import extract_anchors_df
+    from tests.test_plans import plan
+
+    df = extract_anchors_df(_cross_host_pages(spark))
+    assert "Exchange" not in plan(df)
+    rows = df.collect()
+    assert {(r["url"], r["dst"]) for r in rows} >= {
+        ("http://hub.com/", "http://spoke1.com/"),
+        ("http://hub.com/", "http://spoke2.com/"),
+    }
+    assert all(r["anchor"] is not None for r in rows)
