@@ -166,7 +166,7 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     damping: float = 0.85,
-    max_iter: int = 40,
+    max_iter: int = 100,
     tol: float = 1e-6,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -277,7 +277,7 @@ def host_rank(
     html_col: str = "html",
     max_links: int = DEFAULT_MAX_LINKS,
     damping: float = 0.85,
-    max_iter: int = 40,
+    max_iter: int = 100,
     tol: float = 1e-6,
 ) -> DataFrame:
     """pages -> (host, rank): the end-to-end quality-prior table.

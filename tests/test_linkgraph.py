@@ -278,3 +278,36 @@ def test_anchor_extraction_df_is_map_only(spark):
         ("http://hub.com/", "http://spoke2.com/"),
     }
     assert all(r["anchor"] is not None for r in rows)
+
+
+def test_linkgraph_job_end_to_end(spark, tmp_path):
+    """jobs/linkgraph.py: pages -> links/edges/host_rank/top_anchors
+    tables; converged rank joins back as a quality prior."""
+    import types
+
+    from jobs.linkgraph import run
+
+    pages_path = str(tmp_path / "pages")
+    _cross_host_pages(spark).write.parquet(pages_path)
+    out = str(tmp_path / "lg")
+    res = run(
+        types.SimpleNamespace(
+            pages=pages_path,
+            output=out,
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert res["edges"] == 4 and res["hosts"] == 3
+    assert res["pagerank_delta"] is not None and res["pagerank_delta"] < 1e-6
+    ranks = {
+        r["host"]: r["rank"]
+        for r in spark.read.parquet(f"{out}/host_rank").collect()
+    }
+    assert ranks["hub.com"] > max(ranks["spoke1.com"], ranks["spoke2.com"])
+    ta = {
+        r["dst"]: r["top_anchors"]
+        for r in spark.read.parquet(f"{out}/top_anchors").collect()
+    }
+    assert ta["http://hub.com/"][0]["anchor"] == "h"  # both spokes say "h"
+    assert ta["http://hub.com/"][0]["n"] == 2
