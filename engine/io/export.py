@@ -57,7 +57,12 @@ def export_jsonl(
     if n_shards is None:
         est = enc.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.sum(F.length("value") + 1), F.lit(0)).alias("bytes"),
+            # octet_length, not length: the shard bound is UTF-8 BYTES
+            # on disk, and characters undercount up to 4x on non-ASCII
+            # corpora (review r3). +1 per row for the newline.
+            F.coalesce(F.sum(F.octet_length("value") + 1), F.lit(0)).alias(
+                "bytes"
+            ),
         ).first()
         rows, total = est["rows"], int(est["bytes"])
         n_shards = max(1, math.ceil(total / shard_max_bytes))

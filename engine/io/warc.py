@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -110,6 +111,25 @@ def _http_body(payload: bytes) -> bytes:
     hdrs = _parse_headers(head)
     if "chunked" in hdrs.get("transfer-encoding", "").lower():
         body = _dechunk(body)
+    # Content-Encoding (real CC archives routinely store gzip/deflate
+    # bodies verbatim): inflate so the html column carries the actual
+    # document, not compressed bytes that would decode to mojibake
+    # downstream (review r3). Unknown codings (br/zstd — no codec in
+    # the stdlib) and corrupt streams degrade to the raw body.
+    ce = hdrs.get("content-encoding", "").lower().strip()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except Exception:
+            pass
+    elif ce == "deflate":
+        try:  # RFC-correct zlib wrapper first, then raw-deflate quirk
+            body = zlib.decompress(body)
+        except Exception:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except Exception:
+                pass
     return body
 
 

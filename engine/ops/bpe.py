@@ -107,12 +107,19 @@ def train_bpe(
     Bernoulli (same discipline as engine/ops/sample): reproducible
     across runs and cluster sizes. Word frequencies come back from ONE
     explode+groupBy over the sample — the only distributed work."""
+    from engine.ops.sample import hash_sample
+
     n = docs.count()
     frac = min(1.0, sample_docs / max(n, 1))
-    buckets = 1_000_000
-    sampled = docs.filter(
-        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(buckets))
-        < int(frac * buckets)
+    # one implementation, one place (the kmeans.py rule): hash_sample's
+    # 2^30 buckets also keep tiny fractions representable — an inline
+    # 1e6-bucket copy floored to an EMPTY sample past ~2e9 docs
+    # (review r3)
+    sampled = hash_sample(
+        docs.withColumn(id_col, F.col(id_col).cast("string")),
+        frac,
+        id_col=id_col,
+        salt=salt,
     )
 
     @F.pandas_udf("array<string>")

@@ -241,14 +241,8 @@ def ivf_topk(
         F.col(qid_col).alias("_qid"), F.col(vec_col).alias("_qv")
     ).withColumn("_cell", F.explode(probe_cells("_qv")))
 
-    dot = F.aggregate(
-        F.zip_with("_cv", "_qv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
+    from engine.ops.vecexpr import cosine_expr
+
     cand = corpus.join(F.broadcast(q), "_cell")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col("_qid"))
@@ -256,7 +250,7 @@ def ivf_topk(
         cand.select(
             F.col("_qid").alias(qid_col),
             id_col,
-            (dot / (norm(F.col("_cv")) * norm(F.col("_qv")))).alias("cos_sim"),
+            cosine_expr(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))

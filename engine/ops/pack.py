@@ -188,6 +188,7 @@ def assemble_examples(
     chunk_ix_col: str = "chunk_ix",
     text_col: str = "chunk_text",
     sep: str = "\n",
+    split_col: str | None = "split",
 ) -> DataFrame:
     """Materialize packed training examples: join the metadata-only
     pack_sequences output back onto the chunk text and concatenate
@@ -203,8 +204,19 @@ def assemble_examples(
     exchange exactly once), then ONE groupBy per example with the
     order-by folded into JVM expressions — collect_list of
     (seq_ix, text) structs, array_sort (sorts on the leading int
-    field), transform + concat_ws. No window, no Python."""
-    split_cols = [c for c in assignments.columns if c == "split"]
+    field), transform + concat_ws. No window, no Python.
+
+    split_col must name the SAME column pack_sequences partitioned
+    on (example_ix restarts per (split, shard) group): grouping
+    without it would concatenate same-(shard, example_ix) examples
+    from different splits into one row — cross-split text mixing
+    (review r3). The default matches assign_splits' label; it is
+    skipped when absent for unsplit corpora."""
+    split_cols = (
+        [split_col]
+        if split_col is not None and split_col in assignments.columns
+        else []
+    )
     asg = assignments.withColumnRenamed("doc_key", "_dk")
     txt = chunks.select(
         F.col(doc_col).cast("string").alias("_dk"),

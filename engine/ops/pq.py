@@ -39,6 +39,61 @@ from engine.ops.kmeans import train_codebook
 ADC_DDL = "qid long, vec_id long, dist double"
 
 
+def adc_lut(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """The ADC lookup table: LUT[q, j, c] = ||Q[q] subspace j −
+    B[j][c]||², shape (|Q|, m, k). Query-side cost is codebook-sized;
+    built ONCE on the driver and shipped in UDF closures. Shared by
+    pq_adc_topk and the jobs/ann.py query path (review r3: two
+    drifting copies)."""
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+    Q = np.asarray(Q, dtype=np.float64)
+    return np.stack(
+        [
+            (
+                (Q[:, j * dsub : (j + 1) * dsub][:, None, :] - B[j][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+
+def adc_paired_dist(
+    cand: DataFrame,
+    lut: np.ndarray,
+    qids: np.ndarray,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """ADC distances for rows already PAIRED with their query (the
+    IVF-pruned shape: each candidate row carries the qid whose probed
+    cells produced it). ONE mapInPandas pass, codes never shuffle.
+    Returns (qid, <id_col>, dist) with dist = true L2 to the decoded
+    vector."""
+    m = lut.shape[1]
+    qpos = {int(q): i for i, q in enumerate(np.asarray(qids))}
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[code_col]), dtype=np.int64)  # (n, m)
+            qi = np.array([qpos[q] for q in pdf[qid_col]], dtype=np.int64)
+            d = np.zeros(len(C))
+            for j in range(m):
+                d += lut[qi, j, C[:, j]]
+            out = pdf[[qid_col, id_col]].copy()
+            out["dist"] = d
+            yield out
+
+    return cand.select(qid_col, id_col, code_col).mapInPandas(
+        score, f"{qid_col} long, {id_col} long, dist double"
+    )
+
+
 def train_pq(
     vecs: DataFrame,
     m: int,
@@ -172,16 +227,7 @@ def pq_adc_topk(
         raise ValueError("empty query set")
     qids = np.array([r[qid_col] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
-    # LUT[q, j, c] = ||Q[q] subspace j - B[j][c]||^2
-    lut = np.stack(
-        [
-            ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - B[j][None, :, :]) ** 2).sum(
-                axis=2
-            )
-            for j in range(m)
-        ],
-        axis=1,
-    )
+    lut = adc_lut(Q, B)
 
     def local_topk(batches):
         for pdf in batches:

@@ -55,20 +55,7 @@ from engine.ops.kmeans import assign_cells, train_codebook
 HOT_CELL_CAP = 1024
 
 
-def _cosine(a, b):
-    """Exact cosine between two array<double> columns, pure JVM
-    (zip_with dot + transform/aggregate norms — stays in codegen).
-    Zero-norm vectors yield NULL, never NaN (NaN sorts above every
-    number in Spark and would poison downstream top-k / thresholds).
-    """
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-    denom = F.sqrt(sq(a)) * F.sqrt(sq(b))
-    return F.when(denom > 0.0, dot / denom)
+from engine.ops.vecexpr import cosine_expr as _cosine  # noqa: E402
 
 
 def semantic_neardup_pairs(

@@ -56,10 +56,17 @@ def host_suffixes(host_col) -> "F.Column":
     """array of dot-suffixes of a host, longest first, down to the
     registrable 2-label suffix: a.b.c.com -> [a.b.c.com, b.c.com,
     c.com]. Pure JVM (split/sequence/slice/concat_ws); bounded at
-    MAX_SUFFIX_LABELS labels so a crafted 100-label host cannot blow
-    up the explode."""
+    the LAST MAX_SUFFIX_LABELS labels so a crafted 100-label host
+    cannot blow up the explode — the tail is what carries the
+    registrable domain, so the bound can never drop a blocklist match
+    (review r3: a head-slice here let 9+-label hosts bypass the
+    blocklist entirely)."""
+    all_labels = F.split(F.lower(host_col), r"\.")
+    n_all = F.size(all_labels)
     labels = F.slice(
-        F.split(F.lower(host_col), r"\."), 1, MAX_SUFFIX_LABELS
+        all_labels,
+        F.greatest(F.lit(1), n_all - F.lit(MAX_SUFFIX_LABELS - 1)),
+        MAX_SUFFIX_LABELS,
     )
     n = F.size(labels)
     return F.when(
@@ -108,9 +115,11 @@ def filter_urls(
     if blocklist is None:
         out = out.withColumn("blocked_domain", F.lit(False))
     else:
-        bl = blocklist.select(
-            F.lower(F.col(domain_col)).alias("_sfx")
-        ).distinct()
+        bl = (
+            blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("_sfx"))
+            .filter(F.col("_sfx") != "")
+            .distinct()
+        )
         sfx = (
             out.select(F.col(url_col).alias("_u"))
             .withColumn(

@@ -175,73 +175,44 @@ def query(args) -> dict:
     # candidates = index rows of each query's OWN probed cells
     cand = idx.join(F.broadcast(probes), "cell")
 
+    # both modes lean on the engine ops (review r3: this job carried
+    # near-verbatim copies of the cosine expression and the ADC
+    # kernel — one implementation, one place)
     if args.mode == "exact":
         if args.vec_col not in idx.columns:
             raise SystemExit(
                 "--mode exact needs --store-vectors at build time"
             )
+        from engine.ops.vecexpr import cosine_expr
+
         qdf = spark.createDataFrame(
             [(int(q), v.tolist()) for q, v in zip(qids, Q)],
-            f"qid long, _qv array<double>",
+            "qid long, _qv array<double>",
         )
         cand = cand.join(F.broadcast(qdf), "qid")
-        dot = F.aggregate(
-            F.zip_with(args.vec_col, "_qv", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        norm = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-            )
-        )
         scored = cand.select(
             "qid",
             args.id_col,
-            (dot / (norm(F.col(args.vec_col)) * norm(F.col("_qv")))).alias(
-                "score"
-            ),
-        )
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("score"), F.asc(args.id_col)
+            cosine_expr(F.col(args.vec_col), F.col("_qv")).alias("score"),
         )
     else:  # adc over PQ codes
         if "pq_code" not in idx.columns:
             raise SystemExit("--mode adc needs --pq-m at build time")
+        from engine.ops.pq import adc_lut, adc_paired_dist
+
         B = _load_pq_books(spark, os.path.join(args.output, "codebooks/pq"))
-        m, _, dsub = B.shape
-        lut = np.stack(
-            [
-                (
-                    (Q[:, j * dsub : (j + 1) * dsub][:, None, :] - B[j][None, :, :])
-                    ** 2
-                ).sum(axis=2)
-                for j in range(m)
-            ],
-            axis=1,
+        lut = adc_lut(Q, B)
+        scored = adc_paired_dist(
+            cand, lut, qids, id_col=args.id_col
+        ).select(
+            "qid",
+            args.id_col,
+            # negative distance so both modes rank score DESC
+            (-F.col("dist")).alias("score"),
         )
-        qpos = {int(q): i for i, q in enumerate(qids)}
-
-        def adc(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Cd = np.array(list(pdf["pq_code"]), dtype=np.int64)
-                qi = np.array([qpos[q] for q in pdf["qid"]], dtype=np.int64)
-                d = np.zeros(len(Cd))
-                for j in range(m):
-                    d += lut[qi, j, Cd[:, j]]
-                out = pdf[["qid", args.id_col]].copy()
-                # negative distance so both modes rank score DESC
-                out["score"] = -d
-                yield out
-
-        scored = cand.select("qid", args.id_col, "pq_code").mapInPandas(
-            adc, f"qid long, {args.id_col} long, score double"
-        )
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("score"), F.asc(args.id_col)
-        )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc(args.id_col)
+    )
 
     top = (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -91,9 +91,16 @@ def run(args) -> dict:
         bl = None
         if args.url_blocklist:
             if args.url_blocklist.endswith(".txt"):
+                # UT1-style lists carry blank lines and comments; a
+                # blank line must not become domain '' (it would match
+                # every host-less url — review r3)
                 bl = (
                     spark.read.text(args.url_blocklist)
-                    .withColumnRenamed("value", "domain")
+                    .select(F.trim("value").alias("domain"))
+                    .filter(
+                        (F.col("domain") != "")
+                        & ~F.col("domain").startswith("#")
+                    )
                 )
             else:
                 bl = spark.read.parquet(args.url_blocklist)
@@ -183,13 +190,24 @@ def run(args) -> dict:
         # corpus scans (review r3)
         from engine.ops.sample import hash_sample
 
+        # negatives come from the URL-CLEAN slice when the url screen
+        # ran (the docstring's contract; spam-url docs would otherwise
+        # leak into the negative class — review r3). url_keep is
+        # already folded into `keep`, so re-derive it from the audit
+        # columns the screen left behind.
+        neg_pool = docs
+        if args.url_filter:
+            neg_pool = verdicts.filter(
+                ~F.col("blocked_domain")
+                & (F.col("url_score") < float(args.url_threshold))
+            )
         n_ref = ref.count()
-        n_docs_total = docs.count()
+        n_docs_total = neg_pool.count()
         neg_frac = min(
             1.0, args.classifier_neg_ratio * n_ref / max(1, n_docs_total)
         )
         neg = hash_sample(
-            docs, neg_frac, id_col=args.id_col, salt="clf_neg"
+            neg_pool, neg_frac, id_col=args.id_col, salt="clf_neg"
         )
         model = quality_classifier(
             neg.select(args.id_col, args.text_col),

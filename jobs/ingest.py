@@ -124,6 +124,28 @@ def run(args) -> dict:
             pages = pages.withColumn("url", canonical_url_col("url"))
         return with_partition_key(pages)
 
+    fmt = getattr(args, "input_format", "parquet") or "parquet"
+    staged_path = None
+    if args.input and fmt in ("warc", "raw") and args.commit_batches > 1:
+        # WARC/raw parse has no pushdown: the per-batch part_key
+        # filter inside the loop would decompress and parse EVERY
+        # archive once per commit batch. Stage the parsed rows to
+        # parquet once, partitioned by part_key, so each batch becomes
+        # a partition-pruned columnar read instead of a re-parse
+        # (review r3). Idempotent: a resume re-stages (dynamic
+        # overwrite), which is one parse — the same cost the first
+        # run paid.
+        staged_path = os.path.join(args.output, "_staged_pages")
+        write_table(load_pages(), staged_path, partition_by=["part_key"])
+        _stage = staged_path
+
+        def load_pages():  # noqa: F811 — deliberate rebind to the stage
+            # partition-column inference types part_key as int; the
+            # batch keys are strings — cast back
+            return spark.read.parquet(_stage).withColumn(
+                "part_key", F.col("part_key").cast("string")
+            )
+
     done = (
         checkpoint.load_done_keys(args.output, args.run_id)
         if args.resume
@@ -202,14 +224,21 @@ def run(args) -> dict:
             upsert_latest(spark, args.upsert_into, extracted_rd)
 
         # the batch is durably written (idempotent per-partition
-        # overwrites) — commit it. Crash before this line re-does the
-        # batch; crash after it skips the batch on --resume.
-        checkpoint.mark_done(args.output, args.run_id, batch_keys)
-        # snapshot the extracted table's file set (metadata-only) so
-        # downstream incremental consumers can read "files added since
-        # snapshot N" without the producer handing them the batch
+        # overwrites) — commit it. Snapshot FIRST, mark_done second:
+        # a crash between the two re-does the batch, which re-commits
+        # an equivalent snapshot (harmless duplicate); the reverse
+        # order would mark the batch done with no snapshot ever
+        # recorded, silently hiding its files from --since-snapshot
+        # incremental consumers (review r3). Crash before either line
+        # re-does the batch; crash after both skips it on --resume.
         commit_snapshot(ex_path, operation=f"ingest-batch:{args.run_id}")
+        checkpoint.mark_done(args.output, args.run_id, batch_keys)
         n_committed += 1
+
+    if staged_path:
+        import shutil
+
+        shutil.rmtree(staged_path, ignore_errors=True)
 
     wall = time.monotonic() - t0
     n_docs = totals["rows"]

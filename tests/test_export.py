@@ -131,3 +131,46 @@ def test_assemble_examples_carries_split(spark):
         assert r["example_id"].startswith(f"{r['split']}/")
     got = {r["split"] for r in ex.collect()}
     assert got == {"train", "val"}
+
+
+def test_assemble_examples_custom_split_col(spark):
+    # review r3: a hardcoded 'split' lookup grouped by (shard,
+    # example_ix) only when pack_sequences used a different split_col,
+    # concatenating train and val examples into one row
+    from engine.ops.pack import assemble_examples, pack_sequences
+
+    chunks = _chunks(spark).withColumn(
+        "sp", F.when(F.col("url") < "doc06", "train").otherwise("val")
+    )
+    asg = pack_sequences(chunks, budget=16, n_shards=2, split_col="sp")
+    ex = assemble_examples(asg, chunks, split_col="sp")
+    assert "sp" in ex.columns
+    for r in ex.collect():
+        assert r["example_id"].startswith(f"{r['sp']}/")
+    # per-(shard, example_ix) there may be one row per split — the
+    # grouping must keep them apart
+    ref = assemble_examples(
+        pack_sequences(chunks, budget=16, n_shards=2, split_col="sp")
+        .withColumnRenamed("sp", "split"),
+        chunks,
+    )
+    assert sorted(r["text"] for r in ex.collect()) == sorted(
+        r["text"] for r in ref.collect()
+    )
+
+
+def test_export_shard_sizing_counts_octets(docs, tmp_path):
+    # review r3: shard sizing used characters; 3-byte CJK text must
+    # produce ~3x the shards of same-length ASCII
+    from engine.io.export import export_jsonl
+
+    cjk = docs.sparkSession.createDataFrame(
+        [(f"d{i:03d}", "文" * 400) for i in range(50)],
+        "doc_id string, text string",
+    )
+    stats = export_jsonl(
+        cjk, str(tmp_path / "cjk"), key_col="doc_id", shard_max_bytes=8_000
+    )
+    # ~50 rows * (400*3 bytes + json envelope) ≈ 62KB -> ≥8 shards;
+    # a char-based estimate would plan ~3
+    assert stats["n_shards"] >= 8

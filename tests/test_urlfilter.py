@@ -175,3 +175,37 @@ def test_corpus_job_url_blocklist_passthrough(spark, tmp_path):
         kept.filter(F.lower(F.parse_url("url", F.lit("HOST"))) == host).count()
         == 0
     )
+
+
+def test_deep_host_cannot_bypass_blocklist(spark):
+    # review r3: a head-slice bound dropped the registrable suffix for
+    # hosts with more than MAX_SUFFIX_LABELS labels, silently bypassing
+    # the blocklist. The bound must keep the TAIL labels.
+    deep = "a.b.c.d.e.f.g.h.i.j.bad.com"  # 12 labels
+    df = spark.createDataFrame(
+        [(f"http://{deep}/x",), ("http://ok.com/y",)], "url string"
+    )
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    v = {r["url"]: r["blocked_domain"] for r in filter_urls(df, bl).collect()}
+    assert v[f"http://{deep}/x"] is True
+    assert v["http://ok.com/y"] is False
+    # and the explode stays bounded
+    sfx = (
+        spark.createDataFrame([(deep,)], "h string")
+        .select(F.explode(host_suffixes(F.col("h"))).alias("s"))
+        .collect()
+    )
+    assert len(sfx) <= 8
+    assert "bad.com" in {r["s"] for r in sfx}
+
+
+def test_blank_blocklist_entry_blocks_nothing(spark):
+    # review r3: a blank blocklist line became domain '' and matched
+    # every url with no parseable host
+    df = spark.createDataFrame(
+        [("mailto:someone@example.com",), ("not a url at all",)],
+        "url string",
+    )
+    bl = spark.createDataFrame([("",), ("  ",), ("bad.com",)], "domain string")
+    out = filter_urls(df, bl).collect()
+    assert all(r["blocked_domain"] is False for r in out)

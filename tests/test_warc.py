@@ -223,3 +223,102 @@ if _HAVE_HYP:
         ]
         # resource payloads round-trip byte-identically
         assert [r["html"] for r in rows] == payloads
+
+
+def test_content_encoding_gzip_and_deflate_inflated():
+    # review r3: real CC archives store Content-Encoding'd bodies
+    # verbatim; the reader must inflate them or the html column
+    # carries compressed bytes
+    import gzip as _gz
+    import zlib as _zl
+
+    from engine.io.warc import _record_bytes
+
+    doc = b"<html><body>compressed page</body></html>"
+    co = _zl.compressobj(wbits=-15)
+    raw_deflate = co.compress(doc) + co.flush()
+    cases = [
+        (b"gzip", _gz.compress(doc)),
+        (b"deflate", _zl.compress(doc)),  # RFC zlib wrapper
+        (b"deflate", raw_deflate),        # raw-deflate server quirk
+    ]
+    for i, (ce, body) in enumerate(cases):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce + b"\r\n\r\n" + body
+        )
+        raw = _record_bytes("response", f"https://ce{i}.example/", TS, payload)
+        rows = list(parse_warc_bytes(raw))
+        assert rows[0]["html"] == doc, (i, ce)
+    # unknown coding degrades to raw bytes, never raises
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nNOTBR"
+    raw = _record_bytes("response", "https://br.example/", TS, payload)
+    assert list(parse_warc_bytes(raw))[0]["html"] == b"NOTBR"
+    # corrupt gzip degrades to raw bytes
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bBAD"
+    raw = _record_bytes("response", "https://cgz.example/", TS, payload)
+    assert list(parse_warc_bytes(raw))[0]["html"] == b"\x1f\x8bBAD"
+
+
+def test_ingest_stages_warc_once_per_run(spark, tmp_path, monkeypatch):
+    """review r3: with --input-format warc and B commit batches the
+    job re-parsed every archive B times. It now stages the parse to
+    parquet once; batched and single-batch runs must agree and the
+    staging dir must not outlive the run."""
+    import argparse
+
+    import jobs.ingest as ingest
+
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+    write_warc_gz(
+        os.path.join(d, "bulk.warc.gz"),
+        [
+            {
+                "type": "response",
+                "url": f"https://h{i % 7}.example/{i}",
+                "ts": TS,
+                "payload": http_response(
+                    f"<html><body><p>Doc {i} body text, padded well past the extractor minimum-segment threshold.</p></body></html>".encode()
+                ),
+            }
+            for i in range(30)
+        ],
+    )
+
+    def args(out, batches):
+        return argparse.Namespace(
+            input=d,
+            input_format="warc",
+            output=out,
+            run_id="rw",
+            master="local[4]",
+            shuffle_partitions=4,
+            commit_batches=batches,
+        )
+
+    # count how many times the WARC parse actually runs
+    import engine.io.warc as warcmod
+
+    calls = {"n": 0}
+    real = warcmod.read_warc
+
+    def counting(spark_, path, **kw):
+        calls["n"] += 1
+        return real(spark_, path, **kw)
+
+    monkeypatch.setattr(warcmod, "read_warc", counting)
+
+    one = str(tmp_path / "one")
+    ingest.run(args(one, 1))
+    n_single = calls["n"]
+
+    calls["n"] = 0
+    many = str(tmp_path / "many")
+    ingest.run(args(many, 4))
+    assert calls["n"] == 1, "batched run must parse the archives once"
+    assert n_single == 1
+    assert not os.path.exists(os.path.join(many, "_staged_pages"))
+
+    a = spark.read.parquet(one + "/extracted").drop("day", "pbucket")
+    b = spark.read.parquet(many + "/extracted").drop("day", "pbucket")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
