@@ -14,6 +14,11 @@ within each source tier):
     title        og:title meta > <title> > first <h1>
     description  og:description meta > <meta name=description>
     canonical    <link rel=canonical href=...>
+    robots       <meta name=robots content=...> (first one)
+    noindex      derived: 'noindex' or 'none' among the robots
+                 directive tokens — the page's explicit opt-out from
+                 indexing, which a respectful corpus build honors
+                 (jobs/corpus.py --respect-noindex)
 
 Values are whitespace-collapsed and length-capped (512 chars) — put
 APIs bound metadata size. Charset handling reuses the pinned decoder
@@ -50,6 +55,7 @@ class _MetaParser(HTMLParser):
         self.title: str | None = None
         self.meta_desc: str | None = None
         self.canonical: str | None = None
+        self.robots: str | None = None
         self.h1: str | None = None
         self._in_title = False
         self._in_h1 = False
@@ -70,6 +76,8 @@ class _MetaParser(HTMLParser):
                 self.og_desc = content
             elif prop == "description" and self.meta_desc is None:
                 self.meta_desc = content
+            elif prop == "robots" and self.robots is None:
+                self.robots = content
         elif tag == "link":
             rels = (a.get("rel") or "").lower().split()
             if "canonical" in rels and self.canonical is None:
@@ -101,11 +109,19 @@ class _MetaParser(HTMLParser):
             self._h1_parts.append(data)
 
 
-def extract_docmeta(raw: bytes | None) -> dict[str, str | None]:
-    """{title, description, canonical} from raw HTML bytes; every
-    field None when absent. Total function — malformed input yields
-    whatever was parsed before the breakage."""
-    empty = {"title": None, "description": None, "canonical": None}
+def extract_docmeta(raw: bytes | None) -> dict:
+    """{title, description, canonical, robots, noindex} from raw HTML
+    bytes; string fields None when absent, noindex False by default
+    (absent robots meta = indexable, per the robots spec). Total
+    function — malformed input yields whatever was parsed before the
+    breakage."""
+    empty = {
+        "title": None,
+        "description": None,
+        "canonical": None,
+        "robots": None,
+        "noindex": False,
+    }
     if not raw:
         return empty
     text = decode_bytes(raw)
@@ -126,8 +142,15 @@ def extract_docmeta(raw: bytes | None) -> dict[str, str | None]:
         p.title = "".join(p._title_parts)
     if p._in_h1 and p.h1 is None:
         p.h1 = "".join(p._h1_parts)
+    robots = _clean(p.robots)
+    tokens = (
+        {t.strip() for t in robots.lower().split(",")} if robots else set()
+    )
     return {
         "title": _clean(p.og_title) or _clean(p.title) or _clean(p.h1),
         "description": _clean(p.og_desc) or _clean(p.meta_desc),
         "canonical": _clean(p.canonical),
+        "robots": robots,
+        # 'none' == 'noindex, nofollow' per the robots meta spec
+        "noindex": bool(tokens & {"noindex", "none"}),
     }

@@ -1,0 +1,199 @@
+"""BM25 keyword search over the documents table.
+
+The lexical complement to the engine's embedding ANN surface
+(engine/ops/kmeans, engine/ops/pq, jobs/ann.py): corpus curation and
+inspection constantly need "find the docs about X" (probe-set
+construction for decontamination, boilerplate hunting, quality
+spot-checks), and at 10^12 docs that must be a pruned scan, not a
+grep. Scoring is Robertson/Spärck Jones BM25 with the Lucene idf
+variant: ln(1 + (N - df + 0.5)/(df + 0.5)) — non-negative for any df.
+
+Two shapes, same scoring spec:
+
+  bm25_topk        one-shot query -> top-k. TWO map passes over the
+                   corpus (a scalar stats agg, then a filter to the
+                   query's terms) — the corpus never shuffles; every
+                   groupBy after the term filter is HIT-sized. For
+                   ad-hoc queries over a table that has no index.
+  build/search     the persistent path: postings written ONCE,
+                   PARTITIONED BY a term-hash bucket, so each query
+                   reads ~|terms|/n_buckets of the index via partition
+                   pruning (the jobs/ann.py discipline: the physical
+                   layout IS the index). Queries then cost hit-sized
+                   joins only.
+
+Tokenization is pinned to the engine's LM tokenizer
+(engine/ops/lm.lm_tokens: lowercase, \\p{L}\\p{N} runs) so LM, token
+stats, and search agree on what a term is. All expressions are JVM
+codegen; no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from engine.ops.lm import lm_tokens
+
+K1 = 1.2
+B = 0.75
+TERM_BUCKETS = 64
+
+
+def _tokenize(terms: str | list[str]) -> list[str]:
+    """Normalize a query into pinned-tokenizer terms (dedup, sorted
+    for deterministic plans)."""
+    if isinstance(terms, str):
+        import re
+
+        # [\W_]+ ≈ the JVM tokenizer's [^\p{L}\p{N}]+ (\w minus '_')
+        terms = [t for t in re.split(r"[\W_]+", terms.lower()) if t]
+    return sorted({t.lower() for t in terms if t})
+
+
+def _idf(n_docs: float):
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+
+def _tf_norm(avgdl: float, k1: float, b: float):
+    return (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str | list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k docs for `query` by BM25, no prebuilt index.
+
+    Returns (id_col, bm25) with bm25 rounded to 4dp (the repo's
+    oracle-comparison discipline), ordered score DESC then id ASC.
+
+    Plan: one scalar agg for (N, avgdl); one map-side array filter
+    keeps only query-term occurrences before anything explodes, so
+    the exploded row count is the number of HITS, not tokens; tf/df
+    aggregations and the scoring join are all hit-sized. TakeOrdered
+    top-k — no full sort."""
+    terms = _tokenize(query)
+    if not terms:
+        raise ValueError("empty query")
+    toked = docs.select(
+        F.col(id_col),
+        lm_tokens(text_col).alias("_toks"),
+    ).withColumn("dl", F.size("_toks"))
+    row = toked.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(row["n"] or 0), float(row["avgdl"] or 0.0)
+    if not n_docs or not avgdl:
+        raise ValueError("empty corpus")
+
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    hits = toked.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter("_toks", lambda t: F.array_contains(term_arr, t))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select(
+            id_col,
+            (_idf(n_docs) * _tf_norm(avgdl, k1, b)).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TERM_BUCKETS,
+) -> dict:
+    """Write the persistent BM25 index: postings (term, doc, tf, dl)
+    PARTITIONED BY pmod(xxhash64(term), n_buckets) — a query's terms
+    prune to their buckets' directories, so search reads
+    ~|terms|/n_buckets of the index — plus a one-row stats table
+    (N, avgdl). One explode + one groupBy over the corpus (the
+    word-count shape, map-side combinable); df is NOT materialized —
+    it is hit-sized at query time."""
+    toked = docs.select(
+        F.col(id_col).alias("doc"), lm_tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    postings = (
+        toked.select("doc", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    r = stats.sparkSession.read.parquet(f"{path}/stats").collect()[0]
+    return {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
+
+
+def bm25_search(
+    spark: SparkSession,
+    path: str,
+    query: str | list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k over a build_bm25_index index. The bucket filter prunes
+    the postings scan to the query terms' partitions; everything
+    after the term filter is hit-sized."""
+    terms = _tokenize(query)
+    if not terms:
+        raise ValueError("empty query")
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
+    n_buckets = int(st["n_buckets"])
+    term_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        r["b"]
+        for r in term_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned scan
+        .filter(F.col("term").isin(terms))
+    )
+    df_tbl = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(df_tbl), "term")
+        .select("doc", (_idf(n_docs) * _tf_norm(avgdl, k1, b)).alias("_s"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc")).limit(k)

@@ -236,13 +236,38 @@ def simhash_candidate_pairs(
     """
     from engine.udfs import simhash_udf
 
-    if n_bands * bits_per_band > 64:
-        raise ValueError("bands exceed the 64-bit fingerprint")
-    mask = (1 << bits_per_band) - 1
     sh = docs.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
     )
-    bands = sh.select(
+    return hash64_candidate_pairs(
+        sh,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bits_per_band=bits_per_band,
+        hot_bucket_cap=hot_bucket_cap,
+        stats=stats,
+    )
+
+
+def hash64_candidate_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    bits_per_band: int = 16,
+    hot_bucket_cap: int | None = HOT_BUCKET_CAP,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The hamming-banding core over ANY 64-bit fingerprint column:
+    hashed(doc_id, sim) -> pairs (doc_a < doc_b, hamming <=
+    max_hamming). simhash_candidate_pairs delegates here; so does
+    image perceptual-hash near-dup (engine/ops/media.image_neardup_
+    pairs, whose ahash is MSB-flip-encoded — XOR hamming is invariant
+    under a shared XOR mask, so the encoding needs no undo). Same
+    hot-bucket star-pairing and recall disclosure as simhash."""
+    mask = (1 << bits_per_band) - 1
+    if n_bands * bits_per_band > 64:
+        raise ValueError("bands exceed the 64-bit fingerprint")
+    bands = hashed.select(
         "doc_id",
         "sim",
         F.posexplode(

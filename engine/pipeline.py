@@ -164,16 +164,37 @@ def build_vectors(chunks: DataFrame) -> DataFrame:
 
 
 def build_docmeta(pages: DataFrame) -> DataFrame:
-    """pages -> (url, title, description, canonical): per-document
-    metadata for the vector sink (engine/kernels/docmeta). A separate
-    map-only pass over the html column, NOT folded into the pinned
-    extraction UDF — extraction goldens never move. Joinable onto
-    vectors by url; sink_vectors(meta_cols=[...]) carries the fields
-    into every put_vectors entry."""
+    """pages -> (url, title, description, canonical, robots, noindex):
+    per-document metadata for the vector sink (engine/kernels/docmeta).
+    A separate map-only pass over the html column, NOT folded into the
+    pinned extraction UDF — extraction goldens never move. Joinable
+    onto vectors by url; sink_vectors(meta_cols=[...]) carries the
+    fields into every put_vectors entry."""
     from engine.udfs import docmeta_udf
 
     return pages.select("url", docmeta_udf("html").alias("_m")).select(
-        "url", "_m.title", "_m.description", "_m.canonical"
+        "url",
+        "_m.title",
+        "_m.description",
+        "_m.canonical",
+        "_m.robots",
+        "_m.noindex",
+    )
+
+
+def screen_noindex(pages: DataFrame) -> DataFrame:
+    """Drop pages whose meta-robots directive opts out of indexing
+    (noindex / none) — the respectful-corpus screen, applied BEFORE
+    extraction so opted-out content never enters any derived table.
+    Map-only: the docmeta parse is head-bounded, far cheaper than the
+    full extraction it saves. Pages without the directive (or without
+    parseable HTML) pass through untouched."""
+    from engine.udfs import docmeta_udf
+
+    return (
+        pages.withColumn("_noindex", docmeta_udf("html")["noindex"])
+        .filter(~F.coalesce("_noindex", F.lit(False)))
+        .drop("_noindex")
     )
 
 

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -178,19 +179,24 @@ DOCMETA_TYPE = StructType(
         StructField("title", StringType()),
         StructField("description", StringType()),
         StructField("canonical", StringType()),
+        StructField("robots", StringType()),
+        StructField("noindex", BooleanType()),
     ]
 )
 
 
 @pandas_udf(DOCMETA_TYPE)
 def docmeta_udf(html: pd.Series) -> pd.DataFrame:
-    """title/description/canonical from raw HTML bytes
+    """title/description/canonical/robots/noindex from raw HTML bytes
     (engine/kernels/docmeta) — the per-vector metadata surface; kept
     OUT of the pinned extraction UDF so extraction goldens never move."""
     from engine.kernels.docmeta import extract_docmeta
 
     rows = [extract_docmeta(b) for b in html]
-    return pd.DataFrame(rows, columns=["title", "description", "canonical"])
+    return pd.DataFrame(
+        rows,
+        columns=["title", "description", "canonical", "robots", "noindex"],
+    )
 
 
 @pandas_udf(IntegerType())

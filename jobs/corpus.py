@@ -120,6 +120,12 @@ def run(args) -> dict:
         from engine.pipeline import build_extracted
 
         pages = spark.read.parquet(args.pages)
+        if args.respect_noindex:
+            # pages whose meta-robots opts out of indexing never
+            # enter any derived table (map-only, head-bounded parse)
+            from engine.pipeline import screen_noindex
+
+            pages = screen_noindex(pages)
         build_extracted(pages).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
 
@@ -379,6 +385,12 @@ def _parser() -> argparse.ArgumentParser:
         "--resume",
         action="store_true",
         help="skip stages already committed in corpus_manifest.json",
+    )
+    p.add_argument(
+        "--respect-noindex",
+        action="store_true",
+        help="drop pages whose <meta name=robots> carries noindex/none "
+        "before extraction (engine/pipeline.screen_noindex)",
     )
     p.add_argument("--min-tokens", type=int, default=20)
     p.add_argument(

@@ -1,0 +1,208 @@
+"""Corpus-card report — the datasheet a published training corpus
+ships (cf. "Datasheets for Datasets", Gebru et al. 2021; the stats
+tables in the C4 / RefinedWeb / Dolma papers).
+
+    spark-submit --py-files engine.zip jobs/report.py \
+        --input /data/corpus --output /data/corpus_card.json \
+        [--text-col text] [--id-col doc_id] [--host-col host]
+
+Produces ONE JSON document with:
+
+    totals        docs, tokens, chars (exact counts)
+    length        token-count percentiles (p1..p99)
+    quality       corpus-wide means of the curation metric family
+                  (engine/ops/curate.quality_metrics — same pinned
+                  definitions the rule screen uses)
+    lang_mix      per-lang doc/token share (when a lang column exists)
+    hosts         top-k hosts by token share + concentration (share
+                  of tokens in the top 1% of hosts) — the number the
+                  domain-rebalance stage (engine/ops/mix) acts on
+    dup_rate      exact-duplicate rate (sha256 of text)
+
+Scale shapes: every number is one aggregation pass —
+percentile_approx for the histograms (exact percentile would sort),
+map-side-combinable groupBys for lang/host, and ONE sha groupBy for
+the dup rate. Nothing driver-sized except the report itself.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine.session import get_spark  # noqa: E402
+
+PCTS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+MEAN_METRICS = (
+    "n_chars",
+    "n_tokens",
+    "mean_token_len",
+    "stopword_frac",
+    "symbol_frac",
+    "digit_frac",
+    "max_line_frac",
+    "dup_line_frac",
+    "dup_para_frac",
+)
+
+
+def run(args) -> dict:
+    from engine.cli import fill_defaults
+    from engine.ops.curate import quality_metrics
+
+    fill_defaults(args, _parser())
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name="corpus-report",
+    )
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    text = F.coalesce(F.col(args.text_col), F.lit(""))
+
+    metrics = quality_metrics(
+        docs, id_col=args.id_col, text_col=args.text_col
+    )
+    have = [m for m in MEAN_METRICS if m in metrics.columns]
+    agg_row = metrics.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.percentile_approx(
+            "n_tokens", PCTS, 10_000
+        ).alias("tok_pcts"),
+        *[F.avg(m).alias(f"avg_{m}") for m in have],
+    ).collect()[0]
+
+    report: dict = {
+        "totals": {
+            "docs": int(agg_row["docs"]),
+            "tokens": int(agg_row["tokens"] or 0),
+            "chars": int(agg_row["chars"] or 0),
+        },
+        "length": {
+            f"p{int(p * 100)}": int(v)
+            for p, v in zip(PCTS, agg_row["tok_pcts"] or [])
+        },
+        "quality": {
+            m: round(float(agg_row[f"avg_{m}"]), 6)
+            for m in have
+            if agg_row[f"avg_{m}"] is not None
+        },
+    }
+
+    # exact-duplicate rate: docs sharing a text sha beyond the first
+    n_docs = report["totals"]["docs"]
+    if n_docs:
+        uniq = (
+            docs.select(F.sha2(text, 256).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("uniq"),
+                F.sum("c").alias("total"),
+            )
+            .collect()[0]
+        )
+        report["dup_rate"] = round(
+            (int(uniq["total"]) - int(uniq["uniq"])) / int(uniq["total"]), 6
+        )
+
+    lang_col = args.lang_col if args.lang_col in docs.columns else None
+    if lang_col:
+        mix = (
+            docs.select(
+                F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
+                F.size(F.split(text, r"\s+")).cast("long").alias("nt"),
+            )
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("nt").alias("tokens"))
+            .orderBy(F.desc("docs"))
+            .collect()
+        )
+        total_docs = sum(r["docs"] for r in mix) or 1
+        report["lang_mix"] = {
+            r["lang"]: {
+                "docs": r["docs"],
+                "doc_share": round(r["docs"] / total_docs, 6),
+                "tokens": int(r["tokens"] or 0),
+            }
+            for r in mix
+        }
+
+    host = (
+        F.col(args.host_col)
+        if args.host_col in docs.columns
+        else F.try_parse_url(F.lower(F.col("url")), F.lit("HOST"))
+        if "url" in docs.columns
+        else None
+    )
+    if host is not None:
+        hosts = (
+            docs.select(
+                F.coalesce(host, F.lit("unknown")).alias("host"),
+                F.size(F.split(text, r"\s+")).cast("long").alias("nt"),
+            )
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("docs"), F.sum("nt").alias("tokens"))
+            # three bounded reads below; compute the host rollup once
+            # (host-cardinality-sized, auto-released on GC)
+            .localCheckpoint(eager=True)
+        )
+        top = hosts.orderBy(F.desc("tokens")).limit(args.top_hosts).collect()
+        tot = hosts.agg(
+            F.count(F.lit(1)).alias("n_hosts"), F.sum("tokens").alias("tokens")
+        ).collect()[0]
+        n_hosts, tok_total = int(tot["n_hosts"]), int(tot["tokens"] or 0) or 1
+        # concentration: token share of the top 1% of hosts (>= 1 host)
+        k = max(1, n_hosts // 100)
+        top1pct = (
+            hosts.orderBy(F.desc("tokens"))
+            .limit(k)
+            .agg(F.sum("tokens"))
+            .collect()[0][0]
+            or 0
+        )
+        report["hosts"] = {
+            "n_hosts": n_hosts,
+            "top1pct_token_share": round(int(top1pct) / tok_total, 6),
+            "top": [
+                {
+                    "host": r["host"],
+                    "docs": r["docs"],
+                    "token_share": round(int(r["tokens"] or 0) / tok_total, 6),
+                }
+                for r in top
+            ],
+        }
+
+    report["wall_s"] = round(time.monotonic() - t0, 2)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+    print(json.dumps(report, sort_keys=True))
+    return report
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="corpus parquet")
+    p.add_argument("--output", default=None, help="write the card JSON here")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--lang-col", default="lang")
+    p.add_argument("--host-col", default="host")
+    p.add_argument("--top-hosts", type=int, default=20)
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+if __name__ == "__main__":
+    run(_parser().parse_args())

@@ -264,3 +264,47 @@ def test_export_stage_ships_packed_examples(spark, tmp_path, pages_path):
     for r in lines[:5]:
         assert {"example_id", "text", "n_tokens", "n_seqs"} <= set(r)
         assert r["text"]
+
+
+def test_respect_noindex_screens_before_extract(spark, tmp_path):
+    """--respect-noindex: a page carrying <meta name=robots
+    content=noindex> never reaches the extracted table (or any stage
+    after it); without the flag it flows through."""
+    from jobs.corpus import run
+
+    doc = (
+        "<html><head>{head}</head><body><p>"
+        + "Sufficiently long body text for the extractor to keep. " * 8
+        + "</p></body></html>"
+    )
+    rows = [
+        (f"http://h{i}.example/keep", doc.format(head="<title>k</title>").encode())
+        for i in range(12)
+    ] + [
+        (
+            "http://h0.example/optout",
+            doc.format(
+                head='<meta name="robots" content="noindex"><title>o</title>'
+            ).encode(),
+        )
+    ]
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(u, ts, h, None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(p)
+
+    out1 = str(tmp_path / "with_screen")
+    run(_args(p, out1, min_tokens=2, respect_noindex=True))
+    got1 = {r["url"] for r in spark.read.parquet(f"{out1}/extracted").collect()}
+    assert "http://h0.example/optout" not in got1
+    assert len(got1) == 12
+
+    out2 = str(tmp_path / "no_screen")
+    run(_args(p, out2, min_tokens=2))
+    got2 = {r["url"] for r in spark.read.parquet(f"{out2}/extracted").collect()}
+    assert "http://h0.example/optout" in got2

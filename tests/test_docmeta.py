@@ -137,3 +137,61 @@ def test_build_docmeta_and_sink_metadata(spark, tmp_path):
     by_key = {e["key"]: e["metadata"] for e in entries}
     assert by_key["https://a.ex/1#0"] == {"label": 3, "title": "Doc One"}
     assert by_key["https://a.ex/3#0"] == {"label": 5}  # null omitted
+
+
+def test_robots_noindex_detection():
+    # absent directive = indexable
+    m = extract_docmeta(_doc("<title>t</title>"))
+    assert m["robots"] is None and m["noindex"] is False
+    # plain noindex
+    m = extract_docmeta(_doc('<meta name="robots" content="noindex">'))
+    assert m["robots"] == "noindex" and m["noindex"] is True
+    # token list with spacing + case
+    m = extract_docmeta(
+        _doc('<meta name="ROBOTS" content=" NoFollow , NOINDEX ">')
+    )
+    assert m["noindex"] is True
+    # 'none' == noindex+nofollow per the spec
+    m = extract_docmeta(_doc('<meta name="robots" content="none">'))
+    assert m["noindex"] is True
+    # directives that do NOT opt out
+    m = extract_docmeta(
+        _doc('<meta name="robots" content="nofollow, noarchive">')
+    )
+    assert m["robots"] == "nofollow, noarchive" and m["noindex"] is False
+    # 'noindexing' must not substring-match
+    m = extract_docmeta(_doc('<meta name="robots" content="noindexing">'))
+    assert m["noindex"] is False
+    # first robots meta wins
+    m = extract_docmeta(
+        _doc(
+            '<meta name="robots" content="all">'
+            '<meta name="robots" content="noindex">'
+        )
+    )
+    assert m["noindex"] is False
+
+
+def test_screen_noindex_spark(spark):
+    from engine.pipeline import screen_noindex
+
+    rows = [
+        ("http://a.com/keep", _doc("<title>k</title>", "<p>body</p>")),
+        (
+            "http://a.com/optout",
+            _doc('<meta name="robots" content="noindex">', "<p>x</p>"),
+        ),
+        ("http://a.com/pdf", b"%PDF-1.4 not html"),  # unparseable: passes
+        ("http://a.com/null", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = {r["url"] for r in screen_noindex(pages).collect()}
+    assert kept == {"http://a.com/keep", "http://a.com/pdf", "http://a.com/null"}
+    # map-only: no Exchange in the screen
+    plan = (
+        screen_noindex(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -1,0 +1,73 @@
+"""jobs/report.py — corpus-card JSON over a documents table."""
+
+from __future__ import annotations
+
+import json
+import os
+import types
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from engine.session import get_spark
+
+    return get_spark(master="local[4]", shuffle_partitions=4)
+
+
+def _args(inp, out=None, **kw):
+    return types.SimpleNamespace(input=inp, output=out, **kw)
+
+
+def test_report_numbers_exact(spark, tmp_path):
+    from jobs.report import run
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "http://big.com/a"),
+        (1, "alpha beta gamma delta", "en", "http://big.com/b"),  # exact dup
+        (2, "five words here right now", "en", "http://big.com/c"),
+        (3, "uno dos tres", "es", "http://small.org/x"),
+        (4, "", "es", None),
+    ]
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(p)
+
+    out = str(tmp_path / "card.json")
+    rep = run(_args(p, out, master="local[4]", shuffle_partitions=4))
+
+    assert rep["totals"]["docs"] == 5
+    # quality_metrics n_tokens: 4 + 4 + 5 + 3 + 0
+    assert rep["totals"]["tokens"] == 16
+    assert rep["dup_rate"] == pytest.approx(1 / 5)
+    assert rep["lang_mix"]["en"]["docs"] == 3
+    assert rep["lang_mix"]["es"]["doc_share"] == pytest.approx(0.4)
+    # host falls back to parse_url(url) when no host column exists
+    hosts = {h["host"]: h for h in rep["hosts"]["top"]}
+    assert hosts["big.com"]["docs"] == 3
+    assert "small.org" in hosts and "unknown" in hosts
+    assert 0 < rep["hosts"]["top1pct_token_share"] <= 1.0
+    assert rep["length"]["p50"] >= 1
+
+    # the card on disk equals the returned dict
+    with open(out) as f:
+        assert json.load(f) == rep
+
+
+def test_report_minimal_schema(spark, tmp_path):
+    """No lang, no url, no host: the card degrades to totals/length/
+    quality/dup_rate without crashing."""
+    from jobs.report import run
+
+    p = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(i, f"word {i} filler text") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    rep = run(_args(p, master="local[4]", shuffle_partitions=4))
+    assert rep["totals"]["docs"] == 10
+    assert rep["dup_rate"] == 0.0
+    assert "lang_mix" not in rep and "hosts" not in rep
+    assert os.path.exists(p)  # nothing written without --output
