@@ -95,11 +95,19 @@ class _MetaParser(HTMLParser):
             self._in_h1 = False
             self.h1 = "".join(self._h1_parts)
         if self.h1 is not None or tag == "body":
-            # everything wanted has been seen or cannot appear anymore
+            # stop only once EVERY collected field has been seen — a
+            # robots/canonical/description meta can legally appear
+            # after the title block (CMS-injected body metas), and an
+            # early exit that ignores them silently marks an opted-out
+            # page indexable (review r3)
             self.done = self.done or (
                 self.h1 is not None
                 and self.title is not None
                 and self.og_title is not None
+                and self.og_desc is not None
+                and self.meta_desc is not None
+                and self.canonical is not None
+                and self.robots is not None
             )
 
     def handle_data(self, data: str) -> None:

@@ -159,8 +159,8 @@ def build_media_thumbnails(media: DataFrame, tw: int = 8, th: int = 8) -> DataFr
 def image_neardup_pairs(
     features: DataFrame,
     max_hamming: int = 6,
-    n_bands: int = 4,
-    bits_per_band: int = 16,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
     hot_bucket_cap: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -173,6 +173,12 @@ def image_neardup_pairs(
     hamming-space dedup at crawl scale. The ahash column is the
     MSB-flip signed encoding from the decode kernel; XOR hamming is
     invariant under a mask shared by both sides, so no undo is needed.
+
+    Defaults keep the pigeonhole recall GUARANTEE: max_hamming <
+    n_bands (6 < 8) means any qualifying pair shares at least one
+    exact 8-bit band, so candidate generation misses nothing. Raising
+    max_hamming to n_bands or beyond turns the op approximate —
+    disclose the recall trade-off if you do.
 
     Input is build_media_features output (or any frame with media_id
     + ahash); rows without a decoded hash (non-images, stub codecs,

@@ -82,10 +82,23 @@ def _commit_stage(out_dir: str, manifest: dict, stage: str, info: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
-def _stage_done(out_dir: str, manifest: dict, stage: str, table: str) -> bool:
-    return stage in manifest["stages"] and os.path.exists(
-        os.path.join(out_dir, table, "_SUCCESS")
-    )
+def _stage_done(
+    out_dir: str,
+    manifest: dict,
+    stage: str,
+    table: str,
+    params: dict | None = None,
+) -> bool:
+    """A committed stage only counts when its semantics-affecting
+    params match what the manifest recorded — re-running with e.g.
+    --respect-noindex after a run without it must redo the stage, not
+    silently skip the new screen. Entries committed before params
+    were recorded (no 'params' key) match only an empty params dict."""
+    if stage not in manifest["stages"]:
+        return False
+    if (manifest["stages"][stage].get("params") or {}) != (params or {}):
+        return False
+    return os.path.exists(os.path.join(out_dir, table, "_SUCCESS"))
 
 
 def run(args) -> dict:
@@ -101,19 +114,29 @@ def run(args) -> dict:
     os.makedirs(out, exist_ok=True)
     manifest = _load_manifest(out) if args.resume else {"stages": {}}
 
-    def stage(name: str, table: str, action) -> None:
-        """Run one stage unless already committed; commit its manifest
-        entry (rows + wall) before the next stage starts."""
-        if args.resume and _stage_done(out, manifest, name, table):
+    dirty = False  # once any stage re-runs, every later stage must too
+
+    def stage(name: str, table: str, action, params: dict | None = None) -> None:
+        """Run one stage unless already committed WITH the same
+        semantics-affecting params; commit its manifest entry
+        (rows + wall + params) before the next stage starts. A stage
+        that re-runs invalidates everything downstream of it — its
+        output is those stages' input, so their committed tables are
+        stale even though their own params match."""
+        nonlocal dirty
+        if (
+            args.resume
+            and not dirty
+            and _stage_done(out, manifest, name, table, params)
+        ):
             return
+        dirty = True
         t0 = time.monotonic()
         rows = action(os.path.join(out, table))
-        _commit_stage(
-            out,
-            manifest,
-            name,
-            {"rows": int(rows), "wall_s": round(time.monotonic() - t0, 2)},
-        )
+        info = {"rows": int(rows), "wall_s": round(time.monotonic() - t0, 2)}
+        if params:
+            info["params"] = params
+        _commit_stage(out, manifest, name, info)
 
     # -- extract ------------------------------------------------------
     def do_extract(path: str) -> int:
@@ -129,7 +152,12 @@ def run(args) -> dict:
         build_extracted(pages).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
 
-    stage("extract", "extracted", do_extract)
+    stage(
+        "extract",
+        "extracted",
+        do_extract,
+        params={"respect_noindex": True} if args.respect_noindex else None,
+    )
 
     # -- near-dup dedup to canonical docs ------------------------------
     def do_neardup(path: str) -> int:

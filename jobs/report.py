@@ -29,32 +29,35 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from engine.session import get_spark  # noqa: E402
 
 PCTS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+# exactly the engine/ops/curate.quality_metrics column family (minus
+# the count columns reported under totals); a name not produced there
+# would silently vanish from the card, so tests/test_report.py pins
+# that every entry lands in the quality section
 MEAN_METRICS = (
-    "n_chars",
-    "n_tokens",
     "mean_token_len",
-    "stopword_frac",
-    "symbol_frac",
-    "digit_frac",
-    "max_line_frac",
+    "space_ratio",
+    "symbol_ratio",
+    "stopword_ratio",
     "dup_line_frac",
     "dup_para_frac",
+    "n_pii",
 )
 
 
 def run(args) -> dict:
     from engine.cli import fill_defaults
-    from engine.ops.curate import quality_metrics
+    from engine.ops.curate import _metric_cols, quality_metrics
 
     fill_defaults(args, _parser())
     spark = get_spark(
@@ -65,6 +68,10 @@ def run(args) -> dict:
     t0 = time.monotonic()
     docs = spark.read.parquet(args.input)
     text = F.coalesce(F.col(args.text_col), F.lit(""))
+    # the ONE token-count definition (pinned in curate): lang_mix and
+    # host shares must reconcile with totals.tokens, so they reuse it
+    # rather than re-tokenizing with a different rule
+    n_tokens = _metric_cols(args.text_col)["n_tokens"]
 
     metrics = quality_metrics(
         docs, id_col=args.id_col, text_col=args.text_col
@@ -119,7 +126,7 @@ def run(args) -> dict:
         mix = (
             docs.select(
                 F.coalesce(F.col(lang_col), F.lit("unknown")).alias("lang"),
-                F.size(F.split(text, r"\s+")).cast("long").alias("nt"),
+                n_tokens.alias("nt"),
             )
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("docs"), F.sum("nt").alias("tokens"))
@@ -147,7 +154,7 @@ def run(args) -> dict:
         hosts = (
             docs.select(
                 F.coalesce(host, F.lit("unknown")).alias("host"),
-                F.size(F.split(text, r"\s+")).cast("long").alias("nt"),
+                n_tokens.alias("nt"),
             )
             .groupBy("host")
             .agg(F.count(F.lit(1)).alias("docs"), F.sum("nt").alias("tokens"))
@@ -155,13 +162,22 @@ def run(args) -> dict:
             # (host-cardinality-sized, auto-released on GC)
             .localCheckpoint(eager=True)
         )
-        top = hosts.orderBy(F.desc("tokens")).limit(args.top_hosts).collect()
         tot = hosts.agg(
             F.count(F.lit(1)).alias("n_hosts"), F.sum("tokens").alias("tokens")
         ).collect()[0]
         n_hosts, tok_total = int(tot["n_hosts"]), int(tot["tokens"] or 0) or 1
         # concentration: token share of the top 1% of hosts (>= 1 host)
         k = max(1, n_hosts // 100)
+        # top list: host tie-break so equal-token hosts never swap
+        # across runs (the card is reproducible). The top-1% SUM needs
+        # no tie-break — boundary-straddling ties contribute equal
+        # token values — and stays cluster-side (1% of hosts can be
+        # 10^5 rows at crawl scale; never collect it).
+        top = (
+            hosts.orderBy(F.desc("tokens"), F.asc("host"))
+            .limit(args.top_hosts)
+            .collect()
+        )
         top1pct = (
             hosts.orderBy(F.desc("tokens"))
             .limit(k)

@@ -308,3 +308,10 @@ def test_respect_noindex_screens_before_extract(spark, tmp_path):
     run(_args(p, out2, min_tokens=2))
     got2 = {r["url"] for r in spark.read.parquet(f"{out2}/extracted").collect()}
     assert "http://h0.example/optout" in got2
+
+    # --resume + a CHANGED semantics flag must redo the stage, not
+    # skip the new screen (stage params are part of the manifest
+    # commit — review r3)
+    run(_args(p, out2, min_tokens=2, respect_noindex=True, resume=True))
+    got3 = {r["url"] for r in spark.read.parquet(f"{out2}/extracted").collect()}
+    assert "http://h0.example/optout" not in got3

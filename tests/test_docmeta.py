@@ -76,6 +76,7 @@ def test_charset_and_malformed_total():
     assert extract_docmeta(latin)["title"] == "café"
     assert extract_docmeta(None) == {
         "title": None, "description": None, "canonical": None,
+        "robots": None, "noindex": False,
     }
     assert extract_docmeta(b"")["title"] is None
     # unclosed title is still recovered
@@ -170,6 +171,17 @@ def test_robots_noindex_detection():
         )
     )
     assert m["noindex"] is False
+    # a robots meta AFTER the title block and first h1 (CMS-injected
+    # body meta) must still be seen — the parser's early-exit may not
+    # fire while any collected field is outstanding (review r3)
+    raw = (
+        b"<html><head><meta property='og:title' content='T'>"
+        b"<title>t</title></head><body><h1>h</h1>"
+        b"<meta name='robots' content='noindex'>"
+        b"<p>body text</p></body></html>"
+    )
+    m = extract_docmeta(raw)
+    assert m["noindex"] is True
 
 
 def test_screen_noindex_spark(spark):

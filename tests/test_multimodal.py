@@ -206,8 +206,9 @@ def test_image_neardup_pairs(spark):
     """Perceptual near-dup over the ahash column: a lightly-perturbed
     copy pairs with its original; a structurally different image does
     not. Resulting pairs must equal brute-force hamming over the
-    kernel's own hashes (the banding guarantee: max_hamming < n_bands
-    means at least one 16-bit slice matches exactly)."""
+    kernel's own hashes (the banding guarantee: max_hamming=6 <
+    n_bands=8 means at least one 8-bit slice matches exactly, so
+    candidate generation is lossless at the defaults)."""
     import struct
     import zlib
 

@@ -50,6 +50,17 @@ def test_report_numbers_exact(spark, tmp_path):
     assert "small.org" in hosts and "unknown" in hosts
     assert 0 < rep["hosts"]["top1pct_token_share"] <= 1.0
     assert rep["length"]["p50"] >= 1
+    # every advertised quality metric actually lands on the card — a
+    # name drifting from quality_metrics' columns must fail here, not
+    # silently vanish (review r3)
+    from jobs.report import MEAN_METRICS
+
+    assert set(rep["quality"]) == set(MEAN_METRICS)
+    assert rep["quality"]["mean_token_len"] > 0
+    # lang_mix token counts reconcile with totals (same pinned
+    # tokenizer): 4+4+5 en, 3+0 es
+    assert rep["lang_mix"]["en"]["tokens"] == 13
+    assert rep["lang_mix"]["es"]["tokens"] == 3
 
     # the card on disk equals the returned dict
     with open(out) as f:
@@ -66,8 +77,10 @@ def test_report_minimal_schema(spark, tmp_path):
         [(i, f"word {i} filler text") for i in range(10)],
         "doc_id long, text string",
     ).write.parquet(p)
+    before = set(os.listdir(tmp_path))
     rep = run(_args(p, master="local[4]", shuffle_partitions=4))
     assert rep["totals"]["docs"] == 10
     assert rep["dup_rate"] == 0.0
     assert "lang_mix" not in rep and "hosts" not in rep
-    assert os.path.exists(p)  # nothing written without --output
+    # nothing written without --output
+    assert set(os.listdir(tmp_path)) == before
