@@ -1,0 +1,222 @@
+"""robots.txt politeness screen (RFC 9309): parse each host's
+robots.txt, pick the rule group that governs our crawler, and verdict
+every page URL by longest-match Allow/Disallow — the second half of
+the respectful-corpus story (engine/pipeline.screen_noindex handles
+the per-PAGE meta-robots opt-out; this handles the per-HOST one).
+
+Spark-first shape:
+
+  * PARSE is one mapInPandas over the robots-file table (one row per
+    host — bounded by crawl politeness itself, ~10^7 hosts vs 10^12
+    pages) producing a (host, agent, allow, path) rule table. Pure
+    stdlib tokenization; malformed lines are skipped per RFC 9309 §2.2
+    (parsers "MUST be tolerant").
+  * GROUP SELECTION (RFC §2.2.1: the group named by the longest
+    user-agent token that prefix-matches the crawler, else the `*`
+    group, else allow-all) happens relationally ONCE per host — a
+    host-sized agg, not per page.
+  * VERDICT: the per-host rule arrays broadcast-join onto pages by
+    host (pages NEVER shuffle — the rules side is the dim table), and
+    longest-match evaluation runs in ONE Arrow pass with per-batch
+    compiled-regex caching (`*` and `$` per RFC §2.2.3; longest path
+    wins, Allow wins ties, no match = allowed). Hosts with no
+    robots.txt are allowed by definition, so the join is LEFT.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType
+
+RULES_DDL = "host string, agent string, allow boolean, path string"
+PARSE_LIMIT = 500 * 1024  # RFC 9309 §2.5: parse at least 500 KiB
+
+
+def _parse_one(host: str, body: str):
+    """RFC 9309 tolerant line parse -> (host, agent, allow, path)
+    rows. Groups = consecutive user-agent lines followed by rules;
+    rules before any user-agent line are ignored (no group). Bodies
+    beyond the RFC parse limit are truncated (bounds the per-host
+    rule array a pathological robots.txt could pack downstream)."""
+    agents: list[str] = []
+    rules_started = False
+    for raw in (body or "")[:PARSE_LIMIT].splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                agents = []
+                rules_started = False
+            if val:
+                agents.append(val.lower())
+                # zero-length sentinel allow: makes EMPTY groups
+                # visible to group selection (a crawler-specific
+                # "allow everything" group must still beat a
+                # restrictive * group, RFC §2.2.1); matching-wise
+                # it just restates the no-match-=-allowed default
+                yield (host, val.lower(), True, "")
+        elif key in ("allow", "disallow"):
+            rules_started = True
+            # an empty Disallow means "allow everything" (classic
+            # robots.txt idiom) — representable as Allow "/"? No:
+            # RFC drops empty-path rules; emit nothing, no match =
+            # allowed anyway. Non-empty paths must start with / or *.
+            if val and (val.startswith("/") or val.startswith("*")):
+                for a in agents:
+                    yield (host, a, key == "allow", val)
+        # other keys (sitemap, crawl-delay) don't affect matching
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Robots-file table (one row per host, text body) -> rule table
+    (host, agent, allow, path). One map-only Arrow pass."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if host is None:
+                    continue
+                out.extend(_parse_one(host.lower(), body))
+            yield pd.DataFrame(
+                out, columns=["host", "agent", "allow", "path"]
+            )
+
+    return robots.mapInPandas(fn, RULES_DDL)
+
+
+def _group_rules(rules: DataFrame, crawler: str) -> DataFrame:
+    """Pick, per host, the ONE group that governs `crawler` (RFC
+    §2.2.1: longest agent token that prefix-matches the crawler name,
+    else `*`) and pack its rules as an array sorted by path length
+    desc (the verdict UDF then takes the first match = longest match).
+    ONE groupBy on host — the winning group is selected INSIDE the
+    agg (max specificity + filter over the packed array), so the rule
+    table is shuffled once and never self-joined. Per-host array size
+    is bounded by parse_robots' RFC parse limit."""
+    c = crawler.lower()
+    matched = rules.filter(
+        (F.lit(c).startswith(F.col("agent"))) | (F.col("agent") == "*")
+    ).withColumn(
+        "_specificity",
+        F.when(F.col("agent") == "*", F.lit(0)).otherwise(
+            F.length("agent")
+        ),
+    )
+    packed = matched.groupBy("host").agg(
+        F.max("_specificity").alias("_best"),
+        F.collect_list(
+            F.struct(
+                F.col("_specificity").alias("spec"),
+                F.length("path").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("path").alias("path"),
+            )
+        ).alias("_all"),
+    )
+    winner = F.filter(F.col("_all"), lambda r: r["spec"] == F.col("_best"))
+    return packed.select(
+        "host",
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    winner,
+                    lambda r: F.struct(
+                        r["plen"].alias("plen"),
+                        r["allow"].alias("allow"),
+                        r["path"].alias("path"),
+                    ),
+                )
+            )
+        ).alias("_rules"),
+    )
+
+
+def _rule_regex(path: str) -> re.Pattern:
+    """RFC §2.2.3: `*` matches any char run, `$` anchors the end;
+    everything else is literal prefix match."""
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    pat = "".join(".*" if ch == "*" else re.escape(ch) for ch in path)
+    return re.compile(pat + ("$" if anchored else ""))
+
+
+def robots_verdicts(
+    pages: DataFrame,
+    rules: DataFrame,
+    crawler: str = "sparkbot",
+    url_col: str = "url",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """pages + parsed rule table -> pages + boolean out_col. The
+    per-host governed rule group broadcast-joins on host; matching is
+    one Arrow pass (longest path wins; Allow wins equal-length ties;
+    no match or no robots.txt = allowed)."""
+    grouped = _group_rules(rules, crawler)
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    path = F.when(path == "", "/").otherwise(path)
+    joined = pages.withColumn("_host", host).withColumn(
+        "_path", path
+    ).join(F.broadcast(grouped), F.col("_host") == grouped["host"], "left")
+
+    @F.pandas_udf(BooleanType())
+    def _allowed(paths: pd.Series, rule_arrs: pd.Series) -> pd.Series:
+        cache: dict[str, re.Pattern] = {}
+        out = []
+        for p, arr in zip(paths, rule_arrs):
+            if arr is None or len(arr) == 0 or p is None:
+                out.append(True)
+                continue
+            verdict = True  # no match = allowed
+            best = -1
+            for r in arr:  # sorted longest-first; scan for ties
+                plen, allow, rpath = r["plen"], r["allow"], r["path"]
+                if plen < best:
+                    break
+                rx = cache.get(rpath)
+                if rx is None:
+                    rx = cache[rpath] = _rule_regex(rpath)
+                if rx.match(p):
+                    if plen > best:
+                        best, verdict = plen, allow
+                    elif allow:  # equal length: Allow wins
+                        verdict = True
+            out.append(bool(verdict))
+        return pd.Series(out)
+
+    return (
+        joined.withColumn(out_col, _allowed(F.col("_path"), F.col("_rules")))
+        .drop("_host", "_path", "_rules", grouped["host"])
+    )
+
+
+def screen_robots(
+    pages: DataFrame,
+    robots: DataFrame,
+    crawler: str = "sparkbot",
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """End-to-end screen: keep only pages the hosts' robots.txt allows
+    for `crawler`. Apply BEFORE extraction (the screen_noindex
+    discipline) so disallowed content enters no derived table."""
+    rules = parse_robots(robots, host_col=host_col, body_col=body_col)
+    verdicts = robots_verdicts(
+        pages, rules, crawler=crawler, url_col=url_col
+    )
+    return verdicts.filter(F.col("robots_allowed")).drop("robots_allowed")

@@ -10,6 +10,9 @@ Stages, each writing its own parquet table under <output>/:
 
     extract    pages -> main-content docs (route+extract+dedup latest
                per url; engine/pipeline.build_extracted)
+    linefix    (opt-in, --fix-lines) line-wise corrections -> counters/
+               nav stubs/caps menus removed BEFORE near-dup
+               (engine/ops/linefix; RefinedWeb §3.1.3)
     neardup    MinHash+LSH pairs -> connected components -> canonical
                docs only (engine/ops/{dedup,graph})
     linedup    corpus-wide repeated-line removal rewrite
@@ -21,6 +24,9 @@ Stages, each writing its own parquet table under <output>/:
                composes jobs/curate.run, so the audit layout
                (curate/kept, curate/rejected) and reason stats are
                identical to the standalone job
+    dsir       (opt-in, --dsir-target) DSIR importance resampling
+               toward a trusted target set -> <output>/dsir_selected
+               (engine/ops/dsir; Xie et al. 2023)
     sample     deterministic hash sample -> <output>/final
     rebalance  (opt-in, --max-host-share) cap any host's token share
                -> <output>/balanced (engine/ops/mix, exact hard cap)
@@ -158,13 +164,41 @@ def run(args) -> dict:
         do_extract,
         params={"respect_noindex": True} if args.respect_noindex else None,
     )
+    neardup_input = "extracted"
+
+    # -- optional: line-wise corrections (RefinedWeb §3.1.3) -----------
+    # BEFORE near-dup, so boilerplate lines neither pollute minhash
+    # signatures nor survive into any downstream table
+    if args.fix_lines:
+
+        def do_linefix(path: str) -> int:
+            from engine.ops.linefix import fix_lines
+
+            docs = spark.read.parquet(os.path.join(out, "extracted"))
+            fixed = fix_lines(docs, max_removed_frac=args.max_removed_frac)
+            (
+                fixed.filter(F.col("line_keep"))
+                .withColumn("text", F.col("text_fixed"))
+                .drop("text_fixed", "line_keep")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            return spark.read.parquet(path).count()
+
+        stage(
+            "linefix",
+            "linefixed",
+            do_linefix,
+            params={"max_removed_frac": args.max_removed_frac},
+        )
+        neardup_input = "linefixed"
 
     # -- near-dup dedup to canonical docs ------------------------------
     def do_neardup(path: str) -> int:
         from engine.ops.dedup import minhash_candidate_pairs
         from engine.ops.graph import dedup_clusters
 
-        docs = spark.read.parquet(os.path.join(out, "extracted"))
+        docs = spark.read.parquet(os.path.join(out, neardup_input))
         nonempty = docs.filter(
             F.length(F.coalesce(F.col("text"), F.lit(""))) > 0
         )
@@ -243,11 +277,48 @@ def run(args) -> dict:
             {"rows": int(kept_rows), "wall_s": round(time.monotonic() - t0, 2)},
         )
 
+    sample_input = os.path.join("curate", "kept")
+
+    # -- optional: DSIR importance resampling (Xie et al. 2023) ---------
+    # distribution-MATCHING selection toward a trusted target set,
+    # after the rule/LM screens (select from already-clean docs)
+    if args.dsir_target:
+
+        def do_dsir(path: str) -> int:
+            from engine.ops.dsir import (
+                dsir_select_fraction,
+                fit_dsir,
+            )
+            from engine.ops.sample import hash_sample
+
+            kept = spark.read.parquet(os.path.join(out, sample_input))
+            target = spark.read.parquet(args.dsir_target)
+            # the fit needs distribution-level counts, not every row:
+            # cap the raw side at a deterministic sample
+            raw = hash_sample(kept, args.dsir_fit_fraction, id_col="url")
+            model = fit_dsir(target, raw, text_col="text")
+            sel = dsir_select_fraction(
+                kept, model, args.dsir_fraction, id_col="url"
+            )
+            sel.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage(
+            "dsir",
+            "dsir_selected",
+            do_dsir,
+            params={
+                "target": args.dsir_target,
+                "fraction": args.dsir_fraction,
+            },
+        )
+        sample_input = "dsir_selected"
+
     # -- deterministic sample -> final ----------------------------------
     def do_sample(path: str) -> int:
         from engine.ops.sample import hash_sample
 
-        kept = spark.read.parquet(os.path.join(out, "curate", "kept"))
+        kept = spark.read.parquet(os.path.join(out, sample_input))
         hash_sample(kept, args.sample_fraction, id_col="url").write.mode(
             "overwrite"
         ).parquet(path)
@@ -421,6 +492,35 @@ def _parser() -> argparse.ArgumentParser:
         "before extraction (engine/pipeline.screen_noindex)",
     )
     p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument(
+        "--fix-lines",
+        action="store_true",
+        help="line-wise corrections before near-dup (RefinedWeb "
+        "§3.1.3: counters / nav stubs / caps menus / lone-word lines "
+        "removed; docs losing more than --max-removed-frac of their "
+        "words dropped)",
+    )
+    p.add_argument("--max-removed-frac", type=float, default=0.05)
+    p.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet of trusted target docs: select from the curated "
+        "pool by DSIR importance resampling toward this distribution "
+        "(engine/ops/dsir, Xie et al. 2023)",
+    )
+    p.add_argument(
+        "--dsir-fraction",
+        type=float,
+        default=0.5,
+        help="fraction of the curated pool DSIR keeps",
+    )
+    p.add_argument(
+        "--dsir-fit-fraction",
+        type=float,
+        default=1.0,
+        help="deterministic sample of the pool used to fit the raw "
+        "feature distribution (fit needs counts, not every row)",
+    )
     p.add_argument(
         "--check-lang",
         action="store_true",

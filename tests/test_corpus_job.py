@@ -315,3 +315,90 @@ def test_respect_noindex_screens_before_extract(spark, tmp_path):
     run(_args(p, out2, min_tokens=2, respect_noindex=True, resume=True))
     got3 = {r["url"] for r in spark.read.parquet(f"{out2}/extracted").collect()}
     assert "http://h0.example/optout" not in got3
+
+
+def test_fix_lines_stage_cleans_boilerplate_lines(spark, tmp_path):
+    """--fix-lines: line-wise corrections run between extract and
+    near-dup; counter/nav lines vanish from every downstream table."""
+    import datetime
+
+    from jobs.corpus import run
+
+    # the counter/nav/menu lines ride as HEADINGS followed by content
+    # (the one block shape the extractor keeps short boilerplate in —
+    # a standalone short <p> is stripped by extraction itself);
+    # boilerplate that SURVIVES extraction is exactly linefix's target
+    words = "Sufficiently long body text for the extractor to keep. " * 8
+    doc = (
+        "<html><head><title>t</title></head><body>"
+        "<h2>HOME NEWS SPORT WEATHER</h2><p>" + words + "</p>"
+        "<h3>3 likes</h3><h3>Sign in</h3>"
+        "<p>" + words.replace("keep", "hold") + "</p>"
+        "</body></html>"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            (f"http://h{i}.example/a", ts, doc.encode(), None, "en")
+            for i in range(8)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(p)
+
+    out = str(tmp_path / "corpus")
+    # boilerplate is ~5.3% of the doc's words: above the default 5%
+    # doc-drop threshold, so loosen it — the cleaning is what's under
+    # test here (the threshold itself is pinned in tests/test_linefix)
+    res = run(
+        _args(p, out, min_tokens=2, fix_lines=True, max_removed_frac=0.1)
+    )
+    assert "linefix" in res["stages"]
+    extracted = spark.read.parquet(f"{out}/extracted").collect()
+    assert any("3 likes" in (r["text"] or "") for r in extracted)
+    fixed = spark.read.parquet(f"{out}/linefixed").collect()
+    assert fixed, "every doc dropped — threshold regression"
+    assert all("3 likes" not in r["text"] for r in fixed)
+    assert all("Sign in" not in r["text"] for r in fixed)
+    assert all("HOME NEWS" not in r["text"] for r in fixed)
+    assert all("extractor to keep" in r["text"] for r in fixed)
+    final = spark.read.parquet(f"{out}/final").collect()
+    assert final and all("3 likes" not in r["text"] for r in final)
+
+
+def test_dsir_stage_selects_toward_target(spark, tmp_path, pages_path):
+    """--dsir-target: the selection stage runs after curation, keeps
+    ~the requested fraction, and re-runs under --resume when the
+    fraction changes (params are part of the stage commit)."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus")
+    base = run(_args(pages_path, out, min_tokens=5))
+    kept = spark.read.parquet(f"{out}/curate/kept")
+    # target = a slice of the pool itself (distribution sanity only)
+    tpath = str(tmp_path / "target")
+    kept.limit(10).write.parquet(tpath)
+
+    out2 = str(tmp_path / "corpus_dsir")
+    res = run(
+        _args(
+            pages_path, out2, min_tokens=5,
+            dsir_target=tpath, dsir_fraction=0.5,
+        )
+    )
+    n_pool = res["stages"]["curate"]["rows"]
+    n_sel = res["stages"]["dsir"]["rows"]
+    assert 0 < n_sel <= n_pool
+    assert abs(n_sel - 0.5 * n_pool) <= max(2, 0.1 * n_pool)
+    assert res["stages"]["sample"]["rows"] == n_sel  # final reads dsir
+
+    # changed fraction + --resume: dsir and downstream re-run
+    res2 = run(
+        _args(
+            pages_path, out2, min_tokens=5, resume=True,
+            dsir_target=tpath, dsir_fraction=0.25,
+        )
+    )
+    n_sel2 = res2["stages"]["dsir"]["rows"]
+    assert n_sel2 < n_sel

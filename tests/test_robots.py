@@ -1,0 +1,129 @@
+"""robots.txt politeness screen (engine/ops/robots.py): RFC 9309
+parse/group-selection/longest-match semantics pinned, end-to-end
+screen, broadcast-only plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.ops.robots import (
+    parse_robots,
+    robots_verdicts,
+    screen_robots,
+)
+
+BODY = """
+# comments are stripped
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow: /*.pdf$
+
+User-agent: sparkbot
+Disallow: /beta/
+"""
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, body string")
+
+
+def _pages(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def _verdicts(spark, body, urls, crawler="sparkbot"):
+    rules = parse_robots(_robots(spark, [("h.example", body)]))
+    got = robots_verdicts(_pages(spark, urls), rules, crawler=crawler)
+    return {r["url"]: r["robots_allowed"] for r in got.collect()}
+
+
+def test_group_selection_specific_beats_star(spark):
+    v = _verdicts(
+        spark,
+        BODY,
+        [
+            "http://h.example/beta/x",     # sparkbot group disallows
+            "http://h.example/private/a",  # * group rule DOES NOT apply
+            "http://h.example/ok.html",
+        ],
+    )
+    assert v["http://h.example/beta/x"] is False
+    # only the sparkbot group governs sparkbot: /private/ is allowed
+    assert v["http://h.example/private/a"] is True
+    assert v["http://h.example/ok.html"] is True
+
+
+def test_star_group_longest_match_and_wildcards(spark):
+    v = _verdicts(
+        spark,
+        BODY,
+        [
+            "http://h.example/private/a",
+            "http://h.example/private/press/x",  # longer Allow wins
+            "http://h.example/docs/file.pdf",    # *.pdf$ wildcard
+            "http://h.example/docs/file.pdf.html",  # $ anchors: allowed
+            "http://h.example/",
+        ],
+        crawler="otherbot",
+    )
+    assert v["http://h.example/private/a"] is False
+    assert v["http://h.example/private/press/x"] is True
+    assert v["http://h.example/docs/file.pdf"] is False
+    assert v["http://h.example/docs/file.pdf.html"] is True
+    assert v["http://h.example/"] is True
+
+
+def test_empty_specific_group_allows_everything(spark):
+    body = "User-agent: sparkbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    v = _verdicts(spark, body, ["http://h.example/anything"])
+    assert v["http://h.example/anything"] is True  # empty group wins
+    v2 = _verdicts(
+        spark, body, ["http://h.example/anything"], crawler="otherbot"
+    )
+    assert v2["http://h.example/anything"] is False
+
+
+def test_no_robots_host_and_malformed_lines_allowed(spark):
+    rules = parse_robots(
+        _robots(spark, [("h.example", "garbage line\nDisallow /nope")])
+    )
+    assert rules.count() == 0  # tolerant parse: nothing usable
+    got = robots_verdicts(
+        _pages(spark, ["http://h.example/x", "http://other.example/y"]),
+        rules,
+    )
+    assert all(r["robots_allowed"] for r in got.collect())
+
+
+def test_crawler_prefix_match_and_case(spark):
+    body = "User-Agent: Spark\nDisallow: /x/\n"
+    v = _verdicts(spark, body, ["http://h.example/x/1"], crawler="sparkbot")
+    assert v["http://h.example/x/1"] is False  # 'sparkbot' matches 'spark'
+    v2 = _verdicts(spark, body, ["http://h.example/x/1"], crawler="flink")
+    assert v2["http://h.example/x/1"] is True  # no group governs flink
+
+
+def test_screen_end_to_end_and_plan(spark):
+    robots = _robots(
+        spark, [("a.example", "User-agent: *\nDisallow: /no/\n")]
+    )
+    pages = _pages(
+        spark,
+        [
+            "http://a.example/no/1",
+            "http://a.example/yes",
+            "http://b.example/no/2",  # no robots.txt for b.example
+        ],
+    )
+    kept = screen_robots(pages, robots)
+    assert {r["url"] for r in kept.collect()} == {
+        "http://a.example/yes",
+        "http://b.example/no/2",
+    }
+    # the corpus side must broadcast-join the rules: no SortMergeJoin
+    from tests.test_plans import plan
+
+    p = plan(robots_verdicts(pages, parse_robots(robots)))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
