@@ -256,6 +256,33 @@ def main() -> None:
 
     timed("curate_pipeline", run_curate)
 
+    # DSIR selection: fit hashed-ngram log-ratios (two model-sized
+    # aggs) + map-only closure scoring + Gumbel threshold (new r3)
+    def run_dsir():
+        from engine.ops.dsir import dsir_select_fraction, fit_dsir
+        from engine.ops.sample import hash_sample
+
+        docs = bench_docs
+        target = hash_sample(docs, 0.05, id_col="doc_id", salt="bench")
+        model = fit_dsir(target, docs, text_col="text")
+        dsir_select_fraction(docs, model, 0.5, id_col="doc_id").agg(
+            F.count(F.lit(1)), F.sum("dsir_logw")
+        ).collect()
+
+    timed("dsir_pipeline", run_dsir)
+
+    # line-wise corrections: one map-only pure-codegen pass (new r3)
+    def run_linefix():
+        from engine.ops.linefix import fix_lines
+
+        fix_lines(bench_docs).agg(
+            F.count(F.lit(1)),
+            F.sum("n_lines_removed"),
+            F.sum(F.col("line_keep").cast("long")),
+        ).collect()
+
+    timed("linefix_pipeline", run_linefix)
+
     # corpus-trained LM: train (counting) + score (broadcast joins)
     # over the documents table in one timed pass
     def run_lm():

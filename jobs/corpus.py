@@ -13,6 +13,11 @@ Stages, each writing its own parquet table under <output>/:
     linefix    (opt-in, --fix-lines) line-wise corrections -> counters/
                nav stubs/caps menus removed BEFORE near-dup
                (engine/ops/linefix; RefinedWeb §3.1.3)
+    langsplit  (opt-in, --monolingual LANG) paragraph-language screen:
+               LANG-majority docs only, minority-language paragraphs
+               dropped (engine/ops/langsplit; CCNet §4.3). Extract-time
+               screens: --robots (RFC 9309), --respect-noindex,
+               --license-filter (ccREL permissive slice)
     neardup    MinHash+LSH pairs -> connected components -> canonical
                docs only (engine/ops/{dedup,graph})
     linedup    corpus-wide repeated-line removal rewrite
@@ -149,21 +154,40 @@ def run(args) -> dict:
         from engine.pipeline import build_extracted
 
         pages = spark.read.parquet(args.pages)
+        if args.robots:
+            # per-HOST opt-out first (RFC 9309): disallowed urls never
+            # enter any derived table; rules broadcast, pages map-only
+            from engine.ops.robots import screen_robots
+
+            robots = spark.read.parquet(args.robots)
+            pages = screen_robots(pages, robots, crawler=args.crawler)
         if args.respect_noindex:
             # pages whose meta-robots opts out of indexing never
             # enter any derived table (map-only, head-bounded parse)
             from engine.pipeline import screen_noindex
 
             pages = screen_noindex(pages)
+        if args.license_filter:
+            # openly-licensed slice: keep only pages declaring a
+            # permissive CC license (map-only codegen regex; strict =
+            # explicit rel="license" declarations only)
+            from engine.ops.license import license_filter
+
+            pages = license_filter(
+                pages, require_rel=args.license_filter == "strict"
+            ).drop("license_code", "license_version", "license_rel")
         build_extracted(pages).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
 
-    stage(
-        "extract",
-        "extracted",
-        do_extract,
-        params={"respect_noindex": True} if args.respect_noindex else None,
-    )
+    extract_params = {}
+    if args.respect_noindex:
+        extract_params["respect_noindex"] = True
+    if args.robots:
+        extract_params["robots"] = args.robots
+        extract_params["crawler"] = args.crawler
+    if args.license_filter:
+        extract_params["license_filter"] = args.license_filter
+    stage("extract", "extracted", do_extract, params=extract_params or None)
     neardup_input = "extracted"
 
     # -- optional: line-wise corrections (RefinedWeb §3.1.3) -----------
@@ -192,6 +216,29 @@ def run(args) -> dict:
             params={"max_removed_frac": args.max_removed_frac},
         )
         neardup_input = "linefixed"
+
+    # -- optional: monolingual slice (CCNet paragraph language ID) -----
+    if args.monolingual:
+
+        def do_langsplit(path: str) -> int:
+            from engine.ops.langsplit import filter_language
+
+            docs = spark.read.parquet(os.path.join(out, neardup_input))
+            filter_language(
+                docs, args.monolingual, min_frac=args.lang_min_frac
+            ).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage(
+            "langsplit",
+            "monolingual",
+            do_langsplit,
+            params={
+                "lang": args.monolingual,
+                "min_frac": args.lang_min_frac,
+            },
+        )
+        neardup_input = "monolingual"
 
     # -- near-dup dedup to canonical docs ------------------------------
     def do_neardup(path: str) -> int:
@@ -486,6 +533,22 @@ def _parser() -> argparse.ArgumentParser:
         help="skip stages already committed in corpus_manifest.json",
     )
     p.add_argument(
+        "--robots",
+        default=None,
+        help="parquet of robots.txt bodies (host string, body string): "
+        "screen pages by RFC 9309 Allow/Disallow for --crawler before "
+        "extraction (engine/ops/robots)",
+    )
+    p.add_argument("--crawler", default="sparkbot")
+    p.add_argument(
+        "--license-filter",
+        choices=("strict", "loose"),
+        default=None,
+        help="keep only pages declaring a permissive CC license "
+        "(engine/ops/license): strict = rel='license' declarations "
+        "only; loose = any CC url marker",
+    )
+    p.add_argument(
         "--respect-noindex",
         action="store_true",
         help="drop pages whose <meta name=robots> carries noindex/none "
@@ -501,6 +564,14 @@ def _parser() -> argparse.ArgumentParser:
         "words dropped)",
     )
     p.add_argument("--max-removed-frac", type=float, default=0.05)
+    p.add_argument(
+        "--monolingual",
+        default=None,
+        metavar="LANG",
+        help="keep only LANG-majority docs, rewritten to LANG-majority "
+        "paragraphs (engine/ops/langsplit; CCNet §4.3)",
+    )
+    p.add_argument("--lang-min-frac", type=float, default=0.5)
     p.add_argument(
         "--dsir-target",
         default=None,

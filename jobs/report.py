@@ -198,6 +198,51 @@ def run(args) -> dict:
             ],
         }
 
+    if args.top_ngrams:
+        # WIMBD-style (Elazar et al. 2024 "What's In My Big Data"):
+        # the corpus's most-duplicated n-grams — the list a curation
+        # pass reads to spot boilerplate that survived every screen.
+        # One explode -> count agg (map-side combinable, so the
+        # shuffle carries one partial row per distinct gram per task,
+        # not one row per occurrence) -> top-k; tokens from the SAME
+        # pinned tokenizer, gram text kept readable (not hashed) —
+        # this is a human-audit surface
+        from engine.ops.lm import lm_tokens
+
+        n = args.ngram_n
+        # token array MATERIALIZED before the positional lambda reads
+        # it via slice — handing the raw split expression in would
+        # re-tokenize the doc once per position (the O(tokens^2)
+        # blowup engine/ops/dsir.py:hashed_feature_col documents)
+        toks = F.col("_toks")
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i, F.lit(n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top_g = (
+            docs.select(
+                F.filter(
+                    lm_tokens(F.col(args.text_col)),
+                    lambda t: t != F.lit(""),
+                ).alias("_toks")
+            )
+            .select(F.explode(grams).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("g"))  # deterministic ties
+            .limit(args.top_ngrams)
+            .collect()
+        )
+        report["top_ngrams"] = {
+            "n": n,
+            "top": [{"gram": r["g"], "count": int(r["c"])} for r in top_g],
+        }
+
     report["wall_s"] = round(time.monotonic() - t0, 2)
     if args.output:
         with open(args.output, "w") as f:
@@ -215,6 +260,14 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-col", default="lang")
     p.add_argument("--host-col", default="host")
     p.add_argument("--top-hosts", type=int, default=20)
+    p.add_argument(
+        "--top-ngrams",
+        type=int,
+        default=0,
+        help="list the K most-duplicated n-grams on the card (WIMBD-"
+        "style boilerplate audit; 0 = off)",
+    )
+    p.add_argument("--ngram-n", type=int, default=10)
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p

@@ -402,3 +402,114 @@ def test_dsir_stage_selects_toward_target(spark, tmp_path, pages_path):
     )
     n_sel2 = res2["stages"]["dsir"]["rows"]
     assert n_sel2 < n_sel
+
+
+def test_robots_screen_gates_extraction(spark, tmp_path):
+    """--robots: URLs a host's robots.txt disallows for the crawler
+    never reach the extracted table; other hosts are untouched."""
+    import datetime
+
+    from jobs.corpus import run
+
+    doc = (
+        "<html><head><title>t</title></head><body><p>"
+        + "Sufficiently long body text for the extractor to keep. " * 8
+        + "</p></body></html>"
+    ).encode()
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/private/1", ts, doc, None, "en"),
+            ("http://a.example/public/1", ts, doc, None, "en"),
+            ("http://b.example/private/1", ts, doc, None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(p)
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    )
+    rp = str(tmp_path / "robots")
+    robots.write.mode("overwrite").parquet(rp)
+
+    out = str(tmp_path / "corpus")
+    run(_args(p, out, min_tokens=2, robots=rp))
+    got = {r["url"] for r in spark.read.parquet(f"{out}/extracted").collect()}
+    assert got == {"http://a.example/public/1", "http://b.example/private/1"}
+
+
+def test_license_filter_gates_extraction(spark, tmp_path):
+    """--license-filter strict: only pages with a rel=license CC
+    permissive declaration reach the extracted table."""
+    import datetime
+
+    from jobs.corpus import run
+
+    body = "<p>" + "Plenty of page content for extraction here. " * 8 + "</p>"
+    lic = (
+        '<a rel="license" '
+        'href="https://creativecommons.org/licenses/by/4.0/">CC</a>'
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/open", ts,
+             f"<html><body>{body}{lic}</body></html>".encode(), None, "en"),
+            ("http://a.example/closed", ts,
+             f"<html><body>{body}</body></html>".encode(), None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(p)
+
+    out = str(tmp_path / "corpus")
+    run(_args(p, out, min_tokens=2, license_filter="strict"))
+    got = {r["url"] for r in spark.read.parquet(f"{out}/extracted").collect()}
+    assert got == {"http://a.example/open"}
+
+
+def test_monolingual_stage_screens_and_rewrites(spark, tmp_path):
+    """--monolingual en: es-majority docs drop out before near-dup;
+    en-majority docs lose their embedded es paragraphs."""
+    import datetime
+
+    from jobs.corpus import run
+
+    en = (
+        "the committee said that it will review all of the proposals "
+        "and they were sure that this can be done when the time is right"
+    )
+    es = (
+        "el comité dijo que se van a revisar todas las propuestas "
+        "porque es muy importante para el futuro de la ciudad"
+    )
+    mk = lambda paras: (
+        "<html><head><title>t</title></head><body>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</body></html>"
+    ).encode()
+    ts = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/en", ts, mk([en, en]), None, "en"),
+            ("http://a.example/mixed", ts, mk([en, es, en]), None, "en"),
+            ("http://a.example/es", ts, mk([es, es]), None, "es"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(p)
+
+    out = str(tmp_path / "corpus")
+    res = run(_args(p, out, min_tokens=2, monolingual="en"))
+    assert "langsplit" in res["stages"]
+    mono = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(f"{out}/monolingual").collect()
+    }
+    assert set(mono) == {"http://a.example/en", "http://a.example/mixed"}
+    assert "comité" not in mono["http://a.example/mixed"]
+    assert "committee" in mono["http://a.example/mixed"]

@@ -84,3 +84,31 @@ def test_report_minimal_schema(spark, tmp_path):
     assert "lang_mix" not in rep and "hosts" not in rep
     # nothing written without --output
     assert set(os.listdir(tmp_path)) == before
+
+
+def test_top_ngrams_audit(spark, tmp_path):
+    """--top-ngrams: the most-duplicated n-grams land on the card with
+    exact counts and deterministic tie order; off by default."""
+    from jobs.report import run
+
+    rows = (
+        [(i, "the same boiler plate line", ) for i in range(5)]
+        + [(10 + i, "another repeated phrase here",) for i in range(3)]
+        + [(20, "entirely unique content words",)]
+    )
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+
+    rep = run(
+        _args(p, master="local[4]", shuffle_partitions=4,
+              top_ngrams=2, ngram_n=4)
+    )
+    got = rep["top_ngrams"]
+    assert got["n"] == 4
+    # 5-gram docs yield two 4-grams each (5 occurrences apiece);
+    # deterministic tie-break is lexicographic on the gram
+    assert got["top"][0] == {"gram": "same boiler plate line", "count": 5}
+    assert got["top"][1] == {"gram": "the same boiler plate", "count": 5}
+
+    rep2 = run(_args(p, master="local[4]", shuffle_partitions=4))
+    assert "top_ngrams" not in rep2
