@@ -257,7 +257,10 @@ def run(args) -> dict:
         canonical.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
 
-    stage("neardup", "canonical", do_neardup)
+    # input table is a semantics-affecting param: toggling --fix-lines /
+    # --monolingual on a resumed run changes what neardup reads, so the
+    # committed stage must not be trusted across that change
+    stage("neardup", "canonical", do_neardup, params={"input": neardup_input})
 
     # -- corpus-wide line dedup rewrite --------------------------------
     def do_linedup(path: str) -> int:
@@ -282,7 +285,10 @@ def run(args) -> dict:
             ).parquet(path)
             return spark.read.parquet(path).count()
 
-        stage("substrdedup", "substr_cleaned", do_substr)
+        stage(
+            "substrdedup", "substr_cleaned", do_substr,
+            params={"w": args.substr_w},
+        )
         curate_input = "substr_cleaned"
 
     # -- curation (+ optional LM screen): the standalone job, composed -
@@ -308,20 +314,41 @@ def run(args) -> dict:
         )
         return res["kept"]
 
-    # the curate job writes <table>/kept/_SUCCESS, not <table>/_SUCCESS
+    # curate must honor the same resume discipline as stage(): skip only
+    # when upstream is clean AND its semantics-affecting params match.
+    # (It can't go through stage() verbatim because the curate job
+    # writes <table>/kept/_SUCCESS, not <table>/_SUCCESS.)
+    curate_params = {
+        "input": curate_input,
+        "min_tokens": args.min_tokens,
+        "check_lang": bool(args.check_lang),
+        "url_filter": bool(args.url_filter or args.url_blocklist),
+        "url_blocklist": args.url_blocklist,
+        "lm_filter": bool(args.lm_filter),
+        "lm_pct": args.lm_pct,
+    }
+
     def curate_done() -> bool:
-        return "curate" in manifest["stages"] and os.path.exists(
-            os.path.join(out, "curate", "kept", "_SUCCESS")
+        entry = manifest["stages"].get("curate")
+        return (
+            entry is not None
+            and (entry.get("params") or {}) == curate_params
+            and os.path.exists(os.path.join(out, "curate", "kept", "_SUCCESS"))
         )
 
-    if not (args.resume and curate_done()):
+    if not (args.resume and not dirty and curate_done()):
+        dirty = True
         t0 = time.monotonic()
         kept_rows = do_curate(os.path.join(out, "curate"))
         _commit_stage(
             out,
             manifest,
             "curate",
-            {"rows": int(kept_rows), "wall_s": round(time.monotonic() - t0, 2)},
+            {
+                "rows": int(kept_rows),
+                "wall_s": round(time.monotonic() - t0, 2),
+                "params": curate_params,
+            },
         )
 
     sample_input = os.path.join("curate", "kept")
@@ -371,7 +398,12 @@ def run(args) -> dict:
         ).parquet(path)
         return spark.read.parquet(path).count()
 
-    stage("sample", "final", do_sample)
+    stage(
+        "sample",
+        "final",
+        do_sample,
+        params={"input": sample_input, "fraction": args.sample_fraction},
+    )
     docs_table = "final"
 
     # -- optional: domain rebalance (host token-share cap) --------------
@@ -404,7 +436,12 @@ def run(args) -> dict:
             )
             return spark.read.parquet(path).count()
 
-        stage("rebalance", "balanced", do_rebalance)
+        stage(
+            "rebalance",
+            "balanced",
+            do_rebalance,
+            params={"max_host_share": args.max_host_share},
+        )
         docs_table = "balanced"
 
     # -- optional: host-keyed train/val/test split ----------------------
@@ -425,7 +462,7 @@ def run(args) -> dict:
             ).write.mode("overwrite").partitionBy("split").parquet(path)
             return spark.read.parquet(path).count()
 
-        stage("split", "splits", do_split)
+        stage("split", "splits", do_split, params={"splits": args.splits})
         docs_table = "splits"
 
     # -- optional: sentence-aware chunking + sequence packing -----------
@@ -482,7 +519,17 @@ def run(args) -> dict:
             manifest["packing"] = {k: (float(v) if v is not None else None) for k, v in stats.items()}
             return asg.count()
 
-        stage("pack", "examples", do_pack)
+        stage(
+            "pack",
+            "examples",
+            do_pack,
+            params={
+                "input": docs_table,
+                "budget": args.pack_budget,
+                "shards": args.pack_shards,
+                "bpe_merges": getattr(args, "bpe_merges", 0),
+            },
+        )
 
     # -- optional: JSONL training export --------------------------------
     if args.export_shard_mb:
@@ -513,7 +560,16 @@ def run(args) -> dict:
             manifest["export"] = info
             return info["rows"]
 
-        stage("export", "export", do_export)
+        stage(
+            "export",
+            "export",
+            do_export,
+            params={
+                "packed": bool(args.pack_budget),
+                "input": "examples" if args.pack_budget else docs_table,
+                "shard_mb": args.export_shard_mb,
+            },
+        )
 
     result = {"output": out, "stages": manifest["stages"]}
     for k in ("packing", "bpe", "export"):

@@ -513,3 +513,54 @@ def test_monolingual_stage_screens_and_rewrites(spark, tmp_path):
     assert set(mono) == {"http://a.example/en", "http://a.example/mixed"}
     assert "comité" not in mono["http://a.example/mixed"]
     assert "committee" in mono["http://a.example/mixed"]
+
+
+def test_resume_gates_on_downstream_stage_params(spark, tmp_path, pages_path):
+    """Changing a TAIL stage's semantics flag on --resume must redo
+    that stage (and only from it): --sample-fraction and the curate
+    screen params are part of the manifest commit, and the curate
+    stage honors the dirty cascade like every stage() stage."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus_gate")
+    run(_args(pages_path, out, min_tokens=5, sample_fraction=1.0))
+    before = _stage_mtimes(out)
+    n_all = spark.read.parquet(f"{out}/final").count()
+
+    # changed sample fraction: upstream untouched, sample redone
+    res2 = run(
+        _args(pages_path, out, min_tokens=5, sample_fraction=0.4, resume=True)
+    )
+    after = _stage_mtimes(out)
+    for t in ("extracted", "canonical", "cleaned", "curate/kept"):
+        assert after[t] == before[t], t
+    assert after["final"] > before["final"]
+    assert res2["stages"]["sample"]["rows"] < n_all
+
+    # changed curate screen (min_tokens): curate AND sample redone
+    before = after
+    run(_args(pages_path, out, min_tokens=6, sample_fraction=0.4, resume=True))
+    after = _stage_mtimes(out)
+    for t in ("extracted", "canonical", "cleaned"):
+        assert after[t] == before[t], t
+    for t in ("curate/kept", "final"):
+        assert after[t] > before[t], t
+
+
+def test_resume_gates_on_stage_input_table(spark, tmp_path, pages_path):
+    """Toggling --fix-lines on a resumed run changes what neardup
+    READS (linefixed vs extracted); the input table is recorded in the
+    stage params so neardup and everything downstream redo."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus_input_gate")
+    run(_args(pages_path, out, min_tokens=5, fix_lines=True))
+    before = _stage_mtimes(out)
+
+    # drop --fix-lines: extract params unchanged (skips), but neardup's
+    # input flips back to extracted -> neardup and downstream rebuild
+    run(_args(pages_path, out, min_tokens=5, resume=True))
+    after = _stage_mtimes(out)
+    assert after["extracted"] == before["extracted"]
+    for t in ("canonical", "cleaned", "curate/kept", "final"):
+        assert after[t] > before[t], t
