@@ -334,3 +334,98 @@ def build_pipeline(pages: DataFrame, num_partitions: int | None = None) -> dict:
     chunks = build_chunks(extracted)
     vectors = build_vectors(chunks)
     return {"extracted": extracted, "chunks": chunks, "vectors": vectors}
+
+
+def changed_docs(
+    prior_extracted: DataFrame,
+    incoming_extracted: DataFrame,
+    id_col: str = "url",
+    hash_col: str = "content_sha256",
+    bucket_col: str = "pbucket",
+) -> DataFrame:
+    """Re-crawl delta: the incoming extracted rows whose content is NEW
+    — a url never seen before, or seen with different content_sha256.
+    Unchanged re-crawls are dropped, so downstream chunk/embed/put cost
+    scales with the CHANGE RATE, not the crawl size: a 1% -changed
+    re-crawl of a 10^12-doc corpus re-embeds ~1% of its documents.
+
+    Scale shape (the upsert_latest pruning discipline):
+      * prior is partition-pruned to incoming's host buckets when both
+        sides carry bucket_col (a url's bucket is a pure function of
+        the url, so every prior capture lives in incoming's buckets);
+      * within those buckets a semi-join on url keeps only prior rows
+        that CAN match — the resulting key set is incoming-sized, so
+        AQE broadcasts it and the anti-join never shuffles incoming.
+    Prior hash history is honored per url: a re-crawl matching ANY
+    prior capture's hash counts as unchanged (content reverted to an
+    older version is not new work for the vector store)."""
+    prior_b = prior_extracted
+    if bucket_col in prior_extracted.columns and (
+        bucket_col in incoming_extracted.columns
+    ):
+        buckets = [
+            r[bucket_col]
+            for r in incoming_extracted.select(bucket_col).distinct().collect()
+        ]
+        prior_b = prior_extracted.filter(F.col(bucket_col).isin(buckets))
+    in_urls = incoming_extracted.select(id_col).distinct()
+    prior_keys = (
+        prior_b.join(in_urls, id_col, "left_semi")
+        .select(id_col, hash_col)
+        .distinct()
+    )
+    return incoming_extracted.join(prior_keys, [id_col, hash_col], "left_anti")
+
+
+def upsert_replace_by_key(
+    spark,
+    table_path: str,
+    incoming: DataFrame,
+    key_col: str = "url",
+    bucket_col: str = "pbucket",
+    replace_keys: DataFrame | None = None,
+) -> dict:
+    """Replace-by-key upsert for the derived chunk/vector tables: every
+    prior row whose key is in the replace set is replaced by incoming's
+    rows for that key (a re-embedded doc's OLD chunk set must not
+    survive — chunk counts can shrink); all other rows keep. The
+    partition-pruned companion to upsert_latest for tables where a key
+    owns MANY rows: only the replace set's host-bucket partitions are
+    read or rewritten, so maintenance cost scales with the delta.
+
+    `replace_keys` (a one-column frame of key_col values, with
+    bucket_col alongside when available) defaults to incoming's keys —
+    but the DELTA flow must pass the full changed-doc key set
+    explicitly: a changed doc that now yields ZERO chunks has no
+    incoming rows, and inferring the replace set from incoming would
+    leave its stale chunks live. A partition emptied by the replace is
+    deleted through the table seam. Idempotent: re-running the same
+    upsert converges to the same table."""
+    prior = spark.read.parquet(table_path)
+    if replace_keys is None:
+        replace_keys = incoming.select(key_col, bucket_col)
+    rk = replace_keys.localCheckpoint(eager=True)
+    in_keys = rk.select(key_col).distinct()
+    bucket_src = rk if bucket_col in rk.columns else incoming
+    buckets = sorted(
+        {r[bucket_col] for r in bucket_src.select(bucket_col).distinct().collect()}
+        | {r[bucket_col] for r in incoming.select(bucket_col).distinct().collect()}
+    )
+    if not buckets:
+        return {"affected_partitions": 0, "emptied_partitions": 0}
+    prior_b = prior.filter(F.col(bucket_col).isin(buckets))
+    kept = prior_b.join(in_keys, key_col, "left_anti")
+    out = kept.select(*incoming.columns).unionByName(incoming)
+    # materialize before overwriting the partitions `kept` reads from
+    out = out.localCheckpoint(eager=True)
+    from engine.io.tables import delete_partition, overwrite_partitions
+
+    overwrite_partitions(out, table_path, [bucket_col])
+    written = {r[bucket_col] for r in out.select(bucket_col).distinct().collect()}
+    emptied = set(buckets) - written
+    for pb in emptied:
+        delete_partition(table_path, {bucket_col: pb})
+    return {
+        "affected_partitions": len(buckets),
+        "emptied_partitions": len(emptied),
+    }

@@ -482,6 +482,7 @@ def start_vector_stream(
     checkpoint_dir: str,
     index: str = "vectors",
     available_now: bool = False,
+    delta_against: str | None = None,
 ):
     """Continuous crawl -> vector-index ingestion: the streaming twin
     of the batch extract -> chunk -> embed -> put_vectors pipeline
@@ -494,6 +495,14 @@ def start_vector_stream(
     (WAL replay after a crash) rewrites its own files byte-identically
     — idempotent puts, the streaming analogue of the batch job's
     dynamic-overwrite resume.
+
+    `delta_against` (a prior extracted table path) is the streaming
+    twin of `jobs/ingest.py --delta-against`: each micro-batch is
+    screened through engine.pipeline.changed_docs, so only docs whose
+    (url, content_sha256) is NEW vs the prior corpus are chunked and
+    embedded — a continuous re-crawl feed costs the change rate, not
+    the feed rate. The micro-batch gets a pbucket column so the prior
+    side is partition-pruned to the batch's host buckets per batch.
     """
     from engine.io.vector_sink import sink_vectors
     from engine.pipeline import build_chunks, build_vectors
@@ -501,6 +510,14 @@ def start_vector_stream(
     ex = extracted_stream(read_pages_stream(spark, input_dir))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if delta_against:
+            from engine.partitioning import host_bucket_col
+            from engine.pipeline import changed_docs
+
+            prior = spark.read.parquet(delta_against)
+            batch_df = changed_docs(
+                prior, batch_df.withColumn("pbucket", host_bucket_col("url"))
+            ).drop("pbucket")
         vectors = build_vectors(build_chunks(batch_df))
         # forcing the receipts performs the puts executor-side
         sink_vectors(

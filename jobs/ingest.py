@@ -187,20 +187,48 @@ def run(args) -> dict:
         extracted_rd = spark.read.parquet(ex_path).filter(
             F.col("pbucket").isin(batch_ints)
         )
-        chunks = build_chunks(extracted_rd).withColumn(
-            "pbucket", host_bucket_col("url", HOST_BUCKETS)
-        )
-        ch_path = os.path.join(args.output, "chunks")
-        write_table(chunks, ch_path, partition_by=["pbucket"])
+        chunk_src = extracted_rd
+        if args.delta_against:
+            # re-crawl delta: chunk/embed ONLY docs whose content is
+            # new vs the prior corpus — unchanged re-crawls keep their
+            # existing chunks/vectors (engine/pipeline.changed_docs),
+            # so embed cost scales with the change rate, not crawl size
+            from engine.pipeline import changed_docs
 
-        vectors = build_vectors(
-            spark.read.parquet(ch_path).filter(F.col("pbucket").isin(batch_ints))
-        ).withColumn("pbucket", host_bucket_col("url", HOST_BUCKETS))
-        write_table(
-            vectors,
-            os.path.join(args.output, "vectors"),
-            partition_by=["pbucket"],
-        )
+            prior_ex = spark.read.parquet(args.delta_against).withColumn(
+                "day", F.col("day").cast("string")
+            )
+            chunk_src = changed_docs(prior_ex, extracted_rd).localCheckpoint(
+                eager=True
+            )
+            n_changed = chunk_src.count()
+            totals["docs_changed"] = totals.get("docs_changed", 0) + n_changed
+            totals["docs_unchanged_skipped"] = totals.get(
+                "docs_unchanged_skipped", 0
+            ) + (int(metrics.get("rows") or 0) - n_changed)
+        else:
+            n_changed = None
+        if n_changed != 0:
+            # n_changed == 0 (an all-unchanged delta batch) writes
+            # nothing: an empty dynamic overwrite is a no-op, and
+            # reading the chunks table back before any batch created
+            # it would fail schema inference
+            chunks = build_chunks(chunk_src).withColumn(
+                "pbucket", host_bucket_col("url", HOST_BUCKETS)
+            )
+            ch_path = os.path.join(args.output, "chunks")
+            write_table(chunks, ch_path, partition_by=["pbucket"])
+
+            vectors = build_vectors(
+                spark.read.parquet(ch_path).filter(
+                    F.col("pbucket").isin(batch_ints)
+                )
+            ).withColumn("pbucket", host_bucket_col("url", HOST_BUCKETS))
+            write_table(
+                vectors,
+                os.path.join(args.output, "vectors"),
+                partition_by=["pbucket"],
+            )
 
         # lineage partitioned by the STABLE bucket key, not the batch
         # index: a resume (or rerun) with a different --commit-batches
@@ -283,6 +311,16 @@ def _parser() -> argparse.ArgumentParser:
         help="existing extracted table to upsert this run's rows into "
         "IN PLACE (latest capture per url wins; only affected "
         "partitions are read/rewritten)",
+    )
+    p.add_argument(
+        "--delta-against",
+        default=None,
+        help="prior extracted table: chunk+embed ONLY docs whose "
+        "(url, content_sha256) is new vs it — unchanged re-crawls "
+        "skip the embed stage entirely, so vector cost scales with "
+        "the change rate. This run's chunks/vectors tables then hold "
+        "exactly the delta (fold into a maintained corpus table with "
+        "engine.pipeline.upsert_replace_by_key)",
     )
     p.add_argument(
         "--canonical-urls",

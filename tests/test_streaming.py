@@ -678,3 +678,75 @@ def test_all_null_event_times_do_not_kill_state_fns(spark):
     pdf = pd.DataFrame({"host": ["h"], "n_chars": [10], "warc_ts": [pd.NaT]})
     rows = list(hfn(("h",), iter([pdf]), hst))[0]
     assert int(rows["n_docs"].iloc[0]) == 1  # no crash
+
+
+def test_vector_stream_delta_against_embeds_only_changed(spark, tmp_path):
+    """start_vector_stream(delta_against=...): a continuous re-crawl
+    feed screened against a prior extracted corpus embeds ONLY docs
+    whose (url, content_sha256) is new — unchanged re-crawls produce
+    no put_vectors entries (streaming twin of ingest --delta-against)."""
+    import datetime as dt
+    import json
+    import pathlib
+
+    from engine.partitioning import with_write_partitions
+    from engine.pipeline import build_extracted
+    from engine.streaming import start_vector_stream
+
+    def pages(rows):
+        def html(body):
+            para = (
+                b"<p>" + body + b". The quick brown fox jumps over the "
+                b"lazy dog while the river keeps flowing past the old "
+                b"stone bridge. Every page needs enough running text "
+                b"for the density heuristics to keep its content.</p>"
+            )
+            return b"<html><body><article>" + para + b"</article></body></html>"
+
+        return spark.createDataFrame(
+            [(u, ts, html(b), None, "en") for u, ts, b in rows],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    t1 = dt.datetime(2026, 5, 1, 12)
+    t2 = dt.datetime(2026, 6, 1, 12)
+    prior_rows = [
+        ("http://h%d.example.com/p" % i, t1, b"prior body %d" % i)
+        for i in range(4)
+    ]
+    prior_path = str(tmp_path / "prior")
+    with_write_partitions(build_extracted(pages(prior_rows))).write.partitionBy(
+        "day", "pbucket"
+    ).parquet(prior_path)
+
+    # feed: 3 unchanged, 1 changed, 1 new
+    feed = pages(
+        [(u, t2, b) for u, _ts, b in prior_rows[:3]]
+        + [
+            ("http://h3.example.com/p", t2, b"rewritten body"),
+            ("http://new.example.com/p", t2, b"brand new page"),
+        ]
+    )
+    input_dir = str(tmp_path / "in")
+    feed.coalesce(1).write.parquet(input_dir)
+
+    index_dir = str(tmp_path / "index")
+    q = start_vector_stream(
+        spark,
+        input_dir,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        delta_against=prior_path,
+    )
+    q.awaitTermination(300)
+
+    got_urls = set()
+    for p in pathlib.Path(index_dir).rglob("*.jsonl"):
+        for line in p.read_text().splitlines():
+            got_urls.add(json.loads(line)["key"].rsplit("#", 1)[0])
+    assert got_urls == {
+        "http://h3.example.com/p",
+        "http://new.example.com/p",
+    }
