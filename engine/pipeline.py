@@ -342,6 +342,7 @@ def changed_docs(
     id_col: str = "url",
     hash_col: str = "content_sha256",
     bucket_col: str = "pbucket",
+    buckets: list | None = None,
 ) -> DataFrame:
     """Re-crawl delta: the incoming extracted rows whose content is NEW
     — a url never seen before, or seen with different content_sha256.
@@ -358,23 +359,40 @@ def changed_docs(
         AQE broadcasts it and the anti-join never shuffles incoming.
     Prior hash history is honored per url: a re-crawl matching ANY
     prior capture's hash counts as unchanged (content reverted to an
-    older version is not new work for the vector store)."""
+    older version is not new work for the vector store). NULL hashes
+    (extraction-error docs: sha2(NULL) is NULL) compare null-safely —
+    a url that errored in both crawls is UNCHANGED, not re-flagged as
+    changed on every re-crawl forever.
+
+    `buckets`: pass incoming's bucket values when the caller already
+    knows them (the ingest job's batch keys ARE the buckets) to skip
+    the distinct().collect() derivation."""
     prior_b = prior_extracted
     if bucket_col in prior_extracted.columns and (
         bucket_col in incoming_extracted.columns
     ):
-        buckets = [
-            r[bucket_col]
-            for r in incoming_extracted.select(bucket_col).distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r[bucket_col]
+                for r in incoming_extracted.select(bucket_col)
+                .distinct()
+                .collect()
+            ]
         prior_b = prior_extracted.filter(F.col(bucket_col).isin(buckets))
+    # null-safe hash key: equi-joins never match NULL = NULL, so error
+    # docs (null text -> null sha) would otherwise always look changed
+    nullsafe = F.coalesce(F.col(hash_col), F.lit("\x00extraction-error"))
     in_urls = incoming_extracted.select(id_col).distinct()
     prior_keys = (
         prior_b.join(in_urls, id_col, "left_semi")
-        .select(id_col, hash_col)
+        .select(id_col, nullsafe.alias("_h"))
         .distinct()
     )
-    return incoming_extracted.join(prior_keys, [id_col, hash_col], "left_anti")
+    return (
+        incoming_extracted.withColumn("_h", nullsafe)
+        .join(prior_keys, [id_col, "_h"], "left_anti")
+        .drop("_h")
+    )
 
 
 def upsert_replace_by_key(
@@ -393,22 +411,32 @@ def upsert_replace_by_key(
     owns MANY rows: only the replace set's host-bucket partitions are
     read or rewritten, so maintenance cost scales with the delta.
 
-    `replace_keys` (a one-column frame of key_col values, with
-    bucket_col alongside when available) defaults to incoming's keys —
+    `replace_keys` (a (key_col, bucket_col) frame — the bucket is a
+    pure function of the key, so callers can always attach it, and
+    WITHOUT it the keys' prior partitions could not be pruned into the
+    rewrite, silently leaving stale rows) defaults to incoming's keys —
     but the DELTA flow must pass the full changed-doc key set
     explicitly: a changed doc that now yields ZERO chunks has no
     incoming rows, and inferring the replace set from incoming would
-    leave its stale chunks live. A partition emptied by the replace is
-    deleted through the table seam. Idempotent: re-running the same
-    upsert converges to the same table."""
+    leave its stale chunks live. Keys present in incoming but absent
+    from replace_keys are still replaced (the union below), keeping
+    the upsert idempotent unconditionally. A partition emptied by the
+    replace is deleted through the table seam."""
     prior = spark.read.parquet(table_path)
     if replace_keys is None:
         replace_keys = incoming.select(key_col, bucket_col)
+    elif bucket_col not in replace_keys.columns:
+        raise ValueError(
+            f"replace_keys must carry {bucket_col!r} alongside {key_col!r}: "
+            "without it the keys' prior partitions cannot be pruned into "
+            "the rewrite and stale rows would silently survive"
+        )
     rk = replace_keys.localCheckpoint(eager=True)
-    in_keys = rk.select(key_col).distinct()
-    bucket_src = rk if bucket_col in rk.columns else incoming
+    in_keys = (
+        rk.select(key_col).union(incoming.select(key_col)).distinct()
+    )
     buckets = sorted(
-        {r[bucket_col] for r in bucket_src.select(bucket_col).distinct().collect()}
+        {r[bucket_col] for r in rk.select(bucket_col).distinct().collect()}
         | {r[bucket_col] for r in incoming.select(bucket_col).distinct().collect()}
     )
     if not buckets:

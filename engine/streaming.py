@@ -483,6 +483,7 @@ def start_vector_stream(
     index: str = "vectors",
     available_now: bool = False,
     delta_against: str | None = None,
+    host_buckets: int = 64,
 ):
     """Continuous crawl -> vector-index ingestion: the streaming twin
     of the batch extract -> chunk -> embed -> put_vectors pipeline
@@ -502,7 +503,13 @@ def start_vector_stream(
     (url, content_sha256) is NEW vs the prior corpus are chunked and
     embedded — a continuous re-crawl feed costs the change rate, not
     the feed rate. The micro-batch gets a pbucket column so the prior
-    side is partition-pruned to the batch's host buckets per batch.
+    side is partition-pruned to the batch's host buckets per batch;
+    `host_buckets` MUST equal the bucket count the prior table was
+    written with (a mismatch prunes away the matching prior rows and
+    every re-crawl silently looks changed). The micro-batch is
+    materialized (localCheckpoint) before the screen: the delta plan
+    references the batch three times, and an unpersisted foreachBatch
+    frame re-runs the Arrow extraction UDF per reference.
     """
     from engine.io.vector_sink import sink_vectors
     from engine.pipeline import build_chunks, build_vectors
@@ -516,7 +523,10 @@ def start_vector_stream(
 
             prior = spark.read.parquet(delta_against)
             batch_df = changed_docs(
-                prior, batch_df.withColumn("pbucket", host_bucket_col("url"))
+                prior,
+                batch_df.withColumn(
+                    "pbucket", host_bucket_col("url", host_buckets)
+                ).localCheckpoint(eager=True),
             ).drop("pbucket")
         vectors = build_vectors(build_chunks(batch_df))
         # forcing the receipts performs the puts executor-side

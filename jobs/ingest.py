@@ -76,6 +76,17 @@ METRIC_KEYS = (
 )
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True if any parquet data file exists under path — a freshly
+    dynamic-overwritten table dir can exist with ZERO files when every
+    written row was filtered out upstream, and reading it back would
+    fail schema inference."""
+    for dirpath, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _batches(n_batches: int) -> list[list[str]]:
     """Split the static part_key domain (0..HOST_BUCKETS-1, stringly —
     see engine.partitioning.partition_key_col) into n_batches groups."""
@@ -195,12 +206,10 @@ def run(args) -> dict:
             # so embed cost scales with the change rate, not crawl size
             from engine.pipeline import changed_docs
 
-            prior_ex = spark.read.parquet(args.delta_against).withColumn(
-                "day", F.col("day").cast("string")
-            )
-            chunk_src = changed_docs(prior_ex, extracted_rd).localCheckpoint(
-                eager=True
-            )
+            prior_ex = spark.read.parquet(args.delta_against)
+            chunk_src = changed_docs(
+                prior_ex, extracted_rd, buckets=batch_ints
+            ).localCheckpoint(eager=True)
             n_changed = chunk_src.count()
             totals["docs_changed"] = totals.get("docs_changed", 0) + n_changed
             totals["docs_unchanged_skipped"] = totals.get(
@@ -219,16 +228,21 @@ def run(args) -> dict:
             ch_path = os.path.join(args.output, "chunks")
             write_table(chunks, ch_path, partition_by=["pbucket"])
 
-            vectors = build_vectors(
-                spark.read.parquet(ch_path).filter(
-                    F.col("pbucket").isin(batch_ints)
+            if _has_parquet_files(ch_path):
+                vectors = build_vectors(
+                    spark.read.parquet(ch_path).filter(
+                        F.col("pbucket").isin(batch_ints)
+                    )
+                ).withColumn("pbucket", host_bucket_col("url", HOST_BUCKETS))
+                write_table(
+                    vectors,
+                    os.path.join(args.output, "vectors"),
+                    partition_by=["pbucket"],
                 )
-            ).withColumn("pbucket", host_bucket_col("url", HOST_BUCKETS))
-            write_table(
-                vectors,
-                os.path.join(args.output, "vectors"),
-                partition_by=["pbucket"],
-            )
+            # else: every doc in this batch chunked to nothing
+            # (extraction errors / empty text only) — the chunks dir
+            # exists but holds no files, and reading it back for the
+            # embed stage would fail schema inference
 
         # lineage partitioned by the STABLE bucket key, not the batch
         # index: a resume (or rerun) with a different --commit-batches

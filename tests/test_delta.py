@@ -316,3 +316,113 @@ def test_delta_then_replace_upsert_equals_full_reingest(spark, tmp_path):
         .select("url", "chunk_ix", "chunk_text", "chunk_sha256")
     )
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_changed_docs_null_hash_is_null_safe(spark):
+    """An extraction-error doc (null content_sha256) that errored in
+    BOTH crawls is UNCHANGED — equi-join NULL semantics must not
+    re-flag the corpus's standing error population on every re-crawl."""
+    prior = _ex(spark, [("u_err", None, 1), ("u_ok", "h1", 2)])
+    incoming = _ex(
+        spark,
+        [
+            ("u_err", None, 1),   # errored again -> unchanged
+            ("u_ok", None, 2),    # was fine, now errors -> changed
+            ("u_new", None, 3),   # new url erroring -> changed
+        ],
+    )
+    got = sorted(r["url"] for r in changed_docs(prior, incoming).collect())
+    assert got == ["u_new", "u_ok"]
+
+
+def test_changed_docs_explicit_buckets(spark):
+    """Passing the caller-known bucket list must prune identically to
+    the derived one."""
+    prior = _ex(spark, [("u1", "h1", 1), ("u2", "h2", 2)])
+    incoming = _ex(spark, [("u1", "h9", 1)])
+    derived = {r["url"] for r in changed_docs(prior, incoming).collect()}
+    explicit = {
+        r["url"]
+        for r in changed_docs(prior, incoming, buckets=[1]).collect()
+    }
+    assert derived == explicit == {"u1"}
+
+
+def test_upsert_replace_requires_bucket_in_replace_keys(spark, tmp_path):
+    """A keys-only replace set cannot be pruned into the rewrite — the
+    op must refuse rather than silently leave stale rows."""
+    import pytest
+
+    from engine.io.tables import write_table
+
+    table = str(tmp_path / "chunks")
+    write_table(
+        _chunks(spark, [("u1", 0, "a", 1)]), table, partition_by=["pbucket"]
+    )
+    keys_only = spark.createDataFrame([("u1",)], "url string")
+    with pytest.raises(ValueError, match="pbucket"):
+        upsert_replace_by_key(
+            spark, table, _chunks(spark, []), replace_keys=keys_only
+        )
+
+
+def test_upsert_replace_covers_incoming_keys_outside_replace_set(
+    spark, tmp_path
+):
+    """A key with incoming rows but absent from replace_keys is still
+    replaced (old and new chunk sets must never coexist), keeping the
+    upsert idempotent unconditionally."""
+    from engine.io.tables import write_table
+
+    table = str(tmp_path / "chunks")
+    write_table(
+        _chunks(spark, [("u1", 0, "old", 1)]), table, partition_by=["pbucket"]
+    )
+    incoming = _chunks(spark, [("u1", 0, "new", 1)])
+    empty_keys = spark.createDataFrame([], "url string, pbucket int")
+    upsert_replace_by_key(spark, table, incoming, replace_keys=empty_keys)
+    once = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert [r[2] for r in once] == ["new"]
+    upsert_replace_by_key(spark, table, incoming, replace_keys=empty_keys)
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == once
+
+
+def test_ingest_delta_batch_of_chunkless_changed_docs_survives(
+    spark, tmp_path
+):
+    """A delta batch whose only changed docs chunk to NOTHING (content
+    replaced by boilerplate the extractor strips) must not crash the
+    vectors read-back — the chunks dir exists but holds zero files."""
+    import jobs.ingest as ingest
+
+    t1 = dt.datetime(2026, 3, 1, 12)
+    t2 = dt.datetime(2026, 4, 1, 12)
+    in1, in2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    _pages(
+        spark, [("http://h0.example.com/p", t1, b"original real body")]
+    ).write.parquet(in1)
+    # re-crawl: the page collapses to a stub the extractor strips to ""
+    spark.createDataFrame(
+        [
+            (
+                "http://h0.example.com/p",
+                t2,
+                b"<html><body><p>x</p></body></html>",
+                None,
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(in2)
+
+    out1 = str(tmp_path / "o1")
+    ingest.run(_ingest_args(out1, input=in1))
+    out2 = str(tmp_path / "o2")
+    res = ingest.run(
+        _ingest_args(
+            out2, input=in2, delta_against=os.path.join(out1, "extracted")
+        )
+    )
+    assert res["docs_changed"] == 1
+    assert res["batches_committed"] == 1
+    assert not os.path.exists(os.path.join(out2, "vectors"))
