@@ -66,12 +66,17 @@ def hashed_feature_col(
     bigram, hashed into [0, n_buckets). Pure JVM (transform / xxhash64
     / pmod); empty token array yields an empty array.
 
-    `toks` MUST be a MATERIALIZED token-array column (select/withColumn
-    `token_col(...)` first — the lm.py:_position_grams discipline):
-    the bigram lambda reads it via element_at, and handing it the raw
-    split expression instead makes Catalyst re-tokenize the whole doc
-    once per element — an O(tokens^2) interpreted-eval blowup that
-    turns minutes into hours on real pages."""
+    Structurally O(tokens) even when Catalyst INLINES a raw tokenize
+    expression for `toks` (optimizer rewrites — e.g. a filter on a
+    downstream UDF column pushed through the materializing projection —
+    can substitute the expression per reference): the bigram pairs come
+    from zip_with over two slices, which evaluate `toks` a constant
+    number of times per row. The previous element_at-per-index
+    formulation re-evaluated the whole tokenize per bigram ELEMENT
+    under such inlining — an O(tokens^2) interpreted-eval blowup
+    measured at 25x on dsir_select_fraction's filter. Still prefer a
+    materialized token-array column (the lm.py:_position_grams
+    discipline) to pay tokenization exactly once."""
     uni = F.transform(
         toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)).cast("int")
     )
@@ -79,12 +84,12 @@ def hashed_feature_col(
     # string — "a b","c" and "a","b c" cannot collide by construction
     bi = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.greatest(F.size(toks), F.lit(2))),
-            lambda p: F.pmod(
-                F.xxhash64(F.element_at(toks, p - 1), F.element_at(toks, p)),
-                F.lit(n_buckets),
-            ).cast("int"),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.pmod(F.xxhash64(a, b), F.lit(n_buckets)).cast(
+                "int"
+            ),
         ),
     ).otherwise(F.array().cast("array<int>"))
     return F.concat(uni, bi)
