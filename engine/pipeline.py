@@ -144,10 +144,21 @@ def build_extracted(
 
 
 def build_chunks(extracted: DataFrame) -> DataFrame:
-    """extracted -> chunks via mapInPandas fan-out (A7)."""
-    src = extracted.filter(
-        (F.col("error").isNull()) & (F.length("text") > 0)
-    ).select("url", "text", "sent_spans")
+    """extracted -> chunks via mapInPandas fan-out (A7).
+
+    Error/empty docs are screened by NULLing text inside the
+    projection (the chunker yields no rows for null/empty text), NOT
+    with a Filter: a filter on UDF-derived columns gets split into its
+    own ArrowEvalPython when `extracted` is an unmaterialized
+    build_extracted plan (streaming foreachBatch, chained queries),
+    re-running the whole extraction UDF once for the predicate and
+    once for the output — measured as 2 ArrowEvalPython nodes. The
+    projection keeps the plan to exactly one extraction pass."""
+    src = extracted.select(
+        "url",
+        F.when(F.col("error").isNull(), F.col("text")).alias("text"),
+        "sent_spans",
+    )
     chunks = src.mapInPandas(chunk_map_in_pandas, CHUNKS_DDL)
     return chunks.withColumn("chunk_sha256", F.sha2(F.col("chunk_text"), 256))
 

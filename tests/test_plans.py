@@ -282,3 +282,18 @@ def test_pack_sequences_single_exchange(spark):
     assert len(exchanges) == 1, p
     assert "hashpartitioning(shard" in exchanges[0], p
     assert "chunk_text" not in exchanges[0], p
+
+
+def test_chunk_over_unmaterialized_extract_single_arrow(spark, pages_path):
+    """build_chunks over a NOT-yet-materialized build_extracted plan
+    (streaming foreachBatch / chained queries) must run the extraction
+    UDF exactly once: the error/empty screen is a null-out projection,
+    not a Filter — a filter on UDF-derived columns splits into a
+    second ArrowEvalPython that re-extracts every document."""
+    from engine.pipeline import build_chunks, build_extracted
+
+    pages = spark.read.parquet(pages_path)
+    p = plan(build_chunks(build_extracted(pages, dedup=False)))
+    # formatted mode lists every node twice (tree + detail section)
+    assert p.count("ArrowEvalPython") == 2, p
+    assert "Filter" not in p, p
