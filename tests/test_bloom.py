@@ -1,0 +1,114 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops.bloom import (
+    bloom_probe,
+    build_bloom,
+    build_bloom_for,
+    plan_bloom,
+    screen_new_keys,
+)
+
+
+def test_plan_bloom_textbook_sizes():
+    m, k = plan_bloom(1000, 0.01)
+    assert 9000 <= m <= 10100  # ~9.6 bits/key at 1% fpp
+    assert k == 7
+    with pytest.raises(ValueError):
+        plan_bloom(0, 0.01)
+    with pytest.raises(ValueError):
+        plan_bloom(10, 1.5)
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "url string")
+
+
+def test_no_false_negatives_and_bounded_fpp(spark):
+    members = [f"https://h{i % 37}.example/{i}" for i in range(600)]
+    others = [f"https://new{i % 41}.example/x{i}" for i in range(3000)]
+    m, k = plan_bloom(len(members), 0.01)
+    bloom = build_bloom(
+        _keys_df(spark, members), "url", m, k, n_buckets=16
+    ).localCheckpoint(eager=True)
+
+    probe_in = bloom_probe(
+        _keys_df(spark, members), bloom, "url", k, n_buckets=16
+    )
+    assert probe_in.filter(~F.col("maybe_seen")).count() == 0  # structural
+
+    probe_out = bloom_probe(
+        _keys_df(spark, others), bloom, "url", k, n_buckets=16
+    )
+    fp = probe_out.filter(F.col("maybe_seen")).count()
+    assert fp / len(others) < 0.05  # target 1%, generous 5x slack
+
+
+def test_build_is_partition_invariant(spark):
+    members = [f"u{i}" for i in range(400)]
+    df = _keys_df(spark, members)
+    m, k = plan_bloom(len(members), 0.02)
+    b1 = build_bloom(df.repartition(1), "url", m, k, n_buckets=8)
+    b16 = build_bloom(df.repartition(16), "url", m, k, n_buckets=8)
+    rows1 = {r["bucket"]: bytes(r["bitmap"]) for r in b1.collect()}
+    rows16 = {r["bucket"]: bytes(r["bitmap"]) for r in b16.collect()}
+    assert rows1 == rows16
+
+
+def test_null_keys_never_seen(spark):
+    df = spark.createDataFrame([("a",), (None,)], "url string")
+    bloom, k = build_bloom_for(spark, _keys_df(spark, ["a", "b"]), "url")
+    out = {
+        r["url"]: r["maybe_seen"]
+        for r in bloom_probe(df, bloom.localCheckpoint(eager=True), "url", k).collect()
+    }
+    assert out["a"] is True
+    assert out[None] is False
+
+
+def test_screen_new_keys_is_exact(spark):
+    history = _keys_df(spark, [f"old{i}" for i in range(300)])
+    incoming = _keys_df(
+        spark,
+        [f"old{i}" for i in range(0, 300, 3)]  # 100 re-crawls
+        + [f"new{i}" for i in range(150)],
+    )
+    bloom, k = build_bloom_for(spark, history, "url", fpp=0.05)
+    bloom = bloom.localCheckpoint(eager=True)
+    got = screen_new_keys(incoming, history, "url", bloom, k)
+    urls = sorted(r["url"] for r in got.collect())
+    assert urls == sorted(f"new{i}" for i in range(150))
+
+
+def test_probe_reports_absent_bucket_as_unseen(spark):
+    # filter built over keys that all land in a few buckets; probing a
+    # key whose bucket row is absent must read as definitely-new
+    members = ["only-one-key"]
+    m, k = plan_bloom(64, 0.01)
+    bloom = build_bloom(
+        _keys_df(spark, members), "url", m, k, n_buckets=64
+    ).localCheckpoint(eager=True)
+    assert bloom.count() == 1
+    probe = bloom_probe(
+        _keys_df(spark, [f"q{i}" for i in range(64)]), bloom, "url", k
+    )
+    # at most the handful that share the single occupied bucket AND
+    # collide on all k bits can be maybe_seen; the rest hit absent rows
+    assert probe.filter(F.col("maybe_seen")).count() <= 2
+
+
+def test_probe_broadcasts_filter_and_never_shuffles_docs(spark):
+    """The scale contract: under broadcast_bytes the filter side rides
+    a BroadcastHashJoin and the probe side has NO Exchange — probing
+    is map-only over the docs."""
+    from tests.test_plans import plan
+
+    members = [f"u{i}" for i in range(200)]
+    bloom, k = build_bloom_for(spark, _keys_df(spark, members), "url")
+    bloom = bloom.localCheckpoint(eager=True)
+    q = bloom_probe(_keys_df(spark, ["u1", "q2"]), bloom, "url", k)
+    p = plan(q)
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
