@@ -52,6 +52,10 @@ from pyspark.sql.types import BooleanType
 
 BLOOM_DDL = "bucket int, bitmap binary, n_keys long"
 
+# build-side applyInPandas materializes one bucket's (k+1) int64 columns;
+# 4M keys x 8 cols x 8B ~= 256MB per task worst-case — executor-sized.
+_MAX_KEYS_PER_BUCKET = 4_000_000
+
 
 def plan_bloom(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """Optimal (m_bits_total, k_hashes) for n keys at target fpp."""
@@ -93,7 +97,12 @@ def build_bloom(
     (rounded up to bytes). Distinct keys only (re-inserting a key is
     a no-op in a Bloom filter, so dropDuplicates first keeps the
     keys-only shuffle minimal). Empty buckets are absent — the probe
-    treats a missing bucket as all-zeros (nothing inserted)."""
+    treats a missing bucket as all-zeros (nothing inserted).
+
+    Group-memory bound: applyInPandas materializes one bucket's rows
+    (n_keys/n_buckets x (k+1) int64s) in a single task — size
+    n_buckets so that stays executor-sized (build_bloom_for does this
+    automatically: <= ~4M keys per bucket)."""
     if m_bits < n_buckets * 8:
         raise ValueError("m_bits must give every bucket >= 1 byte")
     if k < 1:
@@ -125,6 +134,48 @@ def build_bloom(
         )
 
     return keyed.groupBy("bucket").applyInPandas(_fold, BLOOM_DDL)
+
+
+def _probe_batch(bucket: pd.Series, bitmap: pd.Series, positions) -> tuple:
+    """One Arrow batch of bit tests. Returns (hits bool[n], n_decoded).
+
+    The bitmap is decoded ONCE per (batch, bucket) — the cache key is
+    the bucket id, NOT the bytes object: after the join every row
+    materializes its own bytes copy, so identity/content hashing would
+    either never hit or cost O(bitmap) per row; within one bloom table
+    the bucket id functionally determines the bitmap. With the cache,
+    the stacked matrix is (distinct buckets x n_bytes), not
+    (rows x n_bytes) — the difference between MBs and tens of GB per
+    batch under a 512MB broadcast filter."""
+    n = len(bitmap)
+    bk = bucket.to_numpy(dtype="float64", na_value=np.nan)
+    cache: dict[int, int] = {}
+    mats: list[np.ndarray] = []
+    idx = np.full(n, -1, dtype=np.int64)
+    for row in range(n):
+        if np.isnan(bk[row]):
+            continue  # NULL key — never insertable
+        b = bitmap.iloc[row]
+        if b is None:
+            continue  # absent bucket row (nothing inserted there)
+        at = cache.get(int(bk[row]))
+        if at is None:
+            at = cache[int(bk[row])] = len(mats)
+            mats.append(np.frombuffer(b, dtype=np.uint8))
+        idx[row] = at
+    if not mats:
+        return np.zeros(n, dtype=bool), 0
+    mat = np.stack(mats)
+    valid = idx >= 0
+    hit = valid.copy()
+    safe_idx = np.where(valid, idx, 0)
+    for p in positions:
+        pv = p.to_numpy(dtype="float64", na_value=np.nan)
+        pos_ok = ~np.isnan(pv)
+        pos = np.where(pos_ok, pv, 0.0).astype(np.int64)
+        byte = mat[safe_idx, pos >> 3]
+        hit &= pos_ok & (((byte >> (pos & 7).astype(np.uint8)) & 1) == 1)
+    return hit, len(mats)
 
 
 def bloom_probe(
@@ -169,39 +220,15 @@ def bloom_probe(
     pos_cols = [f"_bp{i}" for i in range(k)]
 
     @F.pandas_udf(BooleanType())
-    def _test(bitmap: pd.Series, *positions: pd.Series) -> pd.Series:
-        n = len(bitmap)
-        # decode each distinct bucket's bitmap ONCE per batch, stack
-        # into a (u, n_bytes) matrix, then all k bit tests are pure
-        # numpy gathers — no per-row Python (input_hint discipline)
-        cache: dict[int, int] = {}
-        mats: list[np.ndarray] = []
-        idx = np.full(n, -1, dtype=np.int64)
-        for row, b in enumerate(bitmap):
-            if b is None:
-                continue  # absent bucket (nothing inserted) / NULL key
-            key_id = id(b)
-            at = cache.get(key_id)
-            if at is None:
-                at = cache[key_id] = len(mats)
-                mats.append(np.frombuffer(b, dtype=np.uint8))
-            idx[row] = at
-        if not mats:
-            return pd.Series(np.zeros(n, dtype=bool))
-        mat = np.stack(mats)
-        valid = idx >= 0
-        hit = valid.copy()
-        safe_idx = np.where(valid, idx, 0)
-        for p in positions:
-            pv = p.to_numpy(dtype="float64", na_value=np.nan)
-            pos_ok = ~np.isnan(pv)
-            pos = np.where(pos_ok, pv, 0.0).astype(np.int64)
-            byte = mat[safe_idx, pos >> 3]
-            hit &= pos_ok & (((byte >> (pos & 7).astype(np.uint8)) & 1) == 1)
-        return pd.Series(hit)
+    def _test(bucket: pd.Series, bitmap: pd.Series, *positions: pd.Series) -> pd.Series:
+        hits, _ = _probe_batch(bucket, bitmap, positions)
+        return pd.Series(hits)
 
     result = joined.withColumn(
-        out_col, _test(F.col("bitmap"), *[F.col(c) for c in pos_cols])
+        out_col,
+        _test(
+            F.col("_bloom_bucket"), F.col("bitmap"), *[F.col(c) for c in pos_cols]
+        ),
     )
     return result.drop("bitmap", "_bloom_bucket", *pos_cols)
 
@@ -241,8 +268,11 @@ def build_bloom_for(
 ) -> tuple[DataFrame, int]:
     """Convenience: size from a hint (or one count) and build.
     Returns (bloom_df, k) — persist the bloom table once per epoch and
-    reuse it across every incoming batch."""
+    reuse it across every incoming batch. n_buckets is a floor: it
+    grows so no bucket's build group exceeds ~4M keys (the
+    applyInPandas group-memory bound in build_bloom)."""
     n = n_keys_hint if n_keys_hint is not None else history.count()
+    n_buckets = max(n_buckets, -(-max(n, 1) // _MAX_KEYS_PER_BUCKET))
     m, k = plan_bloom(max(n, 1), fpp)
     m = max(m, n_buckets * 8)  # tiny histories: >= 1 byte per bucket
     return build_bloom(history, key_col, m, k, n_buckets=n_buckets), k

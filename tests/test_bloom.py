@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine.ops.bloom import (
+    _probe_batch,
     bloom_probe,
     build_bloom,
     build_bloom_for,
@@ -97,6 +98,28 @@ def test_probe_reports_absent_bucket_as_unseen(spark):
     # at most the handful that share the single occupied bucket AND
     # collide on all k bits can be maybe_seen; the rest hit absent rows
     assert probe.filter(F.col("maybe_seen")).count() <= 2
+
+
+def test_probe_batch_decodes_each_bucket_once():
+    """The batch kernel must stack ONE matrix row per DISTINCT bucket,
+    not per probe row — the join rematerializes a fresh bytes object
+    per row, so an identity-keyed cache silently degrades to
+    rows x n_bytes memory. Also pins NULL-key and absent-bucket rows."""
+    import pandas as pd
+
+    bm_a = bytes([0b0000_0011] + [0] * 7)  # bits 0,1 set
+    bm_b = bytes([0b0000_0100] + [0] * 7)  # bit 2 set
+    # 6 rows over 2 buckets, each row carrying its own bytes copy,
+    # plus a NULL-key row and an absent-bucket (bitmap None) row
+    bucket = pd.Series([0, 0, 1, 1, 0, 1, None, 2], dtype="Int32")
+    bitmap = pd.Series(
+        [bytes(bm_a), bytes(bm_a), bytes(bm_b), bytes(bm_b), bytes(bm_a), bytes(bm_b), None, None],
+        dtype=object,
+    )
+    pos = pd.Series([0, 2, 2, 0, 1, 2, None, 0], dtype="Int64")
+    hits, n_decoded = _probe_batch(bucket, bitmap, (pos,))
+    assert n_decoded == 2  # one decode per bucket, not per row
+    assert list(hits) == [True, False, True, False, True, True, False, False]
 
 
 def test_probe_broadcasts_filter_and_never_shuffles_docs(spark):
