@@ -16,12 +16,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 DEFAULT_N = 13
 
 
-def ngram_hash_col(text_col: str, n: int = DEFAULT_N) -> Column:
-    """array<long> of xxhash64 over the text's word n-grams
-    (lowercased, whitespace-tokenized). Texts shorter than n tokens
-    hash their full token run (so exact short-answer probes still
-    match)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def ngram_hash_col(toks: Column, n: int = DEFAULT_N) -> Column:
+    """array<long> of xxhash64 over the word n-grams of a token-array
+    column (lowercase whitespace tokens — `_tokens`). Texts shorter
+    than n tokens hash their full token run (so exact short-answer
+    probes still match).
+
+    `toks` MUST be a MATERIALIZED token-array column (select
+    `_tokens(...)` first — the lm.py/substrdedup.py discipline): the
+    window lambda references it per array element, and higher-order
+    functions re-evaluate non-attribute subtrees per element, so a raw
+    split expression here re-tokenizes the whole doc once per n-gram
+    position — O(tokens^2) on the CORPUS side of the screen
+    (plan-pinned in tests/test_decontaminate.py)."""
     k = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
     return F.transform(
@@ -38,7 +49,8 @@ def probe_hashes(
     """Benchmark texts -> distinct n-gram hash table (one `h` column).
     Materialize this once per eval suite and reuse across runs."""
     return (
-        probes.select(F.explode(ngram_hash_col(text_col, n)).alias("h"))
+        probes.select(_tokens(text_col).alias("_toks"))
+        .select(F.explode(ngram_hash_col(F.col("_toks"), n)).alias("h"))
         .distinct()
     )
 
@@ -94,7 +106,9 @@ def contamination_screen(
             n_eff = max(int(min_n), min(n, int(shortest)))
     ph = F.broadcast(probe_hashes(probes, probe_text_col, n_eff))
     grams = docs.select(
-        F.col(id_col), F.explode(ngram_hash_col(text_col, n_eff)).alias("h")
+        F.col(id_col), _tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col), F.explode(ngram_hash_col(F.col("_toks"), n_eff)).alias("h")
     )
     hits = grams.join(ph, "h").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hits")

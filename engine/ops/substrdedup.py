@@ -142,10 +142,22 @@ def dedup_substrings(
         raise ValueError(f"w must be >= 2, got {w}")
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
 
-    wins = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_window_structs(toks, w)).alias("_w"),
-    ).select("_id", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("h"))
+    # token array MATERIALIZED in its own projection before the window
+    # lambda reads it via slice (the lm.py:_position_grams / dsir.py
+    # discipline): handing _window_structs the raw split expression
+    # makes the transform lambda re-tokenize the WHOLE doc once per
+    # window position — an O(tokens^2) interpreted-eval blowup that
+    # turned a 2k-doc corpus stage into a multi-minute straggler.
+    # CollapseProject cannot inline the alias back: split is non-cheap
+    # and _window_structs references _toks three times (plan-pinned in
+    # tests/test_substrdedup.py::test_window_scan_tokenizes_once).
+    wins = (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select(
+            "_id", F.explode(_window_structs(F.col("_toks"), w)).alias("_w")
+        )
+        .select("_id", F.col("_w.pos").alias("_pos"), F.col("_w.h").alias("h"))
+    )
 
     verdicts = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("_cnt"),

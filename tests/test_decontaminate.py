@@ -68,8 +68,14 @@ def test_short_probe_matches_embedded(spark):
 
 
 def test_ngram_hash_counts(spark):
+    from engine.ops.decontaminate import _tokens
+
     df = spark.createDataFrame([(" ".join(["t"] * 20),)], "text string")
-    k = df.select(F.size(ngram_hash_col("text")).alias("n")).collect()[0]["n"]
+    k = (
+        df.select(_tokens("text").alias("_toks"))
+        .select(F.size(ngram_hash_col(F.col("_toks"))).alias("n"))
+        .collect()[0]["n"]
+    )
     assert k == 20 - 13 + 1
 
 
@@ -120,3 +126,26 @@ def test_degenerate_probe_does_not_collapse_n_eff(spark):
     # a unigram -> clean; docs 1 and 3 contain the 2-gram "tiny probe";
     # doc 4's entire run equals the 1-token probe -> caught
     assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_corpus_gram_scan_tokenizes_once(spark):
+    """The corpus-side n-gram lambda must read a MATERIALIZED token
+    array: if the optimizer inlines the raw split expression into the
+    transform, every n-gram position re-tokenizes the whole doc —
+    O(tokens^2) on the 100-TB side of the screen (the substrdedup/
+    dsir blowup shape)."""
+    import re
+
+    from engine.ops.decontaminate import contamination_screen
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e")], "doc_id string, text string"
+    )
+    probes = spark.createDataFrame([("a b c",)], "text string")
+    plan = (
+        contamination_screen(docs, probes, n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(r"transform\(sequence[^\n]*split\(", plan), plan

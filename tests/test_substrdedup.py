@@ -118,3 +118,21 @@ def test_validation(spark):
         dedup_substrings(df, keep="some")
     with pytest.raises(ValueError):
         dedup_substrings(df, w=1)
+
+
+def test_window_scan_tokenizes_once(spark):
+    """The window lambda must read a MATERIALIZED token array: if the
+    optimizer inlines the raw split expression into the transform, the
+    lambda re-tokenizes the whole doc once per window position —
+    O(tokens^2), a multi-minute straggler on ordinary page-sized docs
+    (the dsir.py/lm.py blowup shape)."""
+    import re
+
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    plan = (
+        dedup_substrings(df, w=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not re.search(r"transform\(sequence[^\n]*split\(", plan), plan
