@@ -309,6 +309,32 @@ def main() -> None:
 
     timed("linedup_pipeline", run_linedup)
 
+    # ExactSubstr rewrite: window hashes -> verdict join -> positions
+    # agg -> Arrow rewrite (r3; times the O(tokens) window-scan pin)
+    def run_substr():
+        from engine.ops.substrdedup import dedup_substrings
+
+        dedup_substrings(bench_docs, w=20).agg(
+            F.count(F.lit(1)), F.sum("n_tokens_removed")
+        ).collect()
+
+    timed("substrdedup_pipeline", run_substr)
+
+    # 13-gram benchmark decontamination: corpus side of the screen
+    # (probe grams broadcast; corpus never shuffles)
+    def run_decontaminate():
+        from engine.ops.decontaminate import contamination_screen
+        from engine.ops.sample import hash_sample
+
+        probes = hash_sample(
+            bench_docs, 0.02, id_col="doc_id", salt="decon"
+        ).select("text")
+        contamination_screen(bench_docs, probes).agg(
+            F.count(F.lit(1)), F.sum("n_hits")
+        ).collect()
+
+    timed("decontaminate_pipeline", run_decontaminate)
+
     # training-mix tail: domain token-share cap (exact mode) then
     # sequence packing of the docs-as-chunks into 512-token examples
     def run_mix_pack():
