@@ -19,6 +19,23 @@ Spark shape — executor-side, Arrow-batched, idempotent:
   * at 10^12 rows the unit of parallelism is the upstream partition:
     no shuffle is introduced here, batches bound request size, and
     the receipts aggregate is the only driver traffic.
+
+Index maintenance (re-crawl deltas): a changed document whose new
+content yields FEWER chunks than its prior capture leaves stale
+``url#chunk_ix`` keys live in the index unless they are deleted —
+``put_vectors`` alone can only overwrite keys that still exist in the
+new chunking. ``sink_vector_deletes`` issues ``delete_vectors`` calls
+through the same client seam (same mapInPandas/receipts shape, same
+idempotent (pid, seq) keying); ``engine.pipeline.stale_chunk_keys``
+computes the delete set, delta-sized by construction. Requests carry a
+caller-supplied ``gen`` (generation) so the dry-run log replays in run
+order: each successive delta run passes a higher gen, a resumed/re-run
+task of the SAME run reuses its gen and overwrites its own files
+byte-identically. Within one generation the put and delete key sets
+are disjoint (a key is either re-put by the new chunking or deleted as
+stale, never both), so intra-generation file order is immaterial.
+``load_live_keys`` replays the log and returns the live view — the
+test/report-side analogue of querying the real index.
 """
 
 from __future__ import annotations
@@ -36,16 +53,21 @@ DEFAULT_BATCH_SIZE = 500
 
 
 class DryRunVectorClient:
-    """put_vectors -> one JSONL file per request, deterministic bytes."""
+    """put_vectors / delete_vectors -> one JSONL file per request,
+    deterministic bytes. File names order by (gen, pid, seq) so
+    ``load_live_keys`` can replay the log in run order."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
 
-    def put_vectors(self, index: str, entries: list[dict]) -> None:
+    def _write(self, index: str, entries: list[dict], suffix: str) -> None:
         os.makedirs(os.path.join(self.index_dir, index), exist_ok=True)
-        pid, seq = entries[0]["_pid"], entries[0]["_seq"]
+        e0 = entries[0]
+        pid, seq, gen = e0["_pid"], e0["_seq"], e0.get("_gen", 0)
         path = os.path.join(
-            self.index_dir, index, f"part{pid:05d}_{seq:05d}.jsonl"
+            self.index_dir,
+            index,
+            f"g{gen:06d}_part{pid:05d}_{seq:05d}{suffix}",
         )
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -53,6 +75,13 @@ class DryRunVectorClient:
                 e = {k: v for k, v in e.items() if not k.startswith("_")}
                 f.write(json.dumps(e, sort_keys=True) + "\n")
         os.replace(tmp, path)  # atomic: rerun overwrites, never interleaves
+
+    def put_vectors(self, index: str, entries: list[dict]) -> None:
+        self._write(index, entries, ".jsonl")
+
+    def delete_vectors(self, index: str, entries: list[dict]) -> None:
+        """entries = [{"key": ...}, ...] (plus _pid/_seq/_gen bookkeeping)."""
+        self._write(index, entries, ".del.jsonl")
 
 
 def sink_vectors(
@@ -62,6 +91,7 @@ def sink_vectors(
     batch_size: int = DEFAULT_BATCH_SIZE,
     client_factory=None,
     meta_cols: list[str] | None = None,
+    gen: int = 0,
 ) -> DataFrame:
     """vectors(vec_id, url, chunk_ix, embedding, label) -> receipts.
 
@@ -74,6 +104,11 @@ def sink_vectors(
     entry's metadata dict (e.g. title/description from
     engine/kernels/docmeta) — nulls are omitted, values stringified
     per the put-API metadata shape.
+
+    ``gen``: generation stamp for the dry-run log (see module doc) —
+    pass a higher value for each successive delta run; a re-run of the
+    SAME run reuses its gen (idempotent overwrite). Ignored by real
+    clients, whose index is mutable in place.
     """
     factory = client_factory or (lambda: DryRunVectorClient(index_dir))
     meta_cols = list(meta_cols or [])
@@ -105,6 +140,7 @@ def sink_vectors(
                     {
                         "_pid": pid,
                         "_seq": seq,
+                        "_gen": gen,
                         "key": f"{row.url}#{row.chunk_ix}",
                         "data": {"float32": [float(x) for x in row.embedding]},
                         "metadata": meta,
@@ -122,3 +158,86 @@ def sink_vectors(
     return vectors.select(
         "url", "chunk_ix", "embedding", "label", *meta_cols
     ).mapInPandas(write_batches, RECEIPTS_DDL)
+
+
+def sink_vector_deletes(
+    keys: DataFrame,
+    index: str,
+    index_dir: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    client_factory=None,
+    gen: int = 0,
+) -> DataFrame:
+    """keys(key:string) -> receipts; issues ``delete_vectors`` calls.
+
+    The delete-side twin of ``sink_vectors``: same per-task client,
+    same (pid, seq) idempotent request keying, same receipts schema
+    (``n_vectors`` counts deleted keys). The input is the stale-key
+    frame from ``engine.pipeline.stale_chunk_keys`` — delta-sized, so
+    at 10^12 docs a 1% re-crawl issues deletes proportional to the
+    change rate, with no shuffle introduced here.
+    """
+    factory = client_factory or (lambda: DryRunVectorClient(index_dir))
+
+    def delete_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        client = factory()
+        seq = 0
+        n_del = 0
+        pending: list[dict] = []
+
+        def flush():
+            nonlocal seq, pending
+            if pending:
+                client.delete_vectors(index, pending)
+                pending = []
+                seq += 1
+
+        for pdf in batches:
+            for key in pdf["key"]:
+                pending.append(
+                    {"_pid": pid, "_seq": seq, "_gen": gen, "key": str(key)}
+                )
+                n_del += 1
+                if len(pending) >= batch_size:
+                    flush()
+        flush()
+        yield pd.DataFrame(
+            [(pid, seq, n_del)],
+            columns=["partition_id", "n_batches", "n_vectors"],
+        )
+
+    return keys.select("key").mapInPandas(delete_batches, RECEIPTS_DDL)
+
+
+def load_live_keys(index_dir: str, index: str) -> dict[str, dict]:
+    """Replay the dry-run log -> {live key: latest put entry}.
+
+    Files sort by (gen, pid, seq) via their names; generations replay
+    in order, and within a generation put/delete key sets are disjoint
+    by the delta contract (module doc), so within-gen order is
+    immaterial. Test/report-side helper — a real deployment queries
+    the index service instead. Driver-side and O(index) by design:
+    only use on bounded test/report indexes.
+    """
+    root = os.path.join(index_dir, index)
+    live: dict[str, dict] = {}
+    if not os.path.isdir(root):
+        return live
+    names = sorted(os.listdir(root))
+    # apply per generation: puts first or deletes first is equivalent
+    # (disjoint within gen) — plain sorted order interleaves them per
+    # (pid, seq), which is fine under the same contract
+    for name in names:
+        if name.endswith(".del.jsonl"):
+            with open(os.path.join(root, name), encoding="utf-8") as f:
+                for line in f:
+                    live.pop(json.loads(line)["key"], None)
+        elif name.endswith(".jsonl"):
+            with open(os.path.join(root, name), encoding="utf-8") as f:
+                for line in f:
+                    e = json.loads(line)
+                    live[e["key"]] = e
+    return live

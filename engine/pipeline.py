@@ -468,3 +468,50 @@ def upsert_replace_by_key(
         "affected_partitions": len(buckets),
         "emptied_partitions": len(emptied),
     }
+
+
+def stale_chunk_keys(
+    prior_chunks: DataFrame,
+    new_chunks: DataFrame,
+    changed_keys: DataFrame,
+    id_col: str = "url",
+    ix_col: str = "chunk_ix",
+    bucket_col: str = "pbucket",
+    buckets: list | None = None,
+) -> DataFrame:
+    """Vector-index delete set for a re-crawl delta: the (url, chunk_ix)
+    pairs live in the index from a changed doc's PRIOR chunking that
+    its NEW chunking no longer produces — put_vectors overwrites the
+    surviving ix values, but a doc that shrank (or now errors and
+    chunks to nothing) leaves a stale tail unless these keys are
+    deleted. Returns one column, `key` = "url#chunk_ix", matching
+    sink_vectors' put-key format exactly; feed to sink_vector_deletes.
+
+    Set difference on the ACTUAL ix values (not counts), so non-dense
+    ix gaps and zero-chunk rewrites are both handled. Scale shape:
+      * prior_chunks is partition-pruned to the changed docs' host
+        buckets when bucket_col is present (pass `buckets` if the
+        caller already knows them — the ingest job's batch keys);
+      * both sides are then semi-joined down to changed urls — the
+        delta-sized set, which AQE broadcasts — so the anti-join
+        shuffles only the changed docs' (url, ix) ids, never text or
+        vectors, and the output is delta-sized by construction.
+    Docs absent from the new crawl are NOT deleted: un-re-crawled is
+    not gone (deletion of dropped urls is a corpus-policy decision,
+    expressed by passing those urls as changed_keys with an empty
+    new_chunks side)."""
+    keys = changed_keys.select(id_col).distinct()
+    prior_b = prior_chunks
+    if bucket_col in prior_chunks.columns:
+        if buckets is None and bucket_col in changed_keys.columns:
+            buckets = [
+                r[bucket_col]
+                for r in changed_keys.select(bucket_col).distinct().collect()
+            ]
+        if buckets is not None:
+            prior_b = prior_chunks.filter(F.col(bucket_col).isin(list(buckets)))
+    old_ix = prior_b.join(keys, id_col, "left_semi").select(id_col, ix_col)
+    new_ix = new_chunks.join(keys, id_col, "left_semi").select(id_col, ix_col)
+    return old_ix.join(new_ix, [id_col, ix_col], "left_anti").select(
+        F.concat_ws("#", F.col(id_col), F.col(ix_col)).alias("key")
+    )

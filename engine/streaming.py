@@ -483,6 +483,7 @@ def start_vector_stream(
     index: str = "vectors",
     available_now: bool = False,
     delta_against: str | None = None,
+    prior_chunks: str | None = None,
     host_buckets: int = 64,
 ):
     """Continuous crawl -> vector-index ingestion: the streaming twin
@@ -491,11 +492,12 @@ def start_vector_stream(
 
     foreachBatch runs the SAME batch operators per micro-batch —
     build_chunks / build_vectors / sink_vectors don't know the plan is
-    streaming. Put requests are keyed (batch_id, partition, seq): the
-    sink writes under <index>/batch_id=N, so a redelivered micro-batch
-    (WAL replay after a crash) rewrites its own files byte-identically
-    — idempotent puts, the streaming analogue of the batch job's
-    dynamic-overwrite resume.
+    streaming. Put requests are keyed (batch_id, partition, seq) via
+    the sink's generation stamp (gen=batch_id), so a redelivered
+    micro-batch (WAL replay after a crash) rewrites its own files
+    byte-identically — idempotent puts, the streaming analogue of the
+    batch job's dynamic-overwrite resume — and the index log replays
+    in micro-batch order (load_live_keys).
 
     `delta_against` (a prior extracted table path) is the streaming
     twin of `jobs/ingest.py --delta-against`: each micro-batch is
@@ -510,29 +512,53 @@ def start_vector_stream(
     materialized (localCheckpoint) before the screen: the delta plan
     references the batch three times, and an unpersisted foreachBatch
     frame re-runs the Arrow extraction UDF per reference.
+
+    `prior_chunks` (with delta_against): the prior chunks table —
+    enables INDEX DELETE maintenance per micro-batch, the streaming
+    twin of `jobs/ingest.py --vector-index --prior-chunks`: a changed
+    doc whose new chunking shrank (or chunks to nothing) gets its
+    stale `url#chunk_ix` keys deleted through the same client seam
+    (engine.pipeline.stale_chunk_keys), delta-sized per batch.
     """
-    from engine.io.vector_sink import sink_vectors
+    from engine.io.vector_sink import sink_vector_deletes, sink_vectors
     from engine.pipeline import build_chunks, build_vectors
 
     ex = extracted_stream(read_pages_stream(spark, input_dir))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changed_keys = None
         if delta_against:
             from engine.partitioning import host_bucket_col
             from engine.pipeline import changed_docs
 
             prior = spark.read.parquet(delta_against)
-            batch_df = changed_docs(
+            changed = changed_docs(
                 prior,
                 batch_df.withColumn(
                     "pbucket", host_bucket_col("url", host_buckets)
                 ).localCheckpoint(eager=True),
-            ).drop("pbucket")
-        vectors = build_vectors(build_chunks(batch_df))
+            )
+            if prior_chunks is not None:
+                # referenced by the chunk build AND the stale screen
+                changed = changed.localCheckpoint(eager=True)
+                changed_keys = changed.select("url", "pbucket")
+            batch_df = changed.drop("pbucket")
+        chunks = build_chunks(batch_df)
+        if changed_keys is not None:
+            from engine.pipeline import stale_chunk_keys
+
+            chunks = chunks.localCheckpoint(eager=True)
+            stale = stale_chunk_keys(
+                spark.read.parquet(prior_chunks),
+                chunks.select("url", "chunk_ix"),
+                changed_keys,
+            )
+            sink_vector_deletes(
+                stale, index, index_dir, gen=batch_id
+            ).collect()
+        vectors = build_vectors(chunks)
         # forcing the receipts performs the puts executor-side
-        sink_vectors(
-            vectors, f"{index}/batch_id={batch_id}", index_dir
-        ).collect()
+        sink_vectors(vectors, index, index_dir, gen=batch_id).collect()
 
     w = (
         ex.writeStream.foreachBatch(write_batch)

@@ -258,6 +258,74 @@ def run(args) -> dict:
             partition_by=["run_id", "pbucket"],
         )
 
+        if args.vector_index:
+            # maintain the EXTERNAL vector index alongside the tables:
+            # put this batch's (delta) vectors, and in delta mode also
+            # delete the keys a changed doc's prior chunking produced
+            # that its new chunking no longer does (stale tail / now-
+            # empty docs). Idempotent per batch: a re-done batch
+            # re-puts/re-deletes the same (gen, pid, seq) requests.
+            from engine.io.vector_sink import (
+                sink_vector_deletes,
+                sink_vectors,
+            )
+
+            vec_path = os.path.join(args.output, "vectors")
+            if n_changed != 0 and _has_parquet_files(vec_path):
+                batch_vecs = spark.read.parquet(vec_path).filter(
+                    F.col("pbucket").isin(batch_ints)
+                )
+                n_put = (
+                    sink_vectors(
+                        batch_vecs,
+                        args.vector_index_name,
+                        args.vector_index,
+                        gen=args.vector_gen,
+                    )
+                    .agg(F.sum("n_vectors"))
+                    .collect()[0][0]
+                )
+                totals["vectors_put"] = totals.get("vectors_put", 0) + int(
+                    n_put or 0
+                )
+            if args.delta_against and n_changed:
+                from engine.pipeline import stale_chunk_keys
+
+                if not args.prior_chunks:
+                    raise SystemExit(
+                        "--vector-index with --delta-against needs "
+                        "--prior-chunks (the prior chunks table) to "
+                        "compute the stale-key delete set"
+                    )
+                ch_path = os.path.join(args.output, "chunks")
+                if _has_parquet_files(ch_path):
+                    new_ch = spark.read.parquet(ch_path).filter(
+                        F.col("pbucket").isin(batch_ints)
+                    )
+                else:  # every changed doc chunked to nothing
+                    new_ch = spark.createDataFrame(
+                        [], "url string, chunk_ix int"
+                    )
+                stale = stale_chunk_keys(
+                    spark.read.parquet(args.prior_chunks),
+                    new_ch,
+                    chunk_src.select("url"),
+                    buckets=batch_ints,
+                )
+                n_del = (
+                    sink_vector_deletes(
+                        stale,
+                        args.vector_index_name,
+                        args.vector_index,
+                        gen=args.vector_gen,
+                    )
+                    .agg(F.sum("n_vectors"))
+                    .collect()[0][0]
+                )
+                totals["vector_keys_deleted"] = totals.get(
+                    "vector_keys_deleted", 0
+                ) + int(n_del or 0)
+
         if args.upsert_into:
             # fold this batch's rows into the existing corpus table
             # IN PLACE — only affected partitions are read or written
@@ -335,6 +403,29 @@ def _parser() -> argparse.ArgumentParser:
         "the change rate. This run's chunks/vectors tables then hold "
         "exactly the delta (fold into a maintained corpus table with "
         "engine.pipeline.upsert_replace_by_key)",
+    )
+    p.add_argument(
+        "--vector-index",
+        default=None,
+        help="vector-index directory (dry-run client seam): put this "
+        "run's vectors; with --delta-against also delete keys the "
+        "changed docs' prior chunking produced that the new one "
+        "no longer does (requires --prior-chunks)",
+    )
+    p.add_argument("--vector-index-name", default="chunks-v1")
+    p.add_argument(
+        "--vector-gen",
+        type=int,
+        default=0,
+        help="generation stamp for index requests: pass a higher value "
+        "each successive delta run; a --resume of the SAME run "
+        "reuses its gen (idempotent overwrite)",
+    )
+    p.add_argument(
+        "--prior-chunks",
+        default=None,
+        help="prior chunks table matching --delta-against's extracted "
+        "table; source of the stale-key delete set",
     )
     p.add_argument(
         "--canonical-urls",

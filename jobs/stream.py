@@ -10,7 +10,10 @@ under --output. --once processes the current backlog and exits
 
 --vectors switches the sink to the full extract -> chunk -> embed ->
 put_vectors pipeline (engine/io/vector_sink.py): --output then is the
-vector-index directory, with per-batch idempotent put files.
+vector-index directory, with per-batch idempotent put files
+(gen=batch_id). --delta-against PRIOR_EXTRACTED embeds only changed
+docs; adding --prior-chunks PRIOR_CHUNKS also DELETES stale
+url#chunk_ix keys of shrunk/emptied re-crawled docs from the index.
 
 --neardup-index BANDS_PARQUET switches to near-dup screening: each
 arriving page's MinHash bands join the given static band table (built
@@ -42,6 +45,19 @@ def main() -> None:
         action="store_true",
         help="sink extract->chunk->embed into the vector index instead "
         "of extracted parquet",
+    )
+    p.add_argument(
+        "--delta-against",
+        default=None,
+        help="(with --vectors) prior extracted table: embed only docs "
+        "whose (url, content_sha256) is new vs it",
+    )
+    p.add_argument(
+        "--prior-chunks",
+        default=None,
+        help="(with --vectors --delta-against) prior chunks table: also "
+        "DELETE stale url#chunk_ix keys of shrunk/emptied re-crawled "
+        "docs from the index",
     )
     p.add_argument(
         "--neardup-index",
@@ -95,9 +111,22 @@ def main() -> None:
             args.checkpoint,
             available_now=args.once,
         )
+    elif args.vectors:
+        if args.prior_chunks and not args.delta_against:
+            p.error("--prior-chunks requires --delta-against")
+        q = start_vector_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            available_now=args.once,
+            delta_against=args.delta_against,
+            prior_chunks=args.prior_chunks,
+        )
     else:
-        start = start_vector_stream if args.vectors else start_ingest_stream
-        q = start(
+        if args.prior_chunks or args.delta_against:
+            p.error("--delta-against/--prior-chunks require --vectors")
+        q = start_ingest_stream(
             spark,
             args.input,
             args.output,

@@ -750,3 +750,95 @@ def test_vector_stream_delta_against_embeds_only_changed(spark, tmp_path):
         "http://h3.example.com/p",
         "http://new.example.com/p",
     }
+
+
+def test_vector_stream_delta_deletes_stale_keys(spark, tmp_path):
+    """start_vector_stream(delta_against=..., prior_chunks=...): a
+    re-crawled doc whose prior chunking had MORE chunks than the new
+    one gets its stale url#chunk_ix keys DELETED from the index in the
+    same micro-batch; unchanged and brand-new docs get no deletes."""
+    import datetime as dt
+    import json
+    import pathlib
+
+    from engine.io.vector_sink import load_live_keys
+    from engine.partitioning import host_bucket_col, with_write_partitions
+    from engine.pipeline import build_extracted
+    from engine.streaming import start_vector_stream
+
+    def pages(rows):
+        def html(body):
+            para = (
+                b"<p>" + body + b". The quick brown fox jumps over the "
+                b"lazy dog while the river keeps flowing past the old "
+                b"stone bridge. Every page needs enough running text "
+                b"for the density heuristics to keep its content.</p>"
+            )
+            return b"<html><body><article>" + para + b"</article></body></html>"
+
+        return spark.createDataFrame(
+            [(u, ts, html(b), None, "en") for u, ts, b in rows],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    t1 = dt.datetime(2026, 5, 1, 12)
+    t2 = dt.datetime(2026, 6, 1, 12)
+    changed_url = "http://h0.example.com/p"
+    same_url = "http://h1.example.com/p"
+    prior_rows = [(changed_url, t1, b"prior body 0"), (same_url, t1, b"prior body 1")]
+    prior_path = str(tmp_path / "prior")
+    with_write_partitions(build_extracted(pages(prior_rows))).write.partitionBy(
+        "day", "pbucket"
+    ).parquet(prior_path)
+
+    # prior CHUNKS table constructed directly: the changed doc's prior
+    # capture produced 3 chunks, the unchanged doc 2
+    prior_chunks = spark.createDataFrame(
+        [(changed_url, i) for i in range(3)] + [(same_url, i) for i in range(2)],
+        "url string, chunk_ix int",
+    ).withColumn("pbucket", host_bucket_col("url", 64))
+    prior_chunks_path = str(tmp_path / "prior_chunks")
+    prior_chunks.write.partitionBy("pbucket").parquet(prior_chunks_path)
+
+    feed = pages(
+        [
+            (changed_url, t2, b"rewritten shorter body"),  # changed
+            (same_url, t2, b"prior body 1"),  # unchanged re-crawl
+            ("http://new.example.com/p", t2, b"brand new page"),  # new
+        ]
+    )
+    input_dir = str(tmp_path / "in")
+    feed.coalesce(1).write.parquet(input_dir)
+
+    index_dir = str(tmp_path / "index")
+    q = start_vector_stream(
+        spark,
+        input_dir,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        delta_against=prior_path,
+        prior_chunks=prior_chunks_path,
+    )
+    q.awaitTermination(300)
+
+    root = pathlib.Path(index_dir) / "vectors"
+    put_keys, del_keys = set(), set()
+    for p in root.glob("*.jsonl"):
+        tgt = del_keys if p.name.endswith(".del.jsonl") else put_keys
+        for line in p.read_text().splitlines():
+            tgt.add(json.loads(line)["key"])
+
+    new_ix = {
+        int(k.rsplit("#", 1)[1]) for k in put_keys if k.startswith(changed_url)
+    }
+    assert new_ix, "changed doc produced no chunks — fixture broke"
+    # deletes = exactly the changed doc's prior ix values the new
+    # chunking no longer produces; nothing for unchanged or new docs
+    assert del_keys == {
+        f"{changed_url}#{i}" for i in range(3) if i not in new_ix
+    }
+    assert del_keys, "prior chunking must exceed the new one in this fixture"
+    # live replay agrees: puts minus deletes
+    assert set(load_live_keys(index_dir, "vectors")) == put_keys - del_keys

@@ -50,3 +50,94 @@ def test_sink_vectors_dry_run_idempotent(spark, tmp_path):
         vectors, index="chunks-v1", index_dir=idx_dir, batch_size=50
     ).collect()
     assert _dir_digest(root) == d1
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, chunk_ix int, embedding array<float>, label int"
+    )
+
+
+def test_delta_delete_stale_vectors(spark, tmp_path):
+    """Re-crawl delta index maintenance: a changed doc that shrank from
+    3 chunks to 1 must lose its stale tail keys; untouched docs keep
+    theirs; the whole put+delete round is byte-idempotent."""
+    from engine.io.vector_sink import (
+        load_live_keys,
+        sink_vector_deletes,
+        sink_vectors,
+    )
+    from engine.pipeline import stale_chunk_keys
+
+    idx = str(tmp_path / "index")
+    v0 = _vecs(
+        spark,
+        [
+            ("A", 0, [1.0], 1),
+            ("A", 1, [2.0], 1),
+            ("A", 2, [3.0], 1),
+            ("B", 0, [9.0], 2),
+        ],
+    )
+    sink_vectors(v0, "main", idx, gen=0).collect()
+    assert set(load_live_keys(idx, "main")) == {"A#0", "A#1", "A#2", "B#0"}
+
+    # delta run (gen 1): A's new content chunks to ONE chunk, new bytes
+    v1 = _vecs(spark, [("A", 0, [7.0], 1)])
+    prior_chunks = v0.select("url", "chunk_ix")
+    changed = spark.createDataFrame([("A",)], "url string")
+    stale = stale_chunk_keys(prior_chunks, v1.select("url", "chunk_ix"), changed)
+    assert {r["key"] for r in stale.collect()} == {"A#1", "A#2"}
+
+    sink_vectors(v1, "main", idx, gen=1).collect()
+    n_del = sum(
+        r["n_vectors"]
+        for r in sink_vector_deletes(stale, "main", idx, gen=1).collect()
+    )
+    assert n_del == 2
+    live = load_live_keys(idx, "main")
+    assert set(live) == {"A#0", "B#0"}
+    assert live["A#0"]["data"]["float32"] == [7.0]  # gen-1 put wins
+    assert live["B#0"]["data"]["float32"] == [9.0]  # untouched doc kept
+
+    # idempotence: re-running the delta round leaves identical bytes
+    root = pathlib.Path(idx) / "main"
+    d1 = _dir_digest(root)
+    sink_vectors(v1, "main", idx, gen=1).collect()
+    sink_vector_deletes(stale, "main", idx, gen=1).collect()
+    assert _dir_digest(root) == d1
+    assert set(load_live_keys(idx, "main")) == {"A#0", "B#0"}
+
+
+def test_stale_keys_zero_chunk_rewrite(spark):
+    """A changed doc whose new content chunks to NOTHING loses every
+    prior key; docs outside the changed set are never in the delete
+    set even when absent from the new crawl."""
+    from engine.pipeline import stale_chunk_keys
+
+    prior = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("B", 0)], "url string, chunk_ix int"
+    )
+    new = spark.createDataFrame([], "url string, chunk_ix int")
+    changed = spark.createDataFrame([("A",)], "url string")
+    stale = {r["key"] for r in stale_chunk_keys(prior, new, changed).collect()}
+    assert stale == {"A#0", "A#1"}  # B not re-crawled -> not deleted
+
+
+def test_stale_keys_bucket_pruned(spark):
+    """When the prior chunks table carries pbucket and the caller
+    passes the delta's buckets, prior rows outside them are never
+    read — and the result is unchanged (the pruning is sound because
+    a url's bucket is a pure function of the url)."""
+    from engine.pipeline import stale_chunk_keys
+
+    prior = spark.createDataFrame(
+        [("A", 0, 3), ("A", 1, 3), ("C", 0, 7)],
+        "url string, chunk_ix int, pbucket int",
+    )
+    new = spark.createDataFrame([("A", 0)], "url string, chunk_ix int")
+    changed = spark.createDataFrame([("A",)], "url string")
+    pruned = stale_chunk_keys(prior, new, changed, buckets=[3])
+    assert {r["key"] for r in pruned.collect()} == {"A#1"}
+    # plan actually filters on pbucket before the joins
+    assert "pbucket" in pruned._jdf.queryExecution().optimizedPlan().toString()
