@@ -212,6 +212,58 @@ def sink_vector_deletes(
     return keys.select("key").mapInPandas(delete_batches, RECEIPTS_DDL)
 
 
+def compact_index_log(
+    index_dir: str,
+    index: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> dict:
+    """Collapse the generation-ordered put/delete log into ONE
+    snapshot generation holding exactly the live keys.
+
+    Delta runs grow the log by one generation each; after many
+    re-crawl cycles replay cost is O(history) though the live index is
+    O(corpus). Compaction rewrites the live view as generation
+    max_gen+1 and garbage-collects everything at or below max_gen.
+
+    Crash-safe by write ordering, like jobs/compact.py's data-then-
+    manifest discipline: the snapshot files are written FIRST (each an
+    atomic tmp+rename); replaying old-log + snapshot yields the
+    snapshot state (later generation wins every key), so deleting the
+    old files afterwards is pure GC and a crash between the two steps
+    only leaves extra files a re-run removes. Re-running compaction on
+    a compacted log is a no-op shape (one gen in, one gen out).
+
+    Driver-side and O(index) like load_live_keys — the maintenance
+    entry for the bounded dry-run/test seam; a real S3-Vectors-style
+    service compacts server-side.
+    """
+    root = os.path.join(index_dir, index)
+    if not os.path.isdir(root):
+        return {"live_keys": 0, "files_removed": 0, "snapshot_gen": 0}
+    old_names = [n for n in sorted(os.listdir(root)) if n.endswith(".jsonl")]
+    live = load_live_keys(index_dir, index)
+    max_gen = max(
+        (int(n[1:7]) for n in old_names if n.startswith("g")), default=-1
+    )
+    snap_gen = max_gen + 1
+    client = DryRunVectorClient(index_dir)
+    keys = sorted(live)  # deterministic snapshot bytes
+    for seq, i in enumerate(range(0, len(keys), batch_size)):
+        entries = []
+        for key in keys[i : i + batch_size]:
+            e = dict(live[key])
+            e["_pid"], e["_seq"], e["_gen"] = 0, seq, snap_gen
+            entries.append(e)
+        client.put_vectors(index, entries)
+    for name in old_names:  # GC: snapshot already carries the state
+        os.unlink(os.path.join(root, name))
+    return {
+        "live_keys": len(keys),
+        "files_removed": len(old_names),
+        "snapshot_gen": snap_gen,
+    }
+
+
 def load_live_keys(index_dir: str, index: str) -> dict[str, dict]:
     """Replay the dry-run log -> {live key: latest put entry}.
 

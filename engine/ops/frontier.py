@@ -1,0 +1,112 @@
+"""Crawl-frontier prioritization: turn a crawled batch's outlinks into
+a scored list of what to fetch next — the discovery loop that feeds
+the ingest pipeline (BFS + link-evidence prioritization, the family
+OPIC / breadth-first-with-quality-prior crawlers use).
+
+Composes four existing operators end-to-end, each already pinned by
+its own tests:
+
+  extract_outlinks_df   pages -> (src url, dst url), map-only Arrow
+                        pass over the html column (linkgraph.py)
+  canonical_url_col     dedup-key normalization, map-only (urlnorm.py)
+  screen_new_keys       seen-key Bloom screen: definitely-new links
+                        skip the exact anti-join entirely (bloom.py)
+  pagerank host table   quality prior per destination host
+                        (linkgraph.py)
+
+Scale shape: the only shuffle that touches the candidate set is ONE
+groupBy on the canonical destination url (ids + counts, never html or
+text); the seen screen broadcasts a Bloom bitmap so history is joined
+only by the (novelty + fpp) fraction of candidates; the host-rank
+table is |hosts|-sized and broadcasts; top-k is orderBy().limit()
+(TakeOrderedAndProject — no global sort materialization). At 10^12
+seen urls the Bloom table is the one artifact to persist per epoch
+(build_bloom_for) and reuse across every discovered batch.
+
+Priority (disclosed, deterministic): evidence x quality —
+
+  priority = log1p(n_ref_hosts) * (host_rank + RANK_FLOOR)
+
+n_ref_hosts (distinct REFERRING hosts) rather than raw link count, so
+one link farm counts once; RANK_FLOOR keeps unknown-host candidates
+ordered by evidence instead of collapsing to zero. Ties break on url
+(total order — reruns and different partitionings emit the same list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from engine.ops.bloom import build_bloom_for, screen_new_keys
+from engine.ops.linkgraph import extract_outlinks_df, host_rank
+from engine.ops.urlnorm import canonical_url_col
+
+RANK_FLOOR = 1e-6
+
+
+def discovered_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links: int = 200,
+) -> DataFrame:
+    """pages -> (url, n_ref_hosts, n_refs): canonical destination urls
+    with their discovery evidence. Map-only until the single
+    ids-and-counts groupBy; the source page's own canonical url is
+    kept out (self-links carry no discovery evidence)."""
+    links = extract_outlinks_df(pages, url_col, html_col, max_links)
+    cand = links.select(
+        F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias(
+            "src_host"
+        ),
+        canonical_url_col("url").alias("src_canon"),
+        canonical_url_col("dst").alias("url"),
+    ).filter(
+        F.col("url").isNotNull() & (F.col("url") != F.col("src_canon"))
+    )
+    return cand.groupBy("url").agg(
+        F.count_distinct("src_host").alias("n_ref_hosts"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )
+
+
+def frontier_candidates(
+    spark: SparkSession,
+    pages: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links: int = 200,
+    host_ranks: DataFrame | None = None,
+    fpp: float = 0.01,
+    top_k: int | None = None,
+) -> DataFrame:
+    """pages + seen(url) -> prioritized frontier
+    (url, host, n_ref_hosts, n_refs, rank, priority), priority desc.
+
+    `seen` is the crawl history's url column (canonicalized the same
+    way upstream — pass the extracted table's url). `host_ranks`
+    (host, rank) defaults to PageRank computed from this batch's own
+    link graph; at scale pass the maintained corpus-wide table from
+    jobs/linkgraph.py instead.
+    """
+    seen_canon = seen.select(canonical_url_col(url_col).alias("url"))
+    cand = discovered_links(pages, url_col, html_col, max_links)
+    bloom, k = build_bloom_for(spark, seen_canon, "url", fpp=fpp)
+    new = screen_new_keys(cand, seen_canon, "url", bloom, k)
+    if host_ranks is None:
+        host_ranks = host_rank(pages, url_col, html_col, max_links)
+    scored = (
+        new.withColumn(
+            "host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        )
+        .join(F.broadcast(host_ranks), "host", "left")
+        .withColumn(
+            "priority",
+            F.log1p(F.col("n_ref_hosts"))
+            * (F.coalesce(F.col("rank"), F.lit(0.0)) + F.lit(RANK_FLOOR)),
+        )
+        .select("url", "host", "n_ref_hosts", "n_refs", "rank", "priority")
+        .orderBy(F.desc("priority"), "url")
+    )
+    return scored.limit(top_k) if top_k else scored

@@ -82,6 +82,31 @@ def run(args) -> dict:
         check_lang=not args.no_check_lang,
     )
 
+    if args.tag_code or args.drop_code:
+        # code/markup/data tag BEFORE prose screens: quality rules and
+        # the LM are calibrated on prose and misjudge code, so a code
+        # doc is either routed out (reason "code") or at least carries
+        # the tag for downstream mix stratification (map-only pass)
+        from engine.ops.codedetect import DEFAULT_THRESHOLD, detect_code
+
+        verdicts = detect_code(
+            verdicts,
+            text_col=args.text_col,
+            threshold=(
+                DEFAULT_THRESHOLD
+                if args.code_threshold is None
+                else args.code_threshold
+            ),
+        )
+        if args.drop_code:
+            verdicts = verdicts.withColumn(
+                "reasons",
+                F.when(
+                    F.col("is_code"),
+                    F.array_union("reasons", F.array(F.lit("code"))),
+                ).otherwise(F.col("reasons")),
+            ).withColumn("keep", F.col("keep") & ~F.col("is_code"))
+
     if args.url_filter:
         # URL screen FIRST (RefinedWeb order: a URL verdict costs
         # bytes of the url column; content screens cost the document)
@@ -318,6 +343,27 @@ def _parser() -> argparse.ArgumentParser:
         help="negative (corpus) training sample size as a multiple of "
         "the reference count — training runs over this bounded "
         "sample, never the full corpus",
+    )
+    p.add_argument(
+        "--tag-code",
+        action="store_true",
+        help="attach code_score/is_code (engine/ops/codedetect) to "
+        "every verdict row without screening — downstream mix "
+        "stratification routes on the tag",
+    )
+    p.add_argument(
+        "--drop-code",
+        action="store_true",
+        help="reject docs detected as source code / markup / data "
+        "(reason 'code'): the prose quality rules and LM misjudge "
+        "code, so route it to a separate pipeline instead",
+    )
+    p.add_argument(
+        "--code-threshold",
+        type=float,
+        default=None,
+        help="code_score cut for is_code (default engine/ops/"
+        "codedetect.DEFAULT_THRESHOLD)",
     )
     p.add_argument(
         "--url-filter",

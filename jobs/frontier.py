@@ -1,0 +1,107 @@
+"""Crawl-frontier job — score what to fetch next from a crawled
+batch's outlinks (engine/ops/frontier.py).
+
+    spark-submit --py-files engine.zip jobs/frontier.py \
+        --pages /data/pages --output /data/frontier \
+        [--seen /data/extracted] [--host-ranks /data/linkgraph/host_rank] \
+        [--top 100000] [--fpp 0.01] [--max-links 200]
+
+Writes <output>/frontier: (url, host, n_ref_hosts, n_refs, rank,
+priority) sorted by priority — the fetch list for the next crawl
+cycle, which jobs/ingest.py then processes and whose extracted table
+becomes the next cycle's --seen.
+
+--seen defaults to the pages table itself (this batch's own urls are
+never re-proposed); pass the full extracted corpus for a real cycle.
+--host-ranks takes jobs/linkgraph.py's maintained host_rank table;
+omitted, PageRank is computed from this batch's own links.
+
+Scale notes: one ids-and-counts shuffle on the candidate url; seen
+history enters as a broadcast Bloom bitmap (exact — survivors are
+anti-join verified); top-k is TakeOrderedAndProject. Prints ONE JSON
+summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine.session import get_spark  # noqa: E402
+
+
+def run(args) -> dict:
+    from engine.cli import fill_defaults
+
+    fill_defaults(args, _parser())
+    spark = get_spark(
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        app_name="webtext-frontier",
+    )
+    from engine.ops.frontier import frontier_candidates
+
+    t0 = time.monotonic()
+    pages = spark.read.parquet(args.pages)
+    seen = spark.read.parquet(args.seen) if args.seen else pages
+    ranks = (
+        spark.read.parquet(args.host_ranks) if args.host_ranks else None
+    )
+    frontier = frontier_candidates(
+        spark,
+        pages,
+        seen,
+        url_col=args.url_col,
+        max_links=args.max_links,
+        host_ranks=ranks,
+        fpp=args.fpp,
+        top_k=args.top,
+    )
+    out = os.path.join(args.output, "frontier")
+    frontier.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    summary = {
+        "wall_s": round(time.monotonic() - t0, 2),
+        "candidates_written": n,
+        "output": out,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", required=True, help="crawled pages parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--seen",
+        default=None,
+        help="crawl-history table whose url column is the seen set "
+        "(default: the pages table itself)",
+    )
+    p.add_argument(
+        "--host-ranks",
+        default=None,
+        help="(host, rank) parquet from jobs/linkgraph.py; omitted, "
+        "PageRank is computed from this batch's own links",
+    )
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--top", type=int, default=None)
+    p.add_argument("--fpp", type=float, default=0.01)
+    p.add_argument("--max-links", type=int, default=200)
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main() -> None:
+    run(_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

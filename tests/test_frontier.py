@@ -1,0 +1,125 @@
+"""Crawl-frontier prioritization (engine/ops/frontier.py +
+jobs/frontier.py): seen urls screened out exactly, canonical-variant
+links collapse to one candidate, evidence counts distinct referring
+hosts, priority respects the host quality prior, and the job surface
+runs end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from engine.ops.frontier import discovered_links, frontier_candidates
+
+
+def _page(body: str) -> bytes:
+    return f"<html><body>{body}</body></html>".encode()
+
+
+def _pages(spark, rows):
+    ts = dt.datetime(2026, 7, 1, 12)
+    return spark.createDataFrame(
+        [(u, ts, _page(b), None, "en") for u, b in rows],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+
+
+def test_discovered_links_canonicalize_and_count_hosts(spark):
+    # two hosts link to the same target through tracking-param and
+    # fragment variants; one host links twice (counts once per host)
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://a.com/p1",
+                '<a href="https://t.com/x?utm_source=a#f">l</a>'
+                '<a href="https://t.com/x">again</a>',
+            ),
+            ("https://b.com/p1", '<a href="https://t.com/x#other">l</a>'),
+            ("https://a.com/p2", '<a href="https://a.com/p2#self">s</a>'),
+        ],
+    )
+    rows = {r["url"]: r for r in discovered_links(pages).collect()}
+    assert set(rows) == {"https://t.com/x"}  # self-link dropped
+    r = rows["https://t.com/x"]
+    assert r["n_ref_hosts"] == 2 and r["n_refs"] == 3
+
+
+def test_frontier_screens_seen_and_orders_by_priority(spark):
+    pages = _pages(
+        spark,
+        [
+            # hub host linked by everyone -> high rank
+            ("https://hub.com/", '<a href="https://hub.com/new">n</a>'),
+            (
+                "https://a.com/p",
+                '<a href="https://hub.com/new">n</a>'
+                '<a href="https://obscure.com/only">o</a>'
+                '<a href="https://hub.com/seen">s</a>',
+            ),
+            ("https://b.com/p", '<a href="https://hub.com/new">n</a>'),
+        ],
+    )
+    seen = spark.createDataFrame(
+        [("https://hub.com/seen",), ("https://a.com/p",)], "url string"
+    )
+    out = frontier_candidates(spark, pages, seen).collect()
+    urls = [r["url"] for r in out]
+    assert "https://hub.com/seen" not in urls  # screened exactly
+    assert set(urls) == {"https://hub.com/new", "https://obscure.com/only"}
+    # 3 referring hosts to a ranked host beats 1 referrer to an
+    # unknown-rank host on both factors
+    assert urls[0] == "https://hub.com/new"
+    by_url = {r["url"]: r for r in out}
+    assert by_url["https://hub.com/new"]["n_ref_hosts"] == 3
+    assert out[0]["priority"] > out[1]["priority"] > 0
+
+
+def test_frontier_external_rank_table_and_topk(spark):
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://a.com/p",
+                '<a href="https://good.com/x">g</a>'
+                '<a href="https://bad.com/x">b</a>',
+            ),
+        ],
+    )
+    seen = spark.createDataFrame([("https://nothing.com/",)], "url string")
+    ranks = spark.createDataFrame(
+        [("good.com", 0.9), ("bad.com", 0.001)], "host string, rank double"
+    )
+    out = frontier_candidates(
+        spark, pages, seen, host_ranks=ranks, top_k=1
+    ).collect()
+    assert len(out) == 1 and out[0]["url"] == "https://good.com/x"
+    assert abs(out[0]["rank"] - 0.9) < 1e-12
+
+
+def test_frontier_job(spark, tmp_path):
+    import jobs.frontier as jf
+
+    pages = _pages(
+        spark,
+        [
+            ("https://a.com/p", '<a href="https://t.com/x">l</a>'),
+            ("https://b.com/p", '<a href="https://t.com/y">l</a>'),
+        ],
+    )
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+    out = str(tmp_path / "front")
+    summary = jf.run(
+        jf._parser().parse_args(
+            ["--pages", pages_path, "--output", out, "--master", "local[2]"]
+        )
+    )
+    assert summary["candidates_written"] == 2
+    got = spark.read.parquet(f"{out}/frontier")
+    assert {r["url"] for r in got.collect()} == {
+        "https://t.com/x",
+        "https://t.com/y",
+    }

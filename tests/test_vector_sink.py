@@ -141,3 +141,55 @@ def test_stale_keys_bucket_pruned(spark):
     assert {r["key"] for r in pruned.collect()} == {"A#1"}
     # plan actually filters on pbucket before the joins
     assert "pbucket" in pruned._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_compact_index_log(spark, tmp_path):
+    """compact_index_log collapses the multi-generation put/delete log
+    into one snapshot generation with the identical live view, removes
+    the old files, stays correct under further deltas on top, and a
+    re-compaction of a compacted log preserves the same live bytes."""
+    from engine.io.vector_sink import (
+        compact_index_log,
+        load_live_keys,
+        sink_vector_deletes,
+        sink_vectors,
+    )
+
+    idx = str(tmp_path / "index")
+    sink_vectors(
+        _vecs(spark, [("A", 0, [1.0], 1), ("A", 1, [2.0], 1), ("B", 0, [9.0], 2)]),
+        "main", idx, gen=0,
+    ).collect()
+    sink_vectors(_vecs(spark, [("A", 0, [7.0], 1)]), "main", idx, gen=1).collect()
+    stale = spark.createDataFrame([("A#1",)], "key string")
+    sink_vector_deletes(stale, "main", idx, gen=1).collect()
+
+    before = load_live_keys(idx, "main")
+    assert set(before) == {"A#0", "B#0"}
+    root = pathlib.Path(idx) / "main"
+    n_files_before = len(list(root.glob("*.jsonl")))
+    assert n_files_before >= 3  # two put gens + one delete file
+
+    stats = compact_index_log(idx, "main")
+    assert stats["live_keys"] == 2
+    assert stats["files_removed"] == n_files_before
+    after = load_live_keys(idx, "main")
+    # live view identical (up to the bookkeeping fields compaction rewrites)
+    strip = lambda d: {k: {a: b for a, b in v.items() if not a.startswith("_")}
+                       for k, v in d.items()}
+    assert strip(after) == strip(before)
+    files = sorted(p.name for p in root.glob("*.jsonl"))
+    assert all(f.startswith(f"g{stats['snapshot_gen']:06d}_") for f in files)
+    assert not [f for f in files if f.endswith(".del.jsonl")]
+
+    # a further delta on top of the snapshot still replays in order
+    sink_vectors(
+        _vecs(spark, [("C", 0, [5.0], 3)]), "main", idx,
+        gen=stats["snapshot_gen"] + 1,
+    ).collect()
+    assert set(load_live_keys(idx, "main")) == {"A#0", "B#0", "C#0"}
+
+    # re-compaction: same live view, single generation again
+    stats2 = compact_index_log(idx, "main")
+    assert stats2["live_keys"] == 3
+    assert set(load_live_keys(idx, "main")) == {"A#0", "B#0", "C#0"}
