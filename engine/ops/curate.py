@@ -14,6 +14,9 @@ deterministic so tests can pin exact verdicts.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # the 25 most common English function words — enough signal for a
@@ -136,6 +139,45 @@ def curate(
         )
     out = out.withColumn("reasons", F.array_compact(F.array(*reason_cols)))
     return out.withColumn("keep", F.size("reasons") == 0)
+
+
+def with_compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Attach `compression_ratio` = len(zlib(text)) / len(text) — the
+    Dolma/DCLM-style gibberish-and-template detector: heavily
+    templated or repeated text compresses far BELOW prose (~0.3-0.4),
+    random/encoded junk barely compresses at all (~1.0), so a
+    (min, max) rule on this one column catches both tails that the
+    token-shape metrics cannot see (a base64 blob has normal token
+    lengths; a 500x-repeated paragraph has normal stopword ratio when
+    the paragraph does).
+
+    The one deliberately-Python metric in this module: zlib is C-speed
+    and the UDF is iterator-form Arrow-batched, so the cost is one
+    deflate pass per document — still map-only, no shuffle. Level is
+    pinned (deterministic bytes for a fixed zlib). Empty/null text
+    scores 1.0 (incompressible convention; the n_tokens rule owns
+    empties). Screen by attaching BEFORE curate() and adding e.g.
+    ``rules["compression_ratio"] = (0.30, 0.98)``."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            for t in s:
+                b = (t or "").encode("utf-8", "surrogatepass")
+                out.append(
+                    len(zlib.compress(b, level)) / len(b) if b else 1.0
+                )
+            yield pd.Series(out, dtype="float64")
+
+    return docs.withColumn(
+        "compression_ratio", _ratio(F.col(text_col))
+    )
 
 
 def redact_pii(

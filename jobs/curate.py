@@ -75,6 +75,16 @@ def run(args) -> dict:
     rules = dict(DEFAULT_RULES)
     if args.min_tokens is not None:
         rules["n_tokens"] = (args.min_tokens, rules["n_tokens"][1])
+    if args.compression_min is not None or args.compression_max is not None:
+        # zlib gibberish/template screen: attach the metric BEFORE
+        # curate so the rule engine sees it like any other column
+        from engine.ops.curate import with_compression_ratio
+
+        docs = with_compression_ratio(docs, text_col=args.text_col)
+        rules["compression_ratio"] = (
+            args.compression_min if args.compression_min is not None else 0.0,
+            args.compression_max if args.compression_max is not None else 10.0,
+        )
     verdicts = curate(
         docs,
         text_col=args.text_col,
@@ -343,6 +353,21 @@ def _parser() -> argparse.ArgumentParser:
         help="negative (corpus) training sample size as a multiple of "
         "the reference count — training runs over this bounded "
         "sample, never the full corpus",
+    )
+    p.add_argument(
+        "--compression-min",
+        type=float,
+        default=None,
+        help="reject docs whose zlib compression ratio is below this "
+        "(templated/repeated text compresses too well; reason "
+        "compression_ratio)",
+    )
+    p.add_argument(
+        "--compression-max",
+        type=float,
+        default=None,
+        help="reject docs whose zlib compression ratio is above this "
+        "(random/encoded junk barely compresses)",
     )
     p.add_argument(
         "--tag-code",

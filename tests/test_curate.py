@@ -250,3 +250,60 @@ def test_curate_job_with_classifier_ref(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_compression_ratio_metric_and_rule(spark):
+    """zlib compression screen: templated repetition compresses far
+    below prose, random hex barely compresses; wired as a plain rule
+    over the attached column; deterministic across partitionings."""
+    import hashlib
+
+    from engine.ops.curate import curate, with_compression_ratio
+
+    subjects = ["committee", "council", "board", "panel", "jury", "cabinet"]
+    verbs = ["reviewed", "debated", "approved", "postponed", "rejected",
+             "amended"]
+    objs = ["the draft proposal", "next year's budget", "the zoning plan",
+            "the audit findings", "the hiring freeze", "the road survey"]
+    prose = " ".join(
+        f"The {s} {v} {o} on day {i} and published careful notes."
+        for i, (s, v, o) in enumerate(zip(subjects, verbs, objs))
+    )
+    template = "Buy cheap widgets now! Call today!\n" * 60
+    junk = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, prose), (2, template), (3, junk)], "doc_id long, text string"
+    )
+    m = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in with_compression_ratio(docs).collect()
+    }
+    assert m[2] < m[1] < m[3]
+    assert m[2] < 0.15          # 60x-repeated line: deflate eats it
+    assert 0.30 < m[1] < 0.75   # prose
+    assert m[3] > 0.52          # hex junk
+
+    rules = {"compression_ratio": (0.20, 0.50)}
+    v = curate(
+        with_compression_ratio(docs), rules=rules, check_lang=False
+    )
+    got = {r["doc_id"]: r["reasons"] for r in v.collect()}
+    assert got[1] == []
+    assert got[2] == ["compression_ratio"]
+    assert got[3] == ["compression_ratio"]
+
+    # partition invariance: same bytes in, same ratio out
+    m2 = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in with_compression_ratio(docs.repartition(7)).collect()
+    }
+    assert m == m2
+
+    # null/empty convention
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    for r in with_compression_ratio(nulls).collect():
+        assert r["compression_ratio"] == 1.0
