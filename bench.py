@@ -358,6 +358,17 @@ def main() -> None:
 
     timed("mix_pack_pipeline", run_mix_pack)
 
+    # crawl-frontier: outlinks -> canonical dedup -> Bloom seen-screen
+    # (the pages' own urls as history) -> PageRank prior -> top-k
+    def run_frontier():
+        from engine.ops.frontier import frontier_candidates
+
+        frontier_candidates(
+            spark, pages, pages.select("url"), top_k=10_000
+        ).agg(F.count(F.lit(1)), F.sum("priority")).collect()
+
+    timed("frontier_pipeline", run_frontier)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",

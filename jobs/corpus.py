@@ -308,6 +308,9 @@ def run(args) -> dict:
                 url_blocklist=args.url_blocklist,
                 lm_filter=args.lm_filter,
                 lm_pct=args.lm_pct,
+                compression_min=args.compression_min,
+                compression_max=args.compression_max,
+                drop_code=args.drop_code,
                 master=args.master,
                 shuffle_partitions=args.shuffle_partitions,
             )
@@ -326,6 +329,9 @@ def run(args) -> dict:
         "url_blocklist": args.url_blocklist,
         "lm_filter": bool(args.lm_filter),
         "lm_pct": args.lm_pct,
+        "compression_min": args.compression_min,
+        "compression_max": args.compression_max,
+        "drop_code": bool(args.drop_code),
     }
 
     def curate_done() -> bool:
@@ -675,6 +681,24 @@ def _parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--lm-filter", action="store_true")
     p.add_argument("--lm-pct", type=float, default=90.0)
+    p.add_argument(
+        "--compression-min",
+        type=float,
+        default=None,
+        help="curate-stage zlib ratio floor (templated/repeated text)",
+    )
+    p.add_argument(
+        "--compression-max",
+        type=float,
+        default=None,
+        help="curate-stage zlib ratio ceiling (random/encoded junk)",
+    )
+    p.add_argument(
+        "--drop-code",
+        action="store_true",
+        help="curate-stage code/markup screen (engine/ops/codedetect; "
+        "reason 'code') — route source code out of the prose corpus",
+    )
     p.add_argument("--sample-fraction", type=float, default=1.0)
     p.add_argument(
         "--max-host-share",

@@ -564,3 +564,51 @@ def test_resume_gates_on_stage_input_table(spark, tmp_path, pages_path):
     assert after["extracted"] == before["extracted"]
     for t in ("canonical", "cleaned", "curate/kept", "final"):
         assert after[t] > before[t], t
+
+
+def test_curate_stage_compression_and_code_knobs(spark, tmp_path, pages_path):
+    """--compression-min/--compression-max and --drop-code flow through
+    the corpus job's curate stage, and changing them gates resume (the
+    curate stage re-runs; semantics-affecting params are in the
+    manifest)."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus")
+    res = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            compression_min=0.05,
+            compression_max=0.98,
+            drop_code=True,
+        )
+    )
+    kept = spark.read.parquet(f"{out}/curate/kept")
+    assert "compression_ratio" in kept.columns
+    assert "is_code" in kept.columns
+    assert kept.filter("compression_ratio < 0.05").count() == 0
+    assert kept.filter("is_code").count() == 0
+
+    with open(f"{out}/corpus_manifest.json") as f:
+        params = json.load(f)["stages"]["curate"]["params"]
+    assert params["compression_min"] == 0.05 and params["drop_code"] is True
+
+    # tightening the band must invalidate the curate stage on resume
+    before = os.path.getmtime(os.path.join(out, "curate", "kept", "_SUCCESS"))
+    res2 = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            compression_min=0.20,
+            compression_max=0.98,
+            drop_code=True,
+            resume=True,
+        )
+    )
+    after = os.path.getmtime(os.path.join(out, "curate", "kept", "_SUCCESS"))
+    assert after > before
+    assert res2["stages"]["curate"]["rows"] <= res["stages"]["curate"]["rows"]
