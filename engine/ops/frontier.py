@@ -85,6 +85,7 @@ def frontier_candidates(
     fpp: float = 0.01,
     top_k: int | None = None,
     rank_iters: int = 24,
+    per_host_cap: int | None = None,
 ) -> DataFrame:
     """pages + seen(url) -> prioritized frontier
     (url, host, n_ref_hosts, n_refs, rank, priority), priority desc.
@@ -103,6 +104,13 @@ def frontier_candidates(
     evidence doesn't already tie — and it saves ~60 small shuffles per
     cycle. Callers measuring centrality use jobs/linkgraph.py, which
     keeps the converged contract.
+
+    `per_host_cap`: politeness bound — keep only the cap highest-
+    priority candidates PER HOST, so one giant newly-discovered site
+    cannot flood a fetch cycle that a polite crawler rate-limits per
+    host anyway (the frontier twin of the ingest job's host-bucket
+    skew salting). One row_number window over the delta-sized
+    candidate set, partition size bounded by each host's candidates.
     """
     seen_canon = seen.select(canonical_url_col(url_col).alias("url"))
     # the candidate path and the default rank prior each run their own
@@ -136,6 +144,15 @@ def frontier_candidates(
             * (F.coalesce(F.col("rank"), F.lit(0.0)) + F.lit(RANK_FLOOR)),
         )
         .select("url", "host", "n_ref_hosts", "n_refs", "rank", "priority")
-        .orderBy(F.desc("priority"), "url")
     )
+    if per_host_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
+        scored = (
+            scored.withColumn("_hn", F.row_number().over(w))
+            .filter(F.col("_hn") <= int(per_host_cap))
+            .drop("_hn")
+        )
+    scored = scored.orderBy(F.desc("priority"), "url")
     return scored.limit(top_k) if top_k else scored

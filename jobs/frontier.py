@@ -47,7 +47,23 @@ def run(args) -> dict:
     from engine.ops.frontier import frontier_candidates
 
     t0 = time.monotonic()
-    pages = spark.read.parquet(args.pages)
+    if args.since_snapshot is not None:
+        # crawl-cycle increment: only pages ADDED after the given
+        # snapshot feed discovery (engine/io/snapshots.py) — the seen
+        # screen still runs against the FULL --seen history
+        from engine.io.snapshots import incremental_read
+
+        pages = incremental_read(spark, args.pages, after=args.since_snapshot)
+        if pages is None:  # no files added since that snapshot
+            summary = {
+                "wall_s": round(time.monotonic() - t0, 2),
+                "candidates_written": 0,
+                "no_new_pages": True,
+            }
+            print(json.dumps(summary))
+            return summary
+    else:
+        pages = spark.read.parquet(args.pages)
     seen = spark.read.parquet(args.seen) if args.seen else pages
     ranks = (
         spark.read.parquet(args.host_ranks) if args.host_ranks else None
@@ -61,6 +77,7 @@ def run(args) -> dict:
         host_ranks=ranks,
         fpp=args.fpp,
         top_k=args.top,
+        per_host_cap=args.per_host_cap,
     )
     out = os.path.join(args.output, "frontier")
     frontier.write.mode("overwrite").parquet(out)
@@ -91,6 +108,21 @@ def _parser() -> argparse.ArgumentParser:
         "PageRank is computed from this batch's own links",
     )
     p.add_argument("--url-col", default="url")
+    p.add_argument(
+        "--since-snapshot",
+        type=int,
+        default=None,
+        help="discover only from pages added after this snapshot id "
+        "of the --pages table (engine/io/snapshots.py); the seen "
+        "screen still uses the full --seen history",
+    )
+    p.add_argument(
+        "--per-host-cap",
+        type=int,
+        default=None,
+        help="politeness bound: at most this many candidates per host "
+        "per cycle",
+    )
     p.add_argument("--top", type=int, default=None)
     p.add_argument("--fpp", type=float, default=0.01)
     p.add_argument("--max-links", type=int, default=200)

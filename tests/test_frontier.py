@@ -123,3 +123,71 @@ def test_frontier_job(spark, tmp_path):
         "https://t.com/x",
         "https://t.com/y",
     }
+
+
+def test_per_host_cap_bounds_flood(spark):
+    """A newly discovered giant host contributes at most cap
+    candidates per cycle; its HIGHEST-priority pages survive."""
+    flood = "".join(f'<a href="https://big.com/p{i:03d}">x</a>' for i in range(30))
+    pages = _pages(
+        spark,
+        [
+            ("https://a.com/p", flood + '<a href="https://small.com/x">s</a>'),
+            # one page of big.com gets a second referring host
+            ("https://b.com/p", '<a href="https://big.com/p007">x</a>'),
+        ],
+    )
+    seen = spark.createDataFrame([("https://nothing.com/",)], "url string")
+    out = frontier_candidates(
+        spark, pages, seen, per_host_cap=3
+    ).collect()
+    big = [r for r in out if r["host"] == "big.com"]
+    assert len(big) == 3
+    # the two-referrer page outranks the single-referrer flood pages
+    assert big[0]["url"] == "https://big.com/p007"
+    assert {r["host"] for r in out} == {"big.com", "small.com"}
+
+
+def test_frontier_job_since_snapshot(spark, tmp_path):
+    """--since-snapshot discovers only from pages added after the
+    given snapshot while screening against the full seen history."""
+    import jobs.frontier as jf
+    from engine.io.snapshots import commit_snapshot
+
+    pages_path = str(tmp_path / "pages")
+    _pages(spark, [("https://a.com/p", '<a href="https://t.com/old">l</a>')]) \
+        .write.mode("append").parquet(pages_path)
+    s1 = commit_snapshot(pages_path)["snapshot_id"]
+    _pages(spark, [("https://b.com/p",
+                    '<a href="https://t.com/new">l</a>'
+                    '<a href="https://t.com/old">l</a>')]) \
+        .write.mode("append").parquet(pages_path)
+    commit_snapshot(pages_path)
+
+    seen_path = str(tmp_path / "seen")
+    spark.createDataFrame(
+        [("https://t.com/old",)], "url string"
+    ).write.parquet(seen_path)
+
+    out = str(tmp_path / "front")
+    summary = jf.run(
+        jf._parser().parse_args(
+            ["--pages", pages_path, "--output", out, "--seen", seen_path,
+             "--since-snapshot", str(s1), "--master", "local[2]"]
+        )
+    )
+    got = {r["url"] for r in spark.read.parquet(f"{out}/frontier").collect()}
+    # only the new batch was scanned; t.com/old is seen-screened even
+    # though the new batch links it again
+    assert got == {"https://t.com/new"}
+    assert summary["candidates_written"] == 1
+
+    # nothing added after the latest snapshot -> clean no-op
+    s_latest = commit_snapshot(pages_path)["snapshot_id"]
+    summary2 = jf.run(
+        jf._parser().parse_args(
+            ["--pages", pages_path, "--output", out, "--seen", seen_path,
+             "--since-snapshot", str(s_latest), "--master", "local[2]"]
+        )
+    )
+    assert summary2["candidates_written"] == 0 and summary2["no_new_pages"]
