@@ -64,10 +64,16 @@ class DryRunVectorClient:
         os.makedirs(os.path.join(self.index_dir, index), exist_ok=True)
         e0 = entries[0]
         pid, seq, gen = e0["_pid"], e0["_seq"], e0.get("_gen", 0)
+        # "z" marks a compaction snapshot: it replays AFTER the plain
+        # files of its generation and BEFORE the next generation
+        # ('_' < 'z' < the next gen's digits via numeric parsing in
+        # _replay_order), and never collides with a stream's next
+        # batch-id generation (review r3)
+        z = "z" if e0.get("_snap") else ""
         path = os.path.join(
             self.index_dir,
             index,
-            f"g{gen:06d}_part{pid:05d}_{seq:05d}{suffix}",
+            f"g{gen:06d}{z}_part{pid:05d}_{seq:05d}{suffix}",
         )
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -212,6 +218,26 @@ def sink_vector_deletes(
     return keys.select("key").mapInPandas(delete_batches, RECEIPTS_DDL)
 
 
+_GEN_RE = None  # compiled lazily; module stays import-light
+
+
+def _replay_order(name: str) -> tuple:
+    """Sort key for index-log replay: legacy pre-generation files
+    (part*.jsonl, the format before gens existed) first, then
+    generations in NUMERIC order (lexicographic breaks at 7 digits —
+    streaming gens are unbounded batch ids), with a generation's "z"
+    compaction snapshot after its plain files (review r3)."""
+    global _GEN_RE
+    if _GEN_RE is None:
+        import re
+
+        _GEN_RE = re.compile(r"^g(\d+)(z?)_")
+    m = _GEN_RE.match(name)
+    if not m:
+        return (-1, 0, name)
+    return (int(m.group(1)), 1 if m.group(2) else 0, name)
+
+
 def compact_index_log(
     index_dir: str,
     index: str,
@@ -222,16 +248,23 @@ def compact_index_log(
 
     Delta runs grow the log by one generation each; after many
     re-crawl cycles replay cost is O(history) though the live index is
-    O(corpus). Compaction rewrites the live view as generation
-    max_gen+1 and garbage-collects everything at or below max_gen.
+    O(corpus). Compaction rewrites the live view as the CURRENT
+    max generation's "z" snapshot slot — which replays after that
+    generation's plain files and before the next generation — and
+    garbage-collects everything else. The z-slot (not max_gen+1)
+    matters for streaming-fed indexes: a restarted stream's next
+    micro-batch writes generation max_gen+1, which must never collide
+    with or replay before the snapshot (review r3).
 
     Crash-safe by write ordering, like jobs/compact.py's data-then-
     manifest discipline: the snapshot files are written FIRST (each an
     atomic tmp+rename); replaying old-log + snapshot yields the
-    snapshot state (later generation wins every key), so deleting the
-    old files afterwards is pure GC and a crash between the two steps
-    only leaves extra files a re-run removes. Re-running compaction on
-    a compacted log is a no-op shape (one gen in, one gen out).
+    snapshot state (the z slot wins every key), so deleting the old
+    files afterwards is pure GC and a crash between the two steps only
+    leaves extra files a re-run removes. Re-running compaction
+    overwrites the same z slot with the same live set and GCs any
+    leftover higher-seq snapshot files from a previous, larger
+    snapshot.
 
     Driver-side and O(index) like load_live_keys — the maintenance
     entry for the bounded dry-run/test seam; a real S3-Vectors-style
@@ -242,24 +275,28 @@ def compact_index_log(
         return {"live_keys": 0, "files_removed": 0, "snapshot_gen": 0}
     old_names = [n for n in sorted(os.listdir(root)) if n.endswith(".jsonl")]
     live = load_live_keys(index_dir, index)
-    max_gen = max(
-        (int(n[1:7]) for n in old_names if n.startswith("g")), default=-1
+    snap_gen = max(
+        (_replay_order(n)[0] for n in old_names), default=0
     )
-    snap_gen = max_gen + 1
+    snap_gen = max(snap_gen, 0)  # legacy-only logs snapshot at gen 0
     client = DryRunVectorClient(index_dir)
     keys = sorted(live)  # deterministic snapshot bytes
+    written: set[str] = set()
     for seq, i in enumerate(range(0, len(keys), batch_size)):
         entries = []
         for key in keys[i : i + batch_size]:
             e = dict(live[key])
             e["_pid"], e["_seq"], e["_gen"] = 0, seq, snap_gen
+            e["_snap"] = True
             entries.append(e)
         client.put_vectors(index, entries)
-    for name in old_names:  # GC: snapshot already carries the state
+        written.add(f"g{snap_gen:06d}z_part00000_{seq:05d}.jsonl")
+    removed = [n for n in old_names if n not in written]
+    for name in removed:  # GC: snapshot already carries the state
         os.unlink(os.path.join(root, name))
     return {
         "live_keys": len(keys),
-        "files_removed": len(old_names),
+        "files_removed": len(removed),
         "snapshot_gen": snap_gen,
     }
 
@@ -267,18 +304,20 @@ def compact_index_log(
 def load_live_keys(index_dir: str, index: str) -> dict[str, dict]:
     """Replay the dry-run log -> {live key: latest put entry}.
 
-    Files sort by (gen, pid, seq) via their names; generations replay
-    in order, and within a generation put/delete key sets are disjoint
-    by the delta contract (module doc), so within-gen order is
-    immaterial. Test/report-side helper — a real deployment queries
-    the index service instead. Driver-side and O(index) by design:
-    only use on bounded test/report indexes.
+    Replay order is _replay_order: legacy pre-generation files first,
+    then generations NUMERICALLY (not lexicographically — streaming
+    gens are unbounded batch ids), each generation's compaction
+    snapshot ("z" slot) after its plain files. Within a generation
+    put/delete key sets are disjoint by the delta contract (module
+    doc), so within-gen order is immaterial. Test/report-side helper —
+    a real deployment queries the index service instead. Driver-side
+    and O(index) by design: only use on bounded test/report indexes.
     """
     root = os.path.join(index_dir, index)
     live: dict[str, dict] = {}
     if not os.path.isdir(root):
         return live
-    names = sorted(os.listdir(root))
+    names = sorted(os.listdir(root), key=_replay_order)
     # apply per generation: puts first or deletes first is equivalent
     # (disjoint within gen) — plain sorted order interleaves them per
     # (pid, seq), which is fine under the same contract

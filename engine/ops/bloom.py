@@ -265,14 +265,21 @@ def build_bloom_for(
     n_keys_hint: int | None = None,
     fpp: float = 0.01,
     n_buckets: int = 64,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, int]:
     """Convenience: size from a hint (or one count) and build.
-    Returns (bloom_df, k) — persist the bloom table once per epoch and
-    reuse it across every incoming batch. n_buckets is a floor: it
-    grows so no bucket's build group exceeds ~4M keys (the
-    applyInPandas group-memory bound in build_bloom)."""
+    Returns (bloom_df, k, n_buckets) — persist the bloom table once per
+    epoch and reuse it across every incoming batch. n_buckets is a
+    floor: it grows so no bucket's build group exceeds ~4M keys (the
+    applyInPandas group-memory bound in build_bloom). Probers MUST use
+    the returned n_buckets — probing with a different bucket count
+    reads the wrong bucket's bitmap and produces false NEGATIVES,
+    which breaks screen_new_keys' exactness contract (review r3)."""
     n = n_keys_hint if n_keys_hint is not None else history.count()
     n_buckets = max(n_buckets, -(-max(n, 1) // _MAX_KEYS_PER_BUCKET))
     m, k = plan_bloom(max(n, 1), fpp)
     m = max(m, n_buckets * 8)  # tiny histories: >= 1 byte per bucket
-    return build_bloom(history, key_col, m, k, n_buckets=n_buckets), k
+    return (
+        build_bloom(history, key_col, m, k, n_buckets=n_buckets),
+        k,
+        n_buckets,
+    )

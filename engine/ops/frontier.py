@@ -66,7 +66,11 @@ def _links_to_candidates(links: DataFrame) -> DataFrame:
         canonical_url_col("url").alias("src_canon"),
         canonical_url_col("dst").alias("url"),
     ).filter(
-        F.col("url").isNotNull() & (F.col("url") != F.col("src_canon"))
+        # null-SAFE self-link test: a source url that itself fails
+        # canonicalization (src_canon null) must not void its
+        # outlinks' evidence (review r3)
+        F.col("url").isNotNull()
+        & ~F.col("url").eqNullSafe(F.col("src_canon"))
     )
     return cand.groupBy("url").agg(
         F.count_distinct("src_host").alias("n_ref_hosts"),
@@ -124,8 +128,10 @@ def frontier_candidates(
     # host_ranks in, which skips the second pass structurally.
     links = extract_outlinks_df(pages, url_col, html_col, max_links)
     cand = _links_to_candidates(links)
-    bloom, k = build_bloom_for(spark, seen_canon, "url", fpp=fpp)
-    new = screen_new_keys(cand, seen_canon, "url", bloom, k)
+    bloom, k, n_buckets = build_bloom_for(spark, seen_canon, "url", fpp=fpp)
+    new = screen_new_keys(
+        cand, seen_canon, "url", bloom, k, n_buckets=n_buckets
+    )
     if host_ranks is None:
         host_ranks = pagerank(
             host_edges(links),

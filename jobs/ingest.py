@@ -65,6 +65,11 @@ from engine.pipeline import (
 from engine.session import get_spark
 
 HOST_BUCKETS = 64
+# each --vector-gen run reserves this many index-log generations, one
+# per commit batch (batches are separate Spark jobs whose partition
+# ids restart at 0 — a shared gen would collide filenames; batches
+# hold disjoint host buckets, so inter-batch order is immaterial)
+VECTOR_GEN_STRIDE = 1000
 
 METRIC_KEYS = (
     "rows",
@@ -265,11 +270,18 @@ def run(args) -> dict:
             # that its new chunking no longer does (stale tail / now-
             # empty docs). Idempotent per batch: a re-done batch
             # re-puts/re-deletes the same (gen, pid, seq) requests.
+            # The EFFECTIVE gen folds in the commit-batch ordinal:
+            # every batch is a separate Spark job whose partition ids
+            # restart at 0, so a shared gen would make batch 2's
+            # request files overwrite batch 1's (review r3 — measured:
+            # 2636 puts, 620 surviving keys). Batches hold disjoint
+            # host buckets, so inter-batch gen order is immaterial.
             from engine.io.vector_sink import (
                 sink_vector_deletes,
                 sink_vectors,
             )
 
+            batch_gen = args.vector_gen * VECTOR_GEN_STRIDE + bi
             vec_path = os.path.join(args.output, "vectors")
             if n_changed != 0 and _has_parquet_files(vec_path):
                 batch_vecs = spark.read.parquet(vec_path).filter(
@@ -280,7 +292,7 @@ def run(args) -> dict:
                         batch_vecs,
                         args.vector_index_name,
                         args.vector_index,
-                        gen=args.vector_gen,
+                        gen=batch_gen,
                     )
                     .agg(F.sum("n_vectors"))
                     .collect()[0][0]
@@ -317,7 +329,7 @@ def run(args) -> dict:
                         stale,
                         args.vector_index_name,
                         args.vector_index,
-                        gen=args.vector_gen,
+                        gen=batch_gen,
                     )
                     .agg(F.sum("n_vectors"))
                     .collect()[0][0]
@@ -419,7 +431,8 @@ def _parser() -> argparse.ArgumentParser:
         default=0,
         help="generation stamp for index requests: pass a higher value "
         "each successive delta run; a --resume of the SAME run "
-        "reuses its gen (idempotent overwrite)",
+        "reuses its gen (idempotent overwrite). Each run reserves a "
+        "stride of 1000 generations internally, one per commit batch",
     )
     p.add_argument(
         "--prior-chunks",

@@ -85,6 +85,16 @@ def main() -> None:
         p.error(f"modes are mutually exclusive, got {' and '.join(modes)}")
 
     # the job entrypoints run with the RocksDB state store: streaming
+    # flag validation BEFORE branching, so a delta flag combined with
+    # a non-vector mode fails loudly instead of being silently dropped
+    # (review r3: --neardup-index + --delta-against ran near-dup with
+    # the delta flags ignored)
+    if args.prior_chunks and not args.delta_against:
+        p.error("--prior-chunks requires --delta-against")
+    if (args.prior_chunks or args.delta_against) and not args.vectors:
+        p.error("--delta-against/--prior-chunks require --vectors")
+    if args.vectors and (args.neardup_index or args.neardup_incremental):
+        p.error("--vectors and --neardup-* are mutually exclusive modes")
     # state (dedup-within-watermark, the incremental near-dup index)
     # must not live in the JVM heap at production state sizes
     spark = get_spark(
@@ -112,8 +122,6 @@ def main() -> None:
             available_now=args.once,
         )
     elif args.vectors:
-        if args.prior_chunks and not args.delta_against:
-            p.error("--prior-chunks requires --delta-against")
         q = start_vector_stream(
             spark,
             args.input,
@@ -124,8 +132,6 @@ def main() -> None:
             prior_chunks=args.prior_chunks,
         )
     else:
-        if args.prior_chunks or args.delta_against:
-            p.error("--delta-against/--prior-chunks require --vectors")
         q = start_ingest_stream(
             spark,
             args.input,

@@ -60,7 +60,7 @@ def test_build_is_partition_invariant(spark):
 
 def test_null_keys_never_seen(spark):
     df = spark.createDataFrame([("a",), (None,)], "url string")
-    bloom, k = build_bloom_for(spark, _keys_df(spark, ["a", "b"]), "url")
+    bloom, k, _nb = build_bloom_for(spark, _keys_df(spark, ["a", "b"]), "url")
     out = {
         r["url"]: r["maybe_seen"]
         for r in bloom_probe(df, bloom.localCheckpoint(eager=True), "url", k).collect()
@@ -76,9 +76,9 @@ def test_screen_new_keys_is_exact(spark):
         [f"old{i}" for i in range(0, 300, 3)]  # 100 re-crawls
         + [f"new{i}" for i in range(150)],
     )
-    bloom, k = build_bloom_for(spark, history, "url", fpp=0.05)
+    bloom, k, nb = build_bloom_for(spark, history, "url", fpp=0.05)
     bloom = bloom.localCheckpoint(eager=True)
-    got = screen_new_keys(incoming, history, "url", bloom, k)
+    got = screen_new_keys(incoming, history, "url", bloom, k, n_buckets=nb)
     urls = sorted(r["url"] for r in got.collect())
     assert urls == sorted(f"new{i}" for i in range(150))
 
@@ -129,9 +129,31 @@ def test_probe_broadcasts_filter_and_never_shuffles_docs(spark):
     from tests.test_plans import plan
 
     members = [f"u{i}" for i in range(200)]
-    bloom, k = build_bloom_for(spark, _keys_df(spark, members), "url")
+    bloom, k, _nb = build_bloom_for(spark, _keys_df(spark, members), "url")
     bloom = bloom.localCheckpoint(eager=True)
     q = bloom_probe(_keys_df(spark, ["u1", "q2"]), bloom, "url", k)
     p = plan(q)
     assert "BroadcastHashJoin" in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_screen_exact_when_bucket_floor_grows(spark, monkeypatch):
+    """When build_bloom_for grows n_buckets above the 64 floor (huge
+    histories), probing with the RETURNED bucket count keeps the
+    no-false-negative contract — the review-r3 regression where a
+    prober defaulting to 64 read the wrong bucket's bitmap and let
+    seen keys through as definitely-new."""
+    import engine.ops.bloom as eb
+
+    monkeypatch.setattr(eb, "_MAX_KEYS_PER_BUCKET", 3)
+    history = _keys_df(spark, [f"old{i}" for i in range(300)])
+    bloom, k, nb = build_bloom_for(spark, history, "url")
+    assert nb > 64  # the floor actually grew in this fixture
+    bloom = bloom.localCheckpoint(eager=True)
+    incoming = _keys_df(
+        spark, [f"old{i}" for i in range(100)] + [f"new{i}" for i in range(50)]
+    )
+    got = screen_new_keys(incoming, history, "url", bloom, k, n_buckets=nb)
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        f"new{i}" for i in range(50)
+    )

@@ -178,8 +178,9 @@ def test_compact_index_log(spark, tmp_path):
     strip = lambda d: {k: {a: b for a, b in v.items() if not a.startswith("_")}
                        for k, v in d.items()}
     assert strip(after) == strip(before)
+    assert stats["snapshot_gen"] == 1  # z-slot of the CURRENT max gen
     files = sorted(p.name for p in root.glob("*.jsonl"))
-    assert all(f.startswith(f"g{stats['snapshot_gen']:06d}_") for f in files)
+    assert all(f.startswith(f"g{stats['snapshot_gen']:06d}z_") for f in files)
     assert not [f for f in files if f.endswith(".del.jsonl")]
 
     # a further delta on top of the snapshot still replays in order
@@ -193,3 +194,114 @@ def test_compact_index_log(spark, tmp_path):
     stats2 = compact_index_log(idx, "main")
     assert stats2["live_keys"] == 3
     assert set(load_live_keys(idx, "main")) == {"A#0", "B#0", "C#0"}
+
+
+def test_replay_order_legacy_numeric_and_snapshot_slots():
+    """_replay_order: legacy pre-generation files first, generations
+    numeric (not lexicographic — 7-digit streaming gens), z-snapshots
+    after their generation's plain files."""
+    from engine.io.vector_sink import _replay_order
+
+    names = [
+        "g1000000_part00000_00000.jsonl",   # 7-digit gen
+        "g000005z_part00000_00000.jsonl",   # gen-5 snapshot
+        "g000005_part00001_00000.del.jsonl",
+        "g999999_part00000_00000.jsonl",
+        "part00000_00000.jsonl",            # legacy, replays first
+        "g000005_part00000_00000.jsonl",
+    ]
+    got = sorted(names, key=_replay_order)
+    assert got == [
+        "part00000_00000.jsonl",
+        "g000005_part00000_00000.jsonl",
+        "g000005_part00001_00000.del.jsonl",
+        "g000005z_part00000_00000.jsonl",
+        "g999999_part00000_00000.jsonl",
+        "g1000000_part00000_00000.jsonl",
+    ]
+
+
+def test_compact_snapshot_never_collides_with_next_stream_batch(spark, tmp_path):
+    """Streaming stamps gen=batch_id, monotone across restarts: after
+    compacting at max gen N the restarted stream's batch N+1 must not
+    overwrite snapshot files, and the snapshot must replay before it.
+    (Review r3: snap_gen=max+1 collided with exactly that batch.)"""
+    from engine.io.vector_sink import (
+        compact_index_log,
+        load_live_keys,
+        sink_vector_deletes,
+        sink_vectors,
+    )
+
+    idx = str(tmp_path / "index")
+    sink_vectors(
+        _vecs(spark, [("A", 0, [1.0], 1), ("B", 0, [2.0], 1)]),
+        "main", idx, gen=4,
+    ).collect()
+    sink_vectors(_vecs(spark, [("A", 0, [9.0], 1)]), "main", idx, gen=5).collect()
+    stats = compact_index_log(idx, "main")
+    assert stats["snapshot_gen"] == 5  # z-slot of CURRENT max, not max+1
+
+    # restarted stream: batch 6 re-puts A with newer bytes + deletes B
+    sink_vectors(_vecs(spark, [("A", 0, [7.0], 1)]), "main", idx, gen=6).collect()
+    sink_vector_deletes(
+        spark.createDataFrame([("B#0",)], "key string"), "main", idx, gen=6
+    ).collect()
+    live = load_live_keys(idx, "main")
+    assert set(live) == {"A#0"}
+    assert live["A#0"]["data"]["float32"] == [7.0]  # batch 6 beats snapshot
+
+
+def test_legacy_pregen_files_replay_first(spark, tmp_path):
+    """An index dir from the pre-generation sink format replays BEFORE
+    the generations a delta run adds — old puts must not override new
+    ones or resurrect deleted keys (review r3)."""
+    import json as _json
+    import pathlib as _pl
+
+    from engine.io.vector_sink import (
+        load_live_keys,
+        sink_vector_deletes,
+        sink_vectors,
+    )
+
+    idx = str(tmp_path / "index")
+    root = _pl.Path(idx) / "main"
+    root.mkdir(parents=True)
+    legacy = [
+        {"_pid": 0, "_seq": 0, "key": "A#0", "data": {"float32": [1.0]}},
+        {"_pid": 0, "_seq": 0, "key": "A#1", "data": {"float32": [2.0]}},
+    ]
+    (root / "part00000_00000.jsonl").write_text(
+        "".join(_json.dumps(e, sort_keys=True) + "\n" for e in legacy)
+    )
+
+    # delta cycle at gen 1: A shrank to one chunk with new bytes
+    sink_vectors(_vecs(spark, [("A", 0, [7.0], 1)]), "main", idx, gen=1).collect()
+    sink_vector_deletes(
+        spark.createDataFrame([("A#1",)], "key string"), "main", idx, gen=1
+    ).collect()
+    live = load_live_keys(idx, "main")
+    assert set(live) == {"A#0"}
+    assert live["A#0"]["data"]["float32"] == [7.0]
+
+
+def test_ingest_multibatch_index_puts_do_not_collide(spark, tmp_path):
+    """jobs/ingest.py --commit-batches B --vector-index: every batch's
+    puts survive in the index log (review r3: a shared gen let batch
+    2's files overwrite batch 1's — 2636 puts, 620 surviving keys)."""
+    import jobs.ingest as ji
+    from engine.io.vector_sink import load_live_keys
+
+    out = str(tmp_path / "run")
+    idx = str(tmp_path / "index")
+    ji.run(
+        ji._parser().parse_args(
+            ["--n-pages", "120", "--seed", "7", "--output", out,
+             "--vector-index", idx, "--commit-batches", "4",
+             "--master", "local[4]", "--shuffle-partitions", "4"]
+        )
+    )
+    n_vec = spark.read.parquet(f"{out}/vectors").count()
+    live = load_live_keys(idx, "chunks-v1")
+    assert n_vec > 0 and len(live) == n_vec
