@@ -141,6 +141,79 @@ def curate(
     return out.withColumn("keep", F.size("reasons") == 0)
 
 
+def with_top_bigram_frac(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Attach `top_bigram_frac` — Gopher's within-doc repetition rule
+    (Rae et al. 2021 §A1.1: drop docs whose most common 2-gram covers
+    too large a character fraction; their cut is 0.20). Catches the
+    looped-phrase generator junk ("buy now buy now buy now ...") whose
+    LINES never repeat, so dup_line_frac stays 0.
+
+    Pure JVM expressions, map-only: bigrams via zip_with of the token
+    array with its own shift, mode via sort + one aggregate scan
+    (longest equal run; first-in-sorted-order wins ties), fraction =
+    mode_count * len(bigram incl. its joining space) / non-space
+    chars. Docs with < 2 tokens score 0. Opt-in next to the metric
+    core (quality_metrics' column set is oracle-pinned); screen via
+    ``rules["top_bigram_frac"] = (0.0, 0.20)`` after attaching."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("best_len"),
+    )
+    scan = F.aggregate(
+        bigrams,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+                > acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+                > acc["best"],
+                F.length(x),
+            )
+            .otherwise(acc["best_len"])
+            .alias("best_len"),
+        ),
+    )
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    # the bigram string carries one joining space; count it like
+    # Gopher counts the surface form, against non-space chars + the
+    # (n-1) intra-bigram separators is overkill — pin the simple,
+    # disclosed ratio: mode_count * len(bigram) / max(nonspace, 1)
+    frac = F.when(
+        (n >= 2) & (nonspace > 0),
+        F.least(
+            F.lit(1.0),
+            (scan["best"] * scan["best_len"]).cast("double") / nonspace,
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.withColumn("top_bigram_frac", F.round(frac, 4))
+
+
 def with_compression_ratio(
     docs: DataFrame, text_col: str = "text", level: int = 6
 ) -> DataFrame:

@@ -75,6 +75,27 @@ def run(args) -> dict:
     rules = dict(DEFAULT_RULES)
     if args.min_tokens is not None:
         rules["n_tokens"] = (args.min_tokens, rules["n_tokens"][1])
+    if args.top_bigram_max is not None:
+        # Gopher within-doc repetition rule (engine/ops/curate.py)
+        from engine.ops.curate import with_top_bigram_frac
+
+        docs = with_top_bigram_frac(docs, text_col=args.text_col)
+        rules["top_bigram_frac"] = (0.0, args.top_bigram_max)
+    if args.badwords:
+        # C4-style banned-word screen; the list file is the caller's
+        # policy artifact (one term per line, # comments)
+        from engine.ops.wordfilter import screen_banned_words
+
+        with open(args.badwords, encoding="utf-8") as f:
+            terms = [
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        docs = screen_banned_words(
+            docs, terms, text_col=args.text_col, max_hits=args.badwords_max
+        ).drop("word_keep")  # the rule engine owns the verdict
+        rules["banned_hits"] = (0, args.badwords_max)
     if args.compression_min is not None or args.compression_max is not None:
         # zlib gibberish/template screen: attach the metric BEFORE
         # curate so the rule engine sees it like any other column
@@ -353,6 +374,26 @@ def _parser() -> argparse.ArgumentParser:
         help="negative (corpus) training sample size as a multiple of "
         "the reference count — training runs over this bounded "
         "sample, never the full corpus",
+    )
+    p.add_argument(
+        "--top-bigram-max",
+        type=float,
+        default=None,
+        help="Gopher repetition rule: reject docs whose most common "
+        "2-gram covers more than this character fraction (Gopher "
+        "used 0.20)",
+    )
+    p.add_argument(
+        "--badwords",
+        default=None,
+        help="banned-term list file (one word/phrase per line, # "
+        "comments) — C4-style content screen, reason banned_hits",
+    )
+    p.add_argument(
+        "--badwords-max",
+        type=int,
+        default=0,
+        help="docs stay kept while banned_hits <= this (C4 used 0)",
     )
     p.add_argument(
         "--compression-min",
