@@ -147,6 +147,86 @@ def rebalance_domains(
     return under.unionByName(overk)
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    group_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    min_group_tokens: int = 0,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-pretraining
+    rule, Conneau & Lample 2019 / XLM-R): resample so group token
+    shares follow q_i ∝ p_i^alpha — alpha<1 flattens the mix toward
+    uniform (low-resource groups gain relative weight), alpha=1 is a
+    no-op, alpha=0 targets exactly uniform.
+
+    DOWNSAMPLE-ONLY construction (a curation engine drops rows, never
+    duplicates them): keep_frac_i = (q_i/p_i) / max_j(q_j/p_j), so the
+    group with the largest boost ratio is kept whole and every other
+    group is thinned to land the target RATIOS exactly in expectation;
+    the corpus shrinks by the normalizing factor — the price of not
+    upsampling, disclosed. Upsampling (epoch repetition of small
+    groups) is a training-loader concern, fed by the `keep_frac`
+    mechanics here if needed.
+
+    `min_group_tokens`: groups below this token count are kept whole
+    AND excluded from the normalizer. Without it, one singleton group
+    (a stray lang tag) has the largest boost ratio at alpha<1, becomes
+    the kept-whole reference, and crushes every real group's keep
+    fraction — measured on the corpus job: a 117-doc corpus with one
+    tiny lang group kept 11 docs. The floor is the published rule's
+    "languages with enough data" precondition, made explicit.
+
+    Scale shape (the rebalance_domains discipline): one groupBy(group)
+    stats agg over ids+tokens; targets and the max-ratio normalizer
+    are two more aggs over the GROUP-sized frame (#langs/#sources —
+    tiny); keep fractions broadcast back; the corpus itself is
+    filtered MAP-ONLY via the hash-Bernoulli rule (pure function of
+    (id, salt) — reproducible at any partitioning, never an RNG).
+    Null group values form their own group.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha {alpha} must be >= 0")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    shares = (
+        docs.groupBy(g.alias("_g"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_gtok"))
+        .withColumn(
+            "_share",
+            F.col("_gtok")
+            / F.sum("_gtok").over(Window.partitionBy(F.lit(1))),
+        )
+    )
+    # q_i ∝ p_i^alpha; ratio_i = q_i / p_i up to a constant that the
+    # max-normalization cancels, so the unnormalized share^(alpha-1)
+    # suffices
+    ratios = shares.withColumn(
+        "_ratio", F.pow(F.col("_share"), F.lit(float(alpha) - 1.0))
+    ).withColumn("_small", F.col("_gtok") < F.lit(int(min_group_tokens)))
+    norm = F.max(F.when(~F.col("_small"), F.col("_ratio"))).over(
+        Window.partitionBy(F.lit(1))
+    )
+    ratios = ratios.withColumn(
+        "_keep",
+        F.when(F.col("_small") | norm.isNull(), F.lit(1.0)).otherwise(
+            F.col("_ratio") / norm
+        ),
+    ).select("_g", "_keep")
+    bucket = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(_DENOM)
+    )
+    return (
+        docs.join(F.broadcast(ratios), g == F.col("_g"), "left")
+        .filter(
+            F.col("_keep").isNull()  # unseen group (impossible) -> keep
+            | (bucket < (F.col("_keep") * _DENOM).cast("long"))
+        )
+        .drop("_g", "_keep")
+    )
+
+
 def assign_splits(
     docs: DataFrame,
     weights: dict[str, float],

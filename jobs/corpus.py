@@ -450,6 +450,38 @@ def run(args) -> dict:
         )
         docs_table = "balanced"
 
+    # -- optional: temperature mix over a group column ------------------
+    if args.mix_alpha is not None:
+
+        def do_tempmix(path: str) -> int:
+            from engine.ops.mix import temperature_mix
+            from engine.ops.pack import whitespace_token_count
+
+            docs = spark.read.parquet(
+                os.path.join(out, docs_table)
+            ).withColumn("_tm_tokens", whitespace_token_count(F.col("text")))
+            temperature_mix(
+                docs,
+                args.mix_alpha,
+                group_col=args.mix_group,
+                token_col="_tm_tokens",
+                id_col="url",
+                min_group_tokens=args.mix_min_tokens,
+            ).drop("_tm_tokens").write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+
+        stage(
+            "tempmix",
+            "tempered",
+            do_tempmix,
+            params={
+                "mix_alpha": args.mix_alpha,
+                "mix_group": args.mix_group,
+                "mix_min_tokens": args.mix_min_tokens,
+            },
+        )
+        docs_table = "tempered"
+
     # -- optional: host-keyed train/val/test split ----------------------
     if args.splits:
         weights = {
@@ -706,6 +738,27 @@ def _parser() -> argparse.ArgumentParser:
         default=1.0,
         help="cap any one host at this token share of the corpus "
         "(<1.0 enables the rebalance stage; exact hard cap)",
+    )
+    p.add_argument(
+        "--mix-alpha",
+        type=float,
+        default=None,
+        help="temperature-based source mixing (XLM-R rule): resample "
+        "so group token shares follow share^alpha (alpha<1 flattens "
+        "toward uniform; downsample-only)",
+    )
+    p.add_argument(
+        "--mix-group",
+        default="lang",
+        help="group column for --mix-alpha (default lang)",
+    )
+    p.add_argument(
+        "--mix-min-tokens",
+        type=int,
+        default=0,
+        help="groups below this token count are kept whole and "
+        "excluded from the temperature normalizer (guards against a "
+        "stray singleton group crushing the real mix)",
     )
     p.add_argument(
         "--splits",

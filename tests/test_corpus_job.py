@@ -612,3 +612,24 @@ def test_curate_stage_compression_and_code_knobs(spark, tmp_path, pages_path):
     after = os.path.getmtime(os.path.join(out, "curate", "kept", "_SUCCESS"))
     assert after > before
     assert res2["stages"]["curate"]["rows"] <= res["stages"]["curate"]["rows"]
+
+
+def test_temperature_mix_stage(spark, tmp_path, pages_path):
+    """--mix-alpha flattens the lang mix between rebalance and splits;
+    the stage is params-gated like the others."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus")
+    res = run(
+        _args(
+            pages_path,
+            out,
+            min_tokens=5,
+            sample_fraction=1.0,
+            mix_alpha=0.5,
+        )
+    )
+    assert "tempmix" in res["stages"]
+    assert os.path.exists(os.path.join(out, "tempered", "_SUCCESS"))
+    # tempmix runs on the sampled final table (downsample-only)
+    assert 0 < res["stages"]["tempmix"]["rows"] <= res["stages"]["sample"]["rows"]

@@ -216,3 +216,103 @@ def test_rebalance_exact_oversize_doc_cannot_block_host(spark):
     assert wt == cap
     assert kept.filter("doc_id = 1").count() == 0
     assert kept.filter("host != 'whale'").count() == 100
+
+
+def test_temperature_mix_targets_and_determinism(spark):
+    """alpha<1 flattens token shares toward q_i ∝ p_i^alpha with the
+    biggest-boost group kept whole; closed-form keep fractions and the
+    realized mix both pinned; deterministic across partitionings;
+    alpha=1 is a row-exact no-op."""
+    import numpy as np
+
+    from engine.ops.mix import temperature_mix
+
+    sizes = {"en": 7000, "de": 2000, "sw": 1000}
+    rows = [
+        (f"{g}-{i}", g, 10)
+        for g, n in sizes.items()
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_tokens int"
+    )
+
+    out = temperature_mix(docs, alpha=0.5)
+    got = {
+        r["lang"]: r["tok"]
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    # closed form: p = sizes/total; keep_i = p_i^(a-1) / max_j p_j^(a-1)
+    p = np.array([0.7, 0.2, 0.1])
+    keep = p ** -0.5 / (p ** -0.5).max()   # [0.378, 0.707, 1.0]
+    expect = {g: s * 10 * k for (g, s), k in zip(sizes.items(), keep)}
+    for g in sizes:
+        assert abs(got[g] - expect[g]) / expect[g] < 0.05, (g, got[g], expect[g])
+    # realized shares match q ∝ sqrt(p) within sampling error
+    tot = sum(got.values())
+    q = np.sqrt(p) / np.sqrt(p).sum()
+    for g, qi in zip(sizes, q):
+        assert abs(got[g] / tot - qi) < 0.03, (g, got[g] / tot, qi)
+
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_mix(docs.repartition(13), alpha=0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2  # pure function of (id, salt)
+
+    noop = temperature_mix(docs, alpha=1.0)
+    assert noop.count() == docs.count()
+
+
+def test_temperature_mix_corpus_never_shuffled(spark):
+    """The corpus side stays map-only: stats and keep fractions ride a
+    broadcast join; no Exchange touches the docs frame."""
+    from tests.test_plans import plan
+
+    from engine.ops.mix import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 3 else "de", 10) for i in range(60)],
+        "doc_id string, lang string, n_tokens int",
+    )
+    p = plan(temperature_mix(docs, alpha=0.3))
+    import re
+
+    # exchanges exist for the tiny shares aggregation; none may carry
+    # the corpus columns (text-side hash partitioning of doc rows)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "doc_id" not in m.group(1), p
+
+
+def test_temperature_mix_min_group_floor(spark):
+    """A tiny stray group must not become the kept-whole reference:
+    with the floor it is kept whole AND excluded from the normalizer,
+    so the real groups' keep fractions are computed among themselves."""
+    from engine.ops.mix import temperature_mix
+
+    rows = (
+        [(f"en-{i}", "en", 10) for i in range(700)]
+        + [(f"de-{i}", "de", 10) for i in range(300)]
+        + [("stray-0", "xx", 10)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_tokens int"
+    )
+    out = temperature_mix(docs, alpha=0.5, min_group_tokens=100)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get("xx") == 1  # floor group kept whole
+    # de (smaller real group) is the reference: kept ~whole
+    assert got["de"] > 270
+    # en thinned toward sqrt-share ratio: keep ~ sqrt(0.3/0.7) = 0.655
+    assert 0.55 < got["en"] / 700 < 0.75
+    # without the floor the stray group crushes everything
+    crushed = temperature_mix(docs, alpha=0.5)
+    assert crushed.count() < out.count() / 3
