@@ -266,6 +266,15 @@ def compact_index_log(
     leftover higher-seq snapshot files from a previous, larger
     snapshot.
 
+    COMPACTION IS A GENERATION BARRIER: writers after a compaction
+    must use gen > the returned snapshot_gen. A writer REUSING the
+    snapshot's generation (a batch run re-passing the same
+    --vector-gen, or a legacy-only log followed by a default gen=0
+    run) would replay BEFORE the z snapshot and lose to it — the
+    "resume reuses its gen" idempotence contract ends at the moment
+    the log is compacted. Streaming satisfies the barrier structurally
+    (gen = batch_id is monotone across restarts).
+
     Driver-side and O(index) like load_live_keys — the maintenance
     entry for the bounded dry-run/test seam; a real S3-Vectors-style
     service compacts server-side.

@@ -204,7 +204,16 @@ def temperature_mix(
     # suffices
     ratios = shares.withColumn(
         "_ratio", F.pow(F.col("_share"), F.lit(float(alpha) - 1.0))
-    ).withColumn("_small", F.col("_gtok") < F.lit(int(min_group_tokens)))
+    ).withColumn(
+        # zero-token groups (empty-text docs under a stray tag) would
+        # make share^(alpha-1) = Infinity at alpha<1 and zero every
+        # real group's keep fraction — they carry no weight, so treat
+        # them like floor groups: kept whole, out of the normalizer
+        # (review r3)
+        "_small",
+        (F.col("_gtok") < F.lit(int(min_group_tokens)))
+        | (F.col("_gtok") <= 0),
+    )
     norm = F.max(F.when(~F.col("_small"), F.col("_ratio"))).over(
         Window.partitionBy(F.lit(1))
     )

@@ -48,10 +48,25 @@ def screen_banned_words(
     """docs + terms -> docs + (banned_hits int, word_keep boolean).
 
     `terms`: the policy list (words and/or multi-word phrases),
-    matched per the module contract. `max_hits`: a doc stays kept
+    matched per the module contract. Terms are run through the SAME
+    normalization as document tokens (lowercase, non-letter/digit
+    chars stripped per word) — real policy lists are full of
+    punctuated entries ("x-rated"), and an unnormalized term could
+    never match a normalized token (review r3). A term that
+    normalizes to nothing is skipped. `max_hits`: a doc stays kept
     while banned_hits <= max_hits (C4 used 0)."""
-    words = sorted({t.strip().lower() for t in terms if t.strip() and " " not in t.strip()})
-    phrases = sorted({t.strip().lower() for t in terms if t.strip() and " " in t.strip()})
+
+    def _norm_term_word(w: str) -> str:
+        return "".join(ch for ch in w.lower() if ch.isalnum())
+
+    words, phrases = set(), set()
+    for t in terms:
+        parts = [p for p in (_norm_term_word(w) for w in t.split()) if p]
+        if len(parts) == 1:
+            words.add(parts[0])
+        elif parts:
+            phrases.add(" ".join(parts))
+    words, phrases = sorted(words), sorted(phrases)
 
     toks = _norm_tokens(F.col(text_col))
     hits = F.lit(0)
@@ -94,9 +109,15 @@ def banned_hits_joined(
     toks = docs.select(
         F.col(id_col), F.explode(_norm_tokens(F.col(text_col))).alias("_tok")
     )
-    terms = terms_df.select(
-        F.lower(F.trim(F.col(term_col))).alias("_tok")
-    ).distinct()
+    terms = (
+        terms_df.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(term_col))), _STRIP_RE, ""
+            ).alias("_tok")
+        )
+        .filter(F.col("_tok") != "")
+        .distinct()
+    )
     hits = (
         toks.join(F.broadcast(terms), "_tok")
         .groupBy(id_col)

@@ -475,6 +475,10 @@ def run(args) -> dict:
             "tempered",
             do_tempmix,
             params={
+                # input is semantics-affecting: dropping --max-host-share
+                # on a resume must invalidate this stage (the repo's
+                # input-gating discipline, review r3)
+                "input": docs_table,
                 "mix_alpha": args.mix_alpha,
                 "mix_group": args.mix_group,
                 "mix_min_tokens": args.mix_min_tokens,

@@ -34,6 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from engine.session import get_spark  # noqa: E402
 
+FRONTIER_DDL = (
+    "url string, host string, n_ref_hosts long, n_refs long, "
+    "rank double, priority double"
+)
+
 
 def run(args) -> dict:
     from engine.cli import fill_defaults
@@ -54,17 +59,32 @@ def run(args) -> dict:
         from engine.io.snapshots import incremental_read
 
         pages = incremental_read(spark, args.pages, after=args.since_snapshot)
+        out = os.path.join(args.output, "frontier")
         if pages is None:  # no files added since that snapshot
+            # still OVERWRITE the output: a downstream fetcher reading
+            # <output>/frontier must see "nothing to fetch", not the
+            # previous cycle's stale candidate list (review r3)
+            spark.createDataFrame([], FRONTIER_DDL).write.mode(
+                "overwrite"
+            ).parquet(out)
             summary = {
                 "wall_s": round(time.monotonic() - t0, 2),
                 "candidates_written": 0,
                 "no_new_pages": True,
+                "output": out,
             }
             print(json.dumps(summary))
             return summary
+        # the SEEN screen must cover the full history even though
+        # discovery reads only the new slice (review r3: defaulting
+        # seen to the delta re-proposed urls crawled in prior batches)
+        if not args.seen:
+            seen = spark.read.parquet(args.pages)
+        else:
+            seen = spark.read.parquet(args.seen)
     else:
         pages = spark.read.parquet(args.pages)
-    seen = spark.read.parquet(args.seen) if args.seen else pages
+        seen = spark.read.parquet(args.seen) if args.seen else pages
     ranks = (
         spark.read.parquet(args.host_ranks) if args.host_ranks else None
     )

@@ -84,7 +84,6 @@ def main() -> None:
     if len(modes) > 1:
         p.error(f"modes are mutually exclusive, got {' and '.join(modes)}")
 
-    # the job entrypoints run with the RocksDB state store: streaming
     # flag validation BEFORE branching, so a delta flag combined with
     # a non-vector mode fails loudly instead of being silently dropped
     # (review r3: --neardup-index + --delta-against ran near-dup with
@@ -93,8 +92,7 @@ def main() -> None:
         p.error("--prior-chunks requires --delta-against")
     if (args.prior_chunks or args.delta_against) and not args.vectors:
         p.error("--delta-against/--prior-chunks require --vectors")
-    if args.vectors and (args.neardup_index or args.neardup_incremental):
-        p.error("--vectors and --neardup-* are mutually exclusive modes")
+    # the job entrypoints run with the RocksDB state store: streaming
     # state (dedup-within-watermark, the incremental near-dup index)
     # must not live in the JVM heap at production state sizes
     spark = get_spark(

@@ -191,3 +191,44 @@ def test_frontier_job_since_snapshot(spark, tmp_path):
         )
     )
     assert summary2["candidates_written"] == 0 and summary2["no_new_pages"]
+
+
+def test_since_snapshot_default_seen_is_full_history(spark, tmp_path):
+    """--since-snapshot without --seen must screen against ALL crawled
+    pages, not just the incremental slice (review r3) — and the
+    no-new-pages path overwrites the output with an empty list."""
+    import jobs.frontier as jf
+    from engine.io.snapshots import commit_snapshot
+
+    pages_path = str(tmp_path / "pages")
+    _pages(spark, [("https://old.com/p", '<a href="https://t.com/x">l</a>')]) \
+        .write.mode("append").parquet(pages_path)
+    s1 = commit_snapshot(pages_path)["snapshot_id"]
+    # the new batch links BACK to an already-crawled page
+    _pages(spark, [("https://b.com/p",
+                    '<a href="https://old.com/p">back</a>'
+                    '<a href="https://t.com/fresh">l</a>')]) \
+        .write.mode("append").parquet(pages_path)
+    commit_snapshot(pages_path)
+
+    out = str(tmp_path / "front")
+    jf.run(
+        jf._parser().parse_args(
+            ["--pages", pages_path, "--output", out,
+             "--since-snapshot", str(s1), "--master", "local[2]"]
+        )
+    )
+    got = {r["url"] for r in spark.read.parquet(f"{out}/frontier").collect()}
+    assert "https://old.com/p" not in got  # full-history screen
+    assert "https://t.com/fresh" in got
+
+    # no-new-pages cycle: output becomes an EMPTY fetch list, not stale
+    s_latest = commit_snapshot(pages_path)["snapshot_id"]
+    summary = jf.run(
+        jf._parser().parse_args(
+            ["--pages", pages_path, "--output", out,
+             "--since-snapshot", str(s_latest), "--master", "local[2]"]
+        )
+    )
+    assert summary["no_new_pages"] and summary["output"].endswith("frontier")
+    assert spark.read.parquet(f"{out}/frontier").count() == 0

@@ -316,3 +316,26 @@ def test_temperature_mix_min_group_floor(spark):
     # without the floor the stray group crushes everything
     crushed = temperature_mix(docs, alpha=0.5)
     assert crushed.count() < out.count() / 3
+
+
+def test_temperature_mix_zero_token_group_is_harmless(spark):
+    """A group whose docs all have zero tokens must not become an
+    Infinity normalizer that empties the corpus."""
+    from engine.ops.mix import temperature_mix
+
+    rows = (
+        [(f"en-{i}", "en", 10) for i in range(70)]
+        + [(f"de-{i}", "de", 10) for i in range(30)]
+        + [("empty-0", "xx", 0)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_tokens int"
+    )
+    out = temperature_mix(docs, alpha=0.5)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get("xx") == 1          # kept whole, carries no weight
+    assert got.get("de", 0) > 20       # real groups survive
+    assert got.get("en", 0) > 30

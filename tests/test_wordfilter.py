@@ -130,3 +130,24 @@ def test_curate_job_badwords_and_repetition(spark, tmp_path):
     assert summary["reasons"].get("top_bigram_frac", 0) == 1
     kept = spark.read.parquet(f"{out}/kept")
     assert [r.doc_id for r in kept.select("doc_id").collect()] == [1]
+
+
+def test_punctuated_terms_normalized_like_tokens(spark):
+    """Policy lists carry punctuated entries; terms must go through
+    the same normalization as document tokens or they never match."""
+    rows = screen_banned_words(
+        _docs(
+            spark,
+            [
+                "this x-rated clip and that X.RATED one both match",
+                "narrated content does not",
+            ],
+        ),
+        ["x-rated", "  ", "!!!"],  # junk-only terms are skipped
+    ).orderBy("doc_id").collect()
+    assert [r["banned_hits"] for r in rows] == [2, 0]
+
+    tdf = screen_banned_words(
+        _docs(spark, ["a hand-made grey wobble here"]), ["grey  wobble!"]
+    ).collect()
+    assert tdf[0]["banned_hits"] == 1  # phrase normalized per word
