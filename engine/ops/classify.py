@@ -208,3 +208,215 @@ def quality_classifier(
     return train_logreg(
         both, feats, label_col="_y", max_iter=max_iter, stats=stats
     )
+
+
+# ------------------------------------------------------------------ #
+# fastText-style hashed bag-of-ngrams classifier                      #
+# ------------------------------------------------------------------ #
+#
+# The quality-filter shape the public LLM-corpus recipes actually use
+# (Joulin et al. 2016 fastText; applied as the quality classifier in
+# LLaMA, DCLM and RedPajama pipelines): logistic regression over
+# HASHED unigram+bigram token features, mean-pooled per document. The
+# metric-feature model above (CCNet) sees only token SHAPE; this one
+# sees token IDENTITY, so it separates "looks like Wikipedia" from
+# "looks like spam" even when both have prose-like shape metrics.
+#
+# Spark-first shape, same discipline as train_logreg: features are
+# engine/ops/dsir.hashed_feature_col (pure JVM codegen — unigrams and
+# bigrams hashed into n_buckets ids per doc, the tokenize paid once);
+# the feature frame is localCheckpointed; each training iteration is
+# ONE map-only mapInPandas pass where the weight vector rides in the
+# closure and each TASK yields a single (n, loss, grad[n_buckets+1])
+# partial (accumulated across its Arrow batches with np.bincount —
+# driver combine is O(n_buckets * tasks), independent of corpus
+# size). Scoring is one Arrow pass with the weights in the closure —
+# no join, no shuffle, zero driver state per row.
+
+HASHED_DEFAULT_BUCKETS = 1 << 15
+
+
+def _hashed_grad_fn(w: np.ndarray, b: float, w_pos: float, w_neg: float):
+    nb = len(w)
+
+    def fn(batches):
+        g = np.zeros(nb + 1, dtype=np.float64)
+        loss, n = 0.0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["_fb"]]
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            )
+            y = pdf["_label"].to_numpy(dtype=np.float64)
+            wt = np.where(y > 0.5, w_pos, w_neg)
+            nz = lens > 0
+            inv = np.where(nz, 1.0 / np.maximum(lens, 1), 0.0)
+            z = np.full(len(arrs), b, dtype=np.float64)
+            if lens.sum():
+                flat = np.concatenate([a for a in arrs if len(a)])
+                starts = np.zeros(len(arrs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sums = np.zeros(len(arrs), dtype=np.float64)
+                sums[nz] = np.add.reduceat(w[flat], starts[nz])
+                z += sums * inv
+            p = 1.0 / (1.0 + np.exp(-z))
+            eps = 1e-12
+            loss += -(
+                wt
+                * (
+                    y * np.log(np.maximum(p, eps))
+                    + (1 - y) * np.log(np.maximum(1 - p, eps))
+                )
+            ).sum()
+            r = wt * (p - y)
+            if lens.sum():
+                per_occ = np.repeat(r * inv, lens)
+                g[:nb] += np.bincount(flat, weights=per_occ, minlength=nb)
+            g[nb] += r.sum()
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame(
+                [(n, float(loss), g.tolist())], columns=["n", "loss", "grad"]
+            )
+
+    return fn
+
+
+def train_hashed_logreg(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = HASHED_DEFAULT_BUCKETS,
+    max_iter: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-6,
+    tol: float = 1e-7,
+    stats: dict | None = None,
+) -> dict:
+    """Full-batch logistic regression over mean-pooled hashed
+    unigram+bigram features; returns {"kind": "hashed_logreg",
+    "n_buckets", "w": [n_buckets floats], "b"} — a plain JSON-safe
+    dict (the dsir.py model convention).
+
+    Mean pooling bounds every feature in [0, 1] but also shrinks the
+    per-bucket gradient by ~1/L (L = features per doc), so plain GD
+    crawls. The weight step is therefore scaled by the corpus mean L
+    (one tiny agg) — diagonal preconditioning for the known pooling
+    structure; the bias keeps the unscaled step (its column is all
+    ones). Train on a SAMPLE at scale (the model needs class
+    contrast, not every row — engine/ops/sample.hash_sample)."""
+    from engine.ops.dsir import hashed_feature_col, token_col
+
+    base = df.select(
+        hashed_feature_col(token_col(text_col), int(n_buckets)).alias("_fb"),
+        F.col(label_col).cast("double").alias("_label"),
+    )
+    train = base.localCheckpoint(eager=True)
+    n_total = train.count()
+    if n_total == 0:
+        raise ValueError("empty training frame")
+    stats_row = train.agg(
+        F.avg(F.size("_fb")).alias("ml"),
+        F.sum(F.col("_label")).alias("npos"),
+    ).collect()[0]
+    w_step = lr * max(1.0, float(stats_row["ml"] or 1.0))
+    # balanced class weights (each class contributes half the loss):
+    # the negative side is usually a RATIO-sized corpus sample, and
+    # without balancing the scores calibrate to that sampling prior —
+    # an absolute score cut then means nothing. With balancing, 0.5
+    # is the class boundary at any sampling ratio.
+    n_pos = float(stats_row["npos"] or 0.0)
+    n_neg = n_total - n_pos
+    w_pos = n_total / (2.0 * n_pos) if n_pos else 0.0
+    w_neg = n_total / (2.0 * n_neg) if n_neg else 0.0
+    w = np.zeros(int(n_buckets))
+    b = 0.0
+    iters, gnorm, mean_loss = 0, float("inf"), float("nan")
+    for i in range(max_iter):
+        partials = train.mapInPandas(
+            _hashed_grad_fn(w, b, w_pos, w_neg), PARTIAL_DDL
+        ).collect()
+        g = np.zeros(int(n_buckets) + 1)
+        loss = 0.0
+        for r in partials:
+            g += np.asarray(r["grad"], dtype=np.float64)
+            loss += r["loss"]
+        g /= n_total
+        loss = loss / n_total + 0.5 * l2 * float(w @ w)
+        g[:-1] += l2 * w
+        w -= w_step * g[:-1]
+        b -= lr * g[-1]
+        iters, gnorm, mean_loss = i + 1, float(np.abs(g).max()), float(loss)
+        if gnorm < tol:
+            break
+    if stats is not None:
+        stats.update(iters=iters, grad_inf=gnorm, loss=mean_loss, n=n_total)
+    return {
+        "kind": "hashed_logreg",
+        "n_buckets": int(n_buckets),
+        "w": w.tolist(),
+        "b": float(b),
+    }
+
+
+def score_hashed(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    score_name: str = "quality_score",
+) -> DataFrame:
+    """Attach sigmoid(mean(w[bucket]) + b) — ONE map-only Arrow pass,
+    weights in the closure (256 KB at the default 2^15 buckets: ships
+    once per task like a broadcast), no join, no shuffle. Empty docs
+    score sigmoid(b)."""
+    from engine.ops.dsir import hashed_feature_col, token_col
+
+    w = np.asarray(model["w"], dtype=np.float64)
+    if len(w) != model["n_buckets"]:
+        raise ValueError("model w length != n_buckets")
+    b = float(model["b"])
+
+    @F.pandas_udf("double")
+    def _score(buckets: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in buckets]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        z = np.full(len(arrs), b, dtype=np.float64)
+        nz = lens > 0
+        if lens.sum():
+            flat = np.concatenate([a for a in arrs if len(a)])
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.zeros(len(arrs), dtype=np.float64)
+            sums[nz] = np.add.reduceat(w[flat], starts[nz])
+            z += np.where(nz, sums / np.maximum(lens, 1), 0.0)
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    feat = hashed_feature_col(token_col(text_col), model["n_buckets"])
+    return df.withColumn(score_name, _score(feat))
+
+
+def fasttext_quality(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = HASHED_DEFAULT_BUCKETS,
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> dict:
+    """The DCLM/LLaMA pairing end-to-end: reference docs labeled 1,
+    corpus docs 0, hashed-ngram model trained; apply with score_hashed
+    over any frame carrying the text column."""
+    pos = reference.select(F.col(text_col)).withColumn("_y", F.lit(1))
+    neg = corpus.select(F.col(text_col)).withColumn("_y", F.lit(0))
+    return train_hashed_logreg(
+        pos.unionByName(neg),
+        text_col=text_col,
+        label_col="_y",
+        n_buckets=n_buckets,
+        max_iter=max_iter,
+        stats=stats,
+    )

@@ -214,6 +214,156 @@ def with_top_bigram_frac(
     return docs.withColumn("top_bigram_frac", F.round(frac, 4))
 
 
+# Gopher's published repetition cuts (Rae et al. 2021 Table A1):
+# a doc is rejected when the most common n-gram covers more than the
+# top cut, or when characters inside ANY duplicated n-gram exceed the
+# dup cut. Keys are n, values the max allowed fraction.
+GOPHER_TOP_NGRAM_CUTS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_CUTS: dict[int, float] = {
+    5: 0.15,
+    6: 0.14,
+    7: 0.13,
+    8: 0.12,
+    9: 0.11,
+    10: 0.10,
+}
+
+
+def with_repetition_panel(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Attach the FULL Gopher within-doc repetition panel (Rae et al.
+    2021 §A1.1): `top_{n}gram_frac` for n in top_ns (fraction of
+    characters covered by the single most frequent n-gram) and
+    `dup_{n}gram_frac` for n in dup_ns (fraction of characters inside
+    ANY n-gram that occurs more than once — overlapping occurrences
+    counted once, the paper's "not double-count" rule).
+
+    Pinned conventions (tests/test_curate.py replicates them in an
+    independent reference): fractions are measured over the
+    whitespace-NORMALIZED text (tokens joined by single spaces — the
+    string every n-gram occurrence actually lives in, so coverage is
+    well-defined); the top n-gram's weight is count * surface length;
+    count ties break to the lexicographically smallest gram
+    (determinism under any partitioning); docs with fewer than n
+    tokens score 0.0; a top gram must occur at least TWICE to count
+    (singletons are not repetition — without the gate short clean
+    docs fail on their own longest gram). Note `with_top_bigram_frac` (above) keeps its
+    original oracle-pinned single-metric convention (non-space-char
+    denominator); this panel is the multi-n superset with one shared
+    denominator.
+
+    Shape: ONE iterator-form Arrow-batched UDF computing all nine
+    metrics in a single pass per doc (token split and char offsets
+    computed once; one Counter per n; coverage union via a numpy
+    difference array, O(tokens + chars) per n) — deliberately Python
+    like with_compression_ratio, still strictly map-only: no join, no
+    shuffle, model-free. Screen by merging `gopher_repetition_rules()`
+    into curate()'s rules after attaching."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    top_ns = tuple(int(n) for n in top_ns)
+    dup_ns = tuple(int(n) for n in dup_ns)
+    if any(n < 1 for n in (*top_ns, *dup_ns)):
+        raise ValueError("n-gram sizes must be >= 1")
+    fields = [f"top_{n}gram_frac" for n in top_ns] + [
+        f"dup_{n}gram_frac" for n in dup_ns
+    ]
+    ddl = ", ".join(f"{f} double" for f in fields)
+
+    def _doc_fracs(text: str | None) -> list[float]:
+        from collections import Counter
+
+        toks = (text or "").split()
+        T = len(toks)
+        if T == 0:
+            return [0.0] * (len(top_ns) + len(dup_ns))
+        starts = np.zeros(T, dtype=np.int64)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=T)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        total = int(starts[-1] + lens[-1])  # len(" ".join(toks))
+        out: list[float] = []
+        counters: dict[int, Counter] = {}
+
+        def _counter(n: int) -> Counter:
+            if n not in counters:
+                counters[n] = Counter(
+                    tuple(toks[i : i + n]) for i in range(T - n + 1)
+                )
+            return counters[n]
+
+        for n in top_ns:
+            if T < n or total <= 0:
+                out.append(0.0)
+                continue
+            c = _counter(n)
+            best_count = max(c.values())
+            if best_count < 2:
+                # a gram occurring once is not repetition: without
+                # this gate a SHORT clean doc fails on its own longest
+                # 4-gram (len(gram)/len(doc) > cut with count=1 —
+                # measured 71/500 false fires on the sf0.001 table);
+                # the n_tokens rule owns short docs
+                out.append(0.0)
+                continue
+            best = min(g for g, v in c.items() if v == best_count)
+            glen = sum(len(w) for w in best) + (n - 1)
+            out.append(min(1.0, best_count * glen / total))
+        for n in dup_ns:
+            if T < n or total <= 0:
+                out.append(0.0)
+                continue
+            c = _counter(n)
+            dup_pos = [
+                i
+                for i in range(T - n + 1)
+                if c[tuple(toks[i : i + n])] > 1
+            ]
+            if not dup_pos:
+                out.append(0.0)
+                continue
+            pos = np.asarray(dup_pos, dtype=np.int64)
+            span_s = starts[pos]
+            span_e = starts[pos + n - 1] + lens[pos + n - 1]
+            diff = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(diff, span_s, 1)
+            np.add.at(diff, span_e, -1)
+            covered = int((np.cumsum(diff[:total]) > 0).sum())
+            out.append(covered / total)
+        return out
+
+    @pandas_udf(f"struct<{ddl}>")
+    def _panel(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batches:
+            yield pd.DataFrame(
+                [_doc_fracs(t) for t in s], columns=fields
+            )
+
+    out = docs.withColumn("_rep", _panel(F.col(text_col)))
+    for f in fields:
+        out = out.withColumn(f, F.round(F.col(f"_rep.{f}"), 4))
+    return out.drop("_rep")
+
+
+def gopher_repetition_rules(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> dict[str, tuple[float, float]]:
+    """The published Gopher cuts as curate() rule entries for the
+    columns with_repetition_panel attaches — merge into the rules dict
+    (rules are data, not code)."""
+    rules: dict[str, tuple[float, float]] = {}
+    for n in top_ns:
+        rules[f"top_{n}gram_frac"] = (0.0, GOPHER_TOP_NGRAM_CUTS[int(n)])
+    for n in dup_ns:
+        rules[f"dup_{n}gram_frac"] = (0.0, GOPHER_DUP_NGRAM_CUTS[int(n)])
+    return rules
+
+
 def with_compression_ratio(
     docs: DataFrame, text_col: str = "text", level: int = 6
 ) -> DataFrame:

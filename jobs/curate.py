@@ -81,6 +81,16 @@ def run(args) -> dict:
 
         docs = with_top_bigram_frac(docs, text_col=args.text_col)
         rules["top_bigram_frac"] = (0.0, args.top_bigram_max)
+    if args.gopher_repetition:
+        # full Gopher repetition panel (top-2/3/4-gram + dup-5..10-gram
+        # character fractions) at the paper's published cuts
+        from engine.ops.curate import (
+            gopher_repetition_rules,
+            with_repetition_panel,
+        )
+
+        docs = with_repetition_panel(docs, text_col=args.text_col)
+        rules.update(gopher_repetition_rules())
     if args.badwords:
         # C4-style banned-word screen; the list file is the caller's
         # policy artifact (one term per line, # comments)
@@ -265,16 +275,29 @@ def run(args) -> dict:
         neg = hash_sample(
             neg_pool, neg_frac, id_col=args.id_col, salt="clf_neg"
         )
-        model = quality_classifier(
-            neg.select(args.id_col, args.text_col),
-            ref.select(args.id_col, args.text_col),
-            id_col=args.id_col,
-            text_col=args.text_col,
-            stats=clf_stats,
-        )
-        # verdict rows already carry the metric feature columns, so
-        # scoring is a free codegen projection — no recompute, no join
-        verdicts = score_logreg(verdicts, model)
+        if args.classifier_hashed:
+            # fastText-style hashed-ngram model (token IDENTITY, the
+            # DCLM/LLaMA filter shape) instead of metric features
+            from engine.ops.classify import fasttext_quality, score_hashed
+
+            model = fasttext_quality(
+                neg.select(args.text_col),
+                ref.select(args.text_col),
+                text_col=args.text_col,
+                stats=clf_stats,
+            )
+            verdicts = score_hashed(verdicts, model, text_col=args.text_col)
+        else:
+            model = quality_classifier(
+                neg.select(args.id_col, args.text_col),
+                ref.select(args.id_col, args.text_col),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                stats=clf_stats,
+            )
+            # verdict rows already carry the metric feature columns, so
+            # scoring is a free codegen projection — no recompute, no join
+            verdicts = score_logreg(verdicts, model)
         if args.classifier_min_score is not None:
             clf_ok = F.col("quality_score") >= float(args.classifier_min_score)
             verdicts = verdicts.withColumn(
@@ -368,6 +391,13 @@ def _parser() -> argparse.ArgumentParser:
         "without screening",
     )
     p.add_argument(
+        "--classifier-hashed",
+        action="store_true",
+        help="with --classifier-ref: train the fastText-style hashed "
+        "bag-of-ngrams model (token identity; the DCLM/LLaMA quality-"
+        "filter shape) instead of the metric-feature CCNet model",
+    )
+    p.add_argument(
         "--classifier-neg-ratio",
         type=float,
         default=4.0,
@@ -382,6 +412,14 @@ def _parser() -> argparse.ArgumentParser:
         help="Gopher repetition rule: reject docs whose most common "
         "2-gram covers more than this character fraction (Gopher "
         "used 0.20)",
+    )
+    p.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="attach the full Gopher within-doc repetition panel "
+        "(top-2/3/4-gram and dup-5..10-gram character fractions) and "
+        "screen at the paper's published cuts (Rae et al. 2021 "
+        "Table A1)",
     )
     p.add_argument(
         "--badwords",

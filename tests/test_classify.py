@@ -123,3 +123,157 @@ def test_quality_classifier_separates_rules(spark):
         for r in scored.groupBy("keep").agg(F.avg("q").alias("m")).collect()
     }
     assert means[True] > means[False] + 0.1, means
+
+
+# ---------------------------------------------------------------- #
+# fastText-style hashed bag-of-ngrams classifier                    #
+# ---------------------------------------------------------------- #
+
+GOODWORDS = (
+    "the study presents results from a careful analysis of river "
+    "ecosystems and describes methods used across several field sites"
+).split()
+SPAMWORDS = (
+    "click here buy cheap pills winner casino bonus free offer "
+    "limited deal subscribe now discount jackpot prize claim"
+).split()
+
+
+def _text_rows(n=120):
+    """Vocab-disjoint classes; deterministic word shuffles."""
+    rows = []
+    for i in range(n):
+        g = [GOODWORDS[(i * 5 + j) % len(GOODWORDS)] for j in range(18)]
+        s = [SPAMWORDS[(i * 3 + j) % len(SPAMWORDS)] for j in range(18)]
+        rows.append((i, " ".join(g), 1))
+        rows.append((1000 + i, " ".join(s), 0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def textsep(spark):
+    return spark.createDataFrame(
+        _text_rows(), "id long, text string, label int"
+    ).cache()
+
+
+def test_hashed_train_matches_numpy_reference(spark, textsep):
+    """The distributed training loop == sequential numpy GD over the
+    SAME feature arrays (features come from the pinned JVM expression,
+    fetched once; this pins the mapInPandas partial/combine path)."""
+    from engine.ops.classify import train_hashed_logreg
+    from engine.ops.dsir import hashed_feature_col, token_col
+
+    nb, iters, lr, l2 = 4096, 12, 2.0, 1e-6
+    feats = [
+        (list(r["_fb"]), float(r["label"]))
+        for r in textsep.select(
+            hashed_feature_col(token_col("text"), nb).alias("_fb"), "label"
+        ).collect()
+    ]
+    w = np.zeros(nb)
+    b = 0.0
+    n = len(feats)
+    mean_l = max(1.0, sum(len(fb) for fb, _ in feats) / n)
+    for _ in range(iters):
+        g = np.zeros(nb + 1)
+        for fb, y in feats:
+            a = np.asarray(fb, dtype=np.int64)
+            z = b + (w[a].mean() if len(a) else 0.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            if len(a):
+                np.add.at(g, a, r / len(a))
+            g[nb] += r
+        g /= n
+        g[:-1] += l2 * w
+        w -= lr * mean_l * g[:-1]
+        b -= lr * g[-1]
+
+    model = train_hashed_logreg(
+        textsep, label_col="label", n_buckets=nb, max_iter=iters,
+        lr=lr, l2=l2, tol=0.0,
+    )
+    assert np.abs(np.asarray(model["w"]) - w).max() < 1e-8
+    assert abs(model["b"] - b) < 1e-8
+
+
+def test_hashed_separates_disjoint_vocab(spark, textsep):
+    from engine.ops.classify import score_hashed, train_hashed_logreg
+
+    model = train_hashed_logreg(textsep, label_col="label", max_iter=40)
+    got = score_hashed(textsep, model).select("label", "quality_score")
+    rows = got.collect()
+    pos = [r["quality_score"] for r in rows if r["label"] == 1]
+    neg = [r["quality_score"] for r in rows if r["label"] == 0]
+    assert min(pos) > 0.8 and max(neg) < 0.2
+    # shape-metric models cannot do this: both classes have identical
+    # token-length/stopword shape by construction (18 words each)
+
+
+def test_hashed_training_partition_invariant(spark, textsep):
+    from engine.ops.classify import train_hashed_logreg
+
+    m1 = train_hashed_logreg(
+        textsep, label_col="label", n_buckets=2048, max_iter=8, tol=0.0
+    )
+    m2 = train_hashed_logreg(
+        textsep.repartition(7), label_col="label", n_buckets=2048,
+        max_iter=8, tol=0.0,
+    )
+    assert np.abs(
+        np.asarray(m1["w"]) - np.asarray(m2["w"])
+    ).max() < 1e-9
+    assert abs(m1["b"] - m2["b"]) < 1e-9
+
+
+def test_hashed_scoring_is_map_only(spark, textsep):
+    from engine.ops.classify import score_hashed, train_hashed_logreg
+    from tests.test_plans import plan
+
+    model = train_hashed_logreg(
+        textsep, label_col="label", n_buckets=1024, max_iter=2, tol=0.0
+    )
+    p = plan(score_hashed(textsep, model))
+    assert "Exchange" not in p, p
+
+
+def test_fasttext_quality_pairing(spark, textsep):
+    """DCLM wiring: reference=good docs, corpus=spam; the model scores
+    unseen good-vocab docs above unseen spam-vocab docs."""
+    from engine.ops.classify import fasttext_quality, score_hashed
+
+    ref = textsep.filter("label = 1").select("id", "text")
+    cor = textsep.filter("label = 0").select("id", "text")
+    model = fasttext_quality(cor, ref, max_iter=40)
+    unseen = spark.createDataFrame(
+        [
+            (1, " ".join(GOODWORDS[5:15])),
+            (2, " ".join(SPAMWORDS[5:15])),
+        ],
+        "id long, text string",
+    )
+    s = {
+        r["id"]: r["quality_score"]
+        for r in score_hashed(unseen, model).collect()
+    }
+    assert s[1] > 0.7 > 0.3 > s[2]
+
+
+def test_hashed_class_balance_centers_scores(spark):
+    """With a 1:4 pos:neg sampling ratio the balanced loss keeps 0.5
+    as the class boundary — an unweighted model would calibrate to
+    the sampling prior and score everything near 0.2."""
+    from engine.ops.classify import score_hashed, train_hashed_logreg
+
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(GOODWORDS[(i % 5):(i % 5) + 10]), 1))
+    for i in range(160):
+        rows.append((1000 + i, " ".join(SPAMWORDS[(i % 6):(i % 6) + 10]), 0))
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    model = train_hashed_logreg(df, label_col="label", max_iter=40)
+    got = score_hashed(df, model).select("label", "quality_score").collect()
+    pos = [r["quality_score"] for r in got if r["label"] == 1]
+    neg = [r["quality_score"] for r in got if r["label"] == 0]
+    assert min(pos) > 0.5 > max(neg)

@@ -307,3 +307,185 @@ def test_compression_ratio_metric_and_rule(spark):
     )
     for r in with_compression_ratio(nulls).collect():
         assert r["compression_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------- #
+# Gopher repetition panel (with_repetition_panel)                   #
+# ---------------------------------------------------------------- #
+
+def _ref_repetition(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Independent reference for the panel's pinned conventions:
+    per-char boolean coverage over ' '.join(tokens), dict counting —
+    deliberately a different construction from the engine's
+    difference-array/numpy path."""
+    toks = (text or "").split()
+    norm = " ".join(toks)
+    out = {}
+    # char span of token i..j inclusive inside norm
+    spans = []
+    p = 0
+    for t in toks:
+        spans.append((p, p + len(t)))
+        p += len(t) + 1
+    for n in top_ns:
+        key = f"top_{n}gram_frac"
+        if len(toks) < n or not norm:
+            out[key] = 0.0
+            continue
+        counts = {}
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        best_c = max(counts.values())
+        if best_c < 2:  # singletons are not repetition (pinned gate)
+            out[key] = 0.0
+            continue
+        best_g = min(g for g, c in counts.items() if c == best_c)
+        out[key] = min(1.0, best_c * len(best_g) / len(norm))
+    for n in dup_ns:
+        key = f"dup_{n}gram_frac"
+        if len(toks) < n or not norm:
+            out[key] = 0.0
+            continue
+        counts = {}
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        flags = [False] * len(norm)
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            if counts[g] > 1:
+                s = spans[i][0]
+                e = spans[i + n - 1][1]
+                for k in range(s, e):
+                    flags[k] = True
+        out[key] = sum(flags) / len(norm)
+    return {k: round(v, 4) for k, v in out.items()}
+
+
+_REP_DOCS = [
+    (1, GOOD),                                      # clean prose
+    (2, "buy now " * 50),                           # looped phrase
+    (3, "a b c d e a b c d e a"),                   # overlapping dup 5-grams
+    (4, "one two three"),                           # shorter than most n
+    (5, None),                                      # null
+    (6, ""),                                        # empty
+    (7, ("the cat sat on the mat today . " * 3) + GOOD),  # dup run inside prose
+    (8, "x " * 4 + "unique middle words here " + "x " * 4),
+]
+
+
+def test_repetition_panel_matches_independent_reference(spark):
+    from engine.ops.curate import with_repetition_panel
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in with_repetition_panel(docs).collect()
+    }
+    for doc_id, text in _REP_DOCS:
+        ref = _ref_repetition(text)
+        for k, v in ref.items():
+            assert abs(got[doc_id][k] - v) < 5e-5, (doc_id, k, got[doc_id][k], v)
+    # sanity against gamed fixtures: the looped doc really is extreme
+    assert got[2]["top_2gram_frac"] > 0.85
+    assert got[2]["dup_5gram_frac"] > 0.9
+    assert got[1]["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_panel_partition_invariant_and_map_only(spark):
+    from tests.test_plans import plan
+
+    from engine.ops.curate import with_repetition_panel
+
+    docs = spark.createDataFrame(_REP_DOCS, "doc_id long, text string")
+    a = {r["doc_id"]: r.asDict() for r in with_repetition_panel(docs).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in with_repetition_panel(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert "Exchange" not in plan(with_repetition_panel(docs))
+
+
+def test_repetition_panel_gopher_rules_screen(spark):
+    from engine.ops.curate import (
+        DEFAULT_RULES,
+        curate,
+        gopher_repetition_rules,
+        with_repetition_panel,
+    )
+
+    rules = dict(DEFAULT_RULES)
+    rules.update(gopher_repetition_rules())
+    looped = ("buy cheap widgets now call us today and " * 40).strip()
+    docs = spark.createDataFrame(
+        [(1, GOOD, "en"), (2, looped, "en")],
+        "doc_id long, text string, lang string",
+    )
+    v = curate(with_repetition_panel(docs), rules=rules, check_lang=False)
+    got = {r["doc_id"]: (r["keep"], set(r["reasons"])) for r in v.collect()}
+    assert got[1] == (True, set())
+    assert got[2][0] is False
+    # an 8-word loop repeats every n-gram up to n=10 -> the dup rules
+    # fire; the top rules fire only when ONE gram dominates
+    assert any(x.startswith("dup_") for x in got[2][1])
+
+
+def test_curate_job_gopher_repetition_flag(spark, tmp_path):
+    import types
+
+    from jobs.curate import run
+
+    out = str(tmp_path / "curated_gopher")
+    res = run(
+        types.SimpleNamespace(
+            input="/root/testdata/sf0.001/documents.parquet",
+            output=out,
+            text_col="text",
+            no_check_lang=True,
+            gopher_repetition=True,
+            master="local[*]",
+            shuffle_partitions=None,
+        )
+    )
+    kept = spark.read.parquet(f"{out}/kept")
+    # panel columns ride every verdict row (audit trail)
+    for c in ("top_2gram_frac", "dup_5gram_frac", "dup_10gram_frac"):
+        assert c in kept.columns
+    assert res["kept"] > 0
+
+
+def test_curate_job_with_hashed_classifier(spark, tmp_path):
+    """--classifier-hashed: same job pairing, but the fastText-style
+    hashed-ngram model scores on token identity; the score column
+    attaches and the screen fires."""
+    import types
+
+    import jobs.curate as cj
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    in_path = str(tmp_path / "docs_h")
+    docs.write.parquet(in_path)
+    ref_path = str(tmp_path / "ref_h")
+    docs.filter(F.length("text") > 400).write.parquet(ref_path)
+
+    out = str(tmp_path / "out_h")
+    res = cj.run(
+        types.SimpleNamespace(
+            input=in_path,
+            output=out,
+            no_check_lang=True,
+            classifier_ref=ref_path,
+            classifier_hashed=True,
+            classifier_min_score=0.5,
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert res["classifier"]["iters"] >= 1
+    kept = spark.read.parquet(f"{out}/kept")
+    assert "quality_score" in kept.columns
+    assert kept.filter("quality_score < 0.5").count() == 0
