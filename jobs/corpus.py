@@ -308,6 +308,7 @@ def run(args) -> dict:
                 url_blocklist=args.url_blocklist,
                 lm_filter=args.lm_filter,
                 lm_pct=args.lm_pct,
+                gopher_repetition=args.gopher_repetition,
                 compression_min=args.compression_min,
                 compression_max=args.compression_max,
                 drop_code=args.drop_code,
@@ -329,6 +330,7 @@ def run(args) -> dict:
         "url_blocklist": args.url_blocklist,
         "lm_filter": bool(args.lm_filter),
         "lm_pct": args.lm_pct,
+        "gopher_repetition": bool(args.gopher_repetition),
         "compression_min": args.compression_min,
         "compression_max": args.compression_max,
         "drop_code": bool(args.drop_code),
@@ -728,6 +730,12 @@ def _parser() -> argparse.ArgumentParser:
         type=float,
         default=None,
         help="curate-stage zlib ratio ceiling (random/encoded junk)",
+    )
+    p.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="curate-stage Gopher repetition panel (top-2/3/4-gram and "
+        "dup-5..10-gram character fractions at the published cuts)",
     )
     p.add_argument(
         "--drop-code",
