@@ -57,7 +57,6 @@ MEAN_METRICS = (
 
 def run(args) -> dict:
     from engine.cli import fill_defaults
-    from engine.ops.curate import _metric_cols, quality_metrics
 
     fill_defaults(args, _parser())
     spark = get_spark(
@@ -66,7 +65,31 @@ def run(args) -> dict:
         app_name="corpus-report",
     )
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.input)
+
+    def _card(input_path: str) -> dict:
+        return build_card(spark, args, input_path)
+
+    report = _card(args.input)
+    if args.compare:
+        baseline = _card(args.compare)
+        report["compare"] = {
+            "baseline": args.compare,
+            "baseline_card": baseline,
+            "delta": card_delta(report, baseline),
+        }
+
+    report["wall_s"] = round(time.monotonic() - t0, 2)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+    print(json.dumps(report, sort_keys=True))
+    return report
+
+
+def build_card(spark, args, input_path: str) -> dict:
+    from engine.ops.curate import _metric_cols, quality_metrics
+
+    docs = spark.read.parquet(input_path)
     text = F.coalesce(F.col(args.text_col), F.lit(""))
     # the ONE token-count definition (pinned in curate): lang_mix and
     # host shares must reconcile with totals.tokens, so they reuse it
@@ -243,18 +266,64 @@ def run(args) -> dict:
             "top": [{"gram": r["g"], "count": int(r["c"])} for r in top_g],
         }
 
-    report["wall_s"] = round(time.monotonic() - t0, 2)
-    if args.output:
-        with open(args.output, "w") as f:
-            json.dump(report, f, indent=2, sort_keys=True)
-    print(json.dumps(report, sort_keys=True))
     return report
+
+
+def card_delta(new: dict, old: dict) -> dict:
+    """Driver-side diff of two corpus cards (new - old): the crawl-
+    over-crawl QA surface — a quality mean drifting, a lang share
+    collapsing, or host concentration spiking between two corpus
+    versions shows up as one signed number each. Pure JSON-to-JSON
+    (no Spark), so it is exactly as reproducible as the cards."""
+
+    def num_diff(a: dict, b: dict, nd: int = 6) -> dict:
+        return {
+            k: round(float(a.get(k, 0) or 0) - float(b.get(k, 0) or 0), nd)
+            for k in sorted(set(a) | set(b))
+        }
+
+    out: dict = {
+        "totals": num_diff(new.get("totals", {}), old.get("totals", {})),
+        "quality": num_diff(new.get("quality", {}), old.get("quality", {})),
+    }
+    if "dup_rate" in new or "dup_rate" in old:
+        out["dup_rate"] = round(
+            float(new.get("dup_rate", 0.0)) - float(old.get("dup_rate", 0.0)), 6
+        )
+    nl, ol = new.get("lang_mix", {}), old.get("lang_mix", {})
+    if nl or ol:
+        out["lang_doc_share"] = {
+            lang: round(
+                float(nl.get(lang, {}).get("doc_share", 0.0))
+                - float(ol.get(lang, {}).get("doc_share", 0.0)),
+                6,
+            )
+            for lang in sorted(set(nl) | set(ol))
+        }
+        out["langs_added"] = sorted(set(nl) - set(ol))
+        out["langs_removed"] = sorted(set(ol) - set(nl))
+    if "hosts" in new and "hosts" in old:
+        out["top1pct_token_share"] = round(
+            new["hosts"]["top1pct_token_share"]
+            - old["hosts"]["top1pct_token_share"],
+            6,
+        )
+        out["n_hosts"] = new["hosts"]["n_hosts"] - old["hosts"]["n_hosts"]
+    return out
 
 
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="corpus parquet")
     p.add_argument("--output", default=None, help="write the card JSON here")
+    p.add_argument(
+        "--compare",
+        default=None,
+        help="second corpus parquet (e.g. the previous crawl's "
+        "version): the card gains a compare section with the "
+        "baseline card and signed new-minus-old deltas for totals, "
+        "quality means, dup rate, lang shares, and host concentration",
+    )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--lang-col", default="lang")

@@ -112,3 +112,73 @@ def test_top_ngrams_audit(spark, tmp_path):
 
     rep2 = run(_args(p, master="local[4]", shuffle_partitions=4))
     assert "top_ngrams" not in rep2
+
+
+def test_card_delta_pure():
+    """card_delta is driver-side JSON math — pinned without Spark."""
+    from jobs.report import card_delta
+
+    new = {
+        "totals": {"docs": 120, "tokens": 5000, "chars": 30000},
+        "quality": {"stopword_ratio": 0.21, "symbol_ratio": 0.02},
+        "dup_rate": 0.01,
+        "lang_mix": {
+            "en": {"docs": 100, "doc_share": 0.8333, "tokens": 4000},
+            "fr": {"docs": 20, "doc_share": 0.1667, "tokens": 1000},
+        },
+        "hosts": {"n_hosts": 40, "top1pct_token_share": 0.30, "top": []},
+    }
+    old = {
+        "totals": {"docs": 100, "tokens": 4200, "chars": 25000},
+        "quality": {"stopword_ratio": 0.25, "symbol_ratio": 0.02},
+        "dup_rate": 0.03,
+        "lang_mix": {
+            "en": {"docs": 90, "doc_share": 0.9, "tokens": 4000},
+            "de": {"docs": 10, "doc_share": 0.1, "tokens": 200},
+        },
+        "hosts": {"n_hosts": 35, "top1pct_token_share": 0.42, "top": []},
+    }
+    d = card_delta(new, old)
+    assert d["totals"] == {"docs": 20.0, "tokens": 800.0, "chars": 5000.0}
+    assert d["quality"]["stopword_ratio"] == -0.04
+    assert d["quality"]["symbol_ratio"] == 0.0
+    assert d["dup_rate"] == -0.02
+    assert d["lang_doc_share"]["en"] == round(0.8333 - 0.9, 6)
+    assert d["lang_doc_share"]["de"] == -0.1      # removed lang -> -share
+    assert d["lang_doc_share"]["fr"] == 0.1667    # added lang -> +share
+    assert d["langs_added"] == ["fr"] and d["langs_removed"] == ["de"]
+    assert d["top1pct_token_share"] == -0.12
+    assert d["n_hosts"] == 5
+
+
+def test_report_compare_end_to_end(spark, tmp_path):
+    """--compare: the card carries the baseline card and exact deltas
+    (new corpus dropped a dup and gained a doc)."""
+    from jobs.report import run
+
+    old_rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (1, "alpha beta gamma delta", "en"),  # dup
+        (2, "uno dos tres cuatro", "es"),
+    ]
+    new_rows = [
+        (0, "alpha beta gamma delta", "en"),
+        (2, "uno dos tres cuatro", "es"),
+        (3, "cinco seis siete ocho", "es"),
+        (4, "more english words here", "en"),
+    ]
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    ddl = "doc_id long, text string, lang string"
+    spark.createDataFrame(old_rows, ddl).write.parquet(po)
+    spark.createDataFrame(new_rows, ddl).write.parquet(pn)
+
+    rep = run(
+        _args(pn, None, compare=po, master="local[4]", shuffle_partitions=4)
+    )
+    assert rep["compare"]["baseline"] == po
+    d = rep["compare"]["delta"]
+    assert d["totals"]["docs"] == 1.0
+    assert d["dup_rate"] == round(0.0 - 1 / 3, 6)
+    assert rep["compare"]["baseline_card"]["totals"]["docs"] == 3
+    # es doc share rose from 1/3 to 2/4
+    assert d["lang_doc_share"]["es"] == round(0.5 - 1 / 3, 6)
