@@ -287,20 +287,26 @@ def with_repetition_panel(
         np.cumsum(lens[:-1] + 1, out=starts[1:])
         total = int(starts[-1] + lens[-1])  # len(" ".join(toks))
         out: list[float] = []
-        counters: dict[int, Counter] = {}
+        gram_cache: dict[int, tuple[list, Counter]] = {}
 
-        def _counter(n: int) -> Counter:
-            if n not in counters:
-                counters[n] = Counter(
-                    tuple(toks[i : i + n]) for i in range(T - n + 1)
-                )
-            return counters[n]
+        def _grams(n: int) -> tuple[list, Counter]:
+            # grams compared/counted as their SURFACE form (tokens
+            # joined by one space) — tuple ordering can disagree with
+            # surface ordering when a token carries a sub-space
+            # control char, and the pinned convention is the surface
+            # string
+            if n not in gram_cache:
+                gl = [
+                    " ".join(toks[i : i + n]) for i in range(T - n + 1)
+                ]
+                gram_cache[n] = (gl, Counter(gl))
+            return gram_cache[n]
 
         for n in top_ns:
             if T < n or total <= 0:
                 out.append(0.0)
                 continue
-            c = _counter(n)
+            _, c = _grams(n)
             best_count = max(c.values())
             if best_count < 2:
                 # a gram occurring once is not repetition: without
@@ -311,18 +317,13 @@ def with_repetition_panel(
                 out.append(0.0)
                 continue
             best = min(g for g, v in c.items() if v == best_count)
-            glen = sum(len(w) for w in best) + (n - 1)
-            out.append(min(1.0, best_count * glen / total))
+            out.append(min(1.0, best_count * len(best) / total))
         for n in dup_ns:
             if T < n or total <= 0:
                 out.append(0.0)
                 continue
-            c = _counter(n)
-            dup_pos = [
-                i
-                for i in range(T - n + 1)
-                if c[tuple(toks[i : i + n])] > 1
-            ]
+            gl, c = _grams(n)
+            dup_pos = [i for i, g in enumerate(gl) if c[g] > 1]
             if not dup_pos:
                 out.append(0.0)
                 continue
