@@ -256,6 +256,44 @@ def main() -> None:
 
     timed("curate_pipeline", run_curate)
 
+    # full Gopher repetition panel: one Arrow pass, all nine metrics
+    # (new r3)
+    def run_panel():
+        from engine.ops.curate import with_repetition_panel
+
+        with_repetition_panel(bench_docs).agg(
+            F.count(F.lit(1)),
+            F.sum("top_2gram_frac"),
+            F.sum("dup_5gram_frac"),
+        ).collect()
+
+    timed("repetition_panel_pipeline", run_panel)
+
+    # fastText-style hashed-ngram classifier: 8 training iterations
+    # over a 25% sample + map-only scoring of the full table (new r3)
+    def run_hashed_clf():
+        from engine.ops.classify import score_hashed, train_hashed_logreg
+        from engine.ops.sample import hash_sample
+
+        pos = (
+            hash_sample(bench_docs, 0.05, id_col="doc_id", salt="clfp")
+            .select("text")
+            .withColumn("_y", F.lit(1))
+        )
+        neg = (
+            hash_sample(bench_docs, 0.20, id_col="doc_id", salt="clfn")
+            .select("text")
+            .withColumn("_y", F.lit(0))
+        )
+        model = train_hashed_logreg(
+            pos.unionByName(neg), label_col="_y", max_iter=8, tol=0.0
+        )
+        score_hashed(bench_docs, model).agg(
+            F.count(F.lit(1)), F.sum("quality_score")
+        ).collect()
+
+    timed("hashed_classifier_pipeline", run_hashed_clf)
+
     # DSIR selection: fit hashed-ngram log-ratios (two model-sized
     # aggs) + map-only closure scoring + Gumbel threshold (new r3)
     def run_dsir():
