@@ -37,6 +37,13 @@ PHONE_RE = (
     r"(?<!\d)(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)"
     r"|(?<!\d)\d{10}(?!\d)"
 )
+# IPv4 (the third member of the Dolma-style PII set): four 0-255
+# octets, anchored so longer dotted digit runs (versions like
+# 1.2.3.4.5, decimal section numbers) never partially match
+IP_RE = (
+    r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])"
+)
 
 DEFAULT_RULES: dict[str, tuple[float, float]] = {
     # metric -> (min, max) inclusive bounds
@@ -74,6 +81,7 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
     # PII screens (counts; the rewrite counterpart is redact_pii below)
     n_emails = F.regexp_count(text, F.lit(EMAIL_RE))
     n_phones = F.regexp_count(text, F.lit(PHONE_RE))
+    n_ips = F.regexp_count(text, F.lit(IP_RE))
     safe = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 4)
     ).otherwise(F.lit(0.0))
@@ -99,7 +107,7 @@ def _metric_cols(text_col: str) -> dict[str, Column]:
         "stopword_ratio": safe(n_stop, n_tokens),
         "dup_line_frac": _dup_frac(r"\n"),
         "dup_para_frac": _dup_frac(r"\n{2,}"),
-        "n_pii": (n_emails + n_phones).cast("long"),
+        "n_pii": (n_emails + n_phones + n_ips).cast("long"),
     }
 
 
@@ -409,21 +417,25 @@ def redact_pii(
     text_col: str = "text",
     email_token: str = "<EMAIL>",
     phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
 ) -> DataFrame:
-    """Rewrite text_col with emails/phone-shaped runs replaced by
+    """Rewrite text_col with email/phone-shaped/IPv4 runs replaced by
     sentinel tokens — the redact-instead-of-drop arm of the n_pii
     policy (keeps the document, removes the PII). Same pinned
     patterns as the metric, so redact_pii followed by curate() always
-    yields n_pii = 0. Adds n_redacted. Map-only: two JVM
+    yields n_pii = 0. Adds n_redacted. Map-only: three JVM
     regexp_replace calls, no shuffle, no Python."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     after_email = F.regexp_replace(text, EMAIL_RE, email_token)
-    # phones counted on the post-email text: exactly what the second
-    # replace will touch (an email whose charset overlapped a digit
-    # run must not double- or under-count)
-    n_red = F.regexp_count(text, F.lit(EMAIL_RE)) + F.regexp_count(
-        after_email, F.lit(PHONE_RE)
+    # each pattern counted on the text the NEXT replace will actually
+    # touch (an email whose charset overlapped a digit run must not
+    # double- or under-count; same for phone-vs-IP digit runs)
+    after_phone = F.regexp_replace(after_email, PHONE_RE, phone_token)
+    n_red = (
+        F.regexp_count(text, F.lit(EMAIL_RE))
+        + F.regexp_count(after_email, F.lit(PHONE_RE))
+        + F.regexp_count(after_phone, F.lit(IP_RE))
     )
     return docs.withColumn("n_redacted", n_red.cast("long")).withColumn(
-        text_col, F.regexp_replace(after_email, PHONE_RE, phone_token)
+        text_col, F.regexp_replace(after_phone, IP_RE, ip_token)
     )

@@ -489,3 +489,37 @@ def test_curate_job_with_hashed_classifier(spark, tmp_path):
     kept = spark.read.parquet(f"{out}/kept")
     assert "quality_score" in kept.columns
     assert kept.filter("quality_score < 0.5").count() == 0
+
+
+def test_ip_pii_screen_and_redaction(spark):
+    """IPv4 joins the PII set: counted in n_pii, redacted by
+    redact_pii; dotted runs that are NOT valid IPv4 (octet > 255,
+    five sections, versions inside longer runs) never match."""
+    from engine.ops.curate import quality_metrics, redact_pii
+
+    rows = [
+        (1, "server at 192.168.1.77 responded"),
+        (2, "edge case 255.255.255.255 and 0.0.0.0 both count"),
+        (3, "version 1.2.3.4.5 is not an address"),
+        (4, "octet 999.1.1.1 is not an address"),
+        (5, "pi is 3.14159 and section 2.4 exists"),
+        (6, GOOD),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = {
+        r["doc_id"]: r["n_pii"] for r in quality_metrics(docs).collect()
+    }
+    assert n == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0}
+    red = {
+        r["doc_id"]: (r["text"], r["n_redacted"])
+        for r in redact_pii(docs).collect()
+    }
+    assert red[1] == ("server at <IP> responded", 1)
+    assert red[2] == ("edge case <IP> and <IP> both count", 2)
+    assert red[3][1] == 0 and "1.2.3.4.5" in red[3][0]
+    # redact -> metric closes to zero for every doc
+    n2 = {
+        r["doc_id"]: r["n_pii"]
+        for r in quality_metrics(redact_pii(docs)).collect()
+    }
+    assert set(n2.values()) == {0}
