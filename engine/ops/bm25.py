@@ -158,6 +158,63 @@ def build_bm25_index(
     return {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
 
 
+def update_bm25_index(
+    docs_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append a NEW batch's postings to an existing index — the
+    index-maintenance twin of the vector sink's delta path: a crawl
+    batch costs one explode+groupBy over the BATCH, never a rebuild
+    over the corpus.
+
+    Exactness contract (pinned in tests/test_bm25.py): because df is
+    derived from the postings at query time and the stats update is
+    the exact running mean, an index built as build(A) + update(B)
+    scores IDENTICALLY to build(A ∪ B). The caller owns novelty —
+    re-adding a doc id would double its postings (screen re-crawls
+    through engine/ops/bloom.screen_new_keys or pipeline.changed_docs
+    first, the same contract the vector-index delta path states).
+
+    The append writes only the buckets the batch's terms hash into;
+    stats are rewritten from four numbers (running doc count and
+    token total). Uses the same bucket count the index was built
+    with (read from stats — a mismatched bucket layout would silently
+    split a term across directories)."""
+    spark = docs_new.sparkSession
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(st["n_buckets"])
+    n0, avg0 = int(st["n_docs"]), float(st["avgdl"])
+    toked = docs_new.select(
+        F.col(id_col).alias("doc"), lm_tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    postings = (
+        toked.select("doc", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    batch = toked.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    k, dl_sum = int(batch["k"]), int(batch["dl_sum"] or 0)
+    n1 = n0 + k
+    avg1 = (n0 * avg0 + dl_sum) / n1 if n1 else 0.0
+    stats = spark.createDataFrame(
+        [(n1, avg1, n_buckets)], "n_docs long, avgdl double, n_buckets int"
+    )
+    # stats overwrite LAST (postings-then-stats): a crash between the
+    # two leaves extra postings invisible to scoring only through
+    # avgdl/N staleness, and re-running the update is the caller's
+    # redo unit
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    return {"n_docs": n1, "avgdl": avg1, "added": k}
+
+
 def bm25_search(
     spark: SparkSession,
     path: str,

@@ -119,3 +119,40 @@ def test_bm25_empty_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_topk(empty, QUERY)
+
+
+def test_bm25_incremental_update_equals_rebuild(spark, tmp_path):
+    """build(A) + update(B) scores IDENTICALLY to build(A ∪ B): df is
+    query-time from postings and the stats update is the exact
+    running mean, so the invariant is exact equality, not proximity."""
+    from engine.ops.bm25 import update_bm25_index
+
+    a = [r for r in DOCS if r[0] < 4]
+    b = [r for r in DOCS if r[0] >= 4]
+    ddl = "doc_id long, text string"
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+
+    build_bm25_index(
+        spark.createDataFrame(a, ddl), inc_path, n_buckets=16
+    )
+    res = update_bm25_index(spark.createDataFrame(b, ddl), inc_path)
+    assert res["added"] == len(b)
+    build_bm25_index(
+        spark.createDataFrame(DOCS, ddl), full_path, n_buckets=16
+    )
+
+    si = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, inc_path, QUERY, k=10).collect()
+    }
+    sf = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, full_path, QUERY, k=10).collect()
+    }
+    assert si == sf and len(si) > 0
+    # stats agree exactly with the one-shot build
+    sti = spark.read.parquet(f"{inc_path}/stats").collect()[0]
+    stf = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert sti["n_docs"] == stf["n_docs"]
+    assert abs(sti["avgdl"] - stf["avgdl"]) < 1e-12
