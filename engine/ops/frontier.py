@@ -90,6 +90,8 @@ def frontier_candidates(
     top_k: int | None = None,
     rank_iters: int = 24,
     per_host_cap: int | None = None,
+    host_delays: DataFrame | None = None,
+    fetch_window_s: float = 3600.0,
 ) -> DataFrame:
     """pages + seen(url) -> prioritized frontier
     (url, host, n_ref_hosts, n_refs, rank, priority), priority desc.
@@ -115,6 +117,14 @@ def frontier_candidates(
     host anyway (the frontier twin of the ingest job's host-bucket
     skew salting). One row_number window over the delta-sized
     candidate set, partition size bounded by each host's candidates.
+
+    `host_delays` (host, crawl_delay seconds — engine/ops/robots.
+    crawl_delays): turns each host's declared Crawl-delay into its
+    OWN cap, floor(fetch_window_s / delay) fetches per cycle (>= 1 so
+    a declared-but-huge delay still progresses). Combined with
+    per_host_cap by least(); hosts declaring no delay fall back to
+    the global cap (or no cap). The delay table is host-sized and
+    broadcasts.
     """
     seen_canon = seen.select(canonical_url_col(url_col).alias("url"))
     # the candidate path and the default rank prior each run their own
@@ -151,14 +161,34 @@ def frontier_candidates(
         )
         .select("url", "host", "n_ref_hosts", "n_refs", "rank", "priority")
     )
-    if per_host_cap is not None:
+    if per_host_cap is not None or host_delays is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("host").orderBy(F.desc("priority"), "url")
-        scored = (
-            scored.withColumn("_hn", F.row_number().over(w))
-            .filter(F.col("_hn") <= int(per_host_cap))
-            .drop("_hn")
+        scored = scored.withColumn("_hn", F.row_number().over(w))
+        cap = (
+            F.lit(int(per_host_cap)).cast("int")
+            if per_host_cap is not None
+            else F.lit(None).cast("int")
+        )
+        if host_delays is not None:
+            hd = host_delays.select(
+                F.lower(F.col("host")).alias("host"),
+                F.col("crawl_delay").cast("double").alias("_delay"),
+            )
+            scored = scored.join(F.broadcast(hd), "host", "left")
+            dcap = F.when(
+                F.col("_delay") > 0,
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(float(fetch_window_s)) / F.col("_delay")
+                    ).cast("int"),
+                ),
+            )
+            cap = F.least(F.coalesce(cap, dcap), F.coalesce(dcap, cap))
+        scored = scored.filter(cap.isNull() | (F.col("_hn") <= cap)).drop(
+            "_hn", "_delay"
         )
     scored = scored.orderBy(F.desc("priority"), "url")
     return scored.limit(top_k) if top_k else scored

@@ -95,6 +95,79 @@ def parse_robots(
     return robots.mapInPandas(fn, RULES_DDL)
 
 
+DELAY_DDL = "host string, agent string, delay double"
+
+
+def _parse_delays_one(host: str, body: str):
+    """Crawl-delay lines, attributed to their group exactly like
+    rules (same consecutive-user-agent grouping as _parse_one).
+    Crawl-delay is not in RFC 9309 but is honored by major non-Google
+    crawlers; unparsable values are skipped (tolerant-parse rule)."""
+    agents: list[str] = []
+    rules_started = False
+    for raw in (body or "")[:PARSE_LIMIT].splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if rules_started:
+                agents = []
+                rules_started = False
+            if val:
+                agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            rules_started = True
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    for a in agents:
+                        yield (host, a, d)
+
+
+def crawl_delays(
+    robots: DataFrame,
+    crawler: str = "sparkbot",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Robots-file table -> (host, crawl_delay) for the group that
+    governs `crawler` (same RFC §2.2.1 selection as the Allow/
+    Disallow screen: longest prefix-matching agent token, else `*`).
+    Within the governing group the MAX declared delay wins
+    (conservative politeness). Hosts declaring no delay emit no row.
+    Host-sized end to end: one map-only parse + two small aggs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if host is None:
+                    continue
+                out.extend(_parse_delays_one(host.lower(), body))
+            yield pd.DataFrame(out, columns=["host", "agent", "delay"])
+
+    rows = robots.mapInPandas(fn, DELAY_DDL)
+    c = crawler.lower()
+    matched = rows.filter(
+        (F.lit(c).startswith(F.col("agent"))) | (F.col("agent") == "*")
+    ).withColumn(
+        "_spec",
+        F.when(F.col("agent") == "*", F.lit(0)).otherwise(F.length("agent")),
+    )
+    per_group = matched.groupBy("host", "_spec").agg(
+        F.max("delay").alias("delay")
+    )
+    return per_group.groupBy("host").agg(
+        F.max_by("delay", "_spec").alias("crawl_delay")
+    )
+
+
 def _group_rules(rules: DataFrame, crawler: str) -> DataFrame:
     """Pick, per host, the ONE group that governs `crawler` (RFC
     §2.2.1: longest agent token that prefix-matches the crawler name,

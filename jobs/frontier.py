@@ -88,6 +88,14 @@ def run(args) -> dict:
     ranks = (
         spark.read.parquet(args.host_ranks) if args.host_ranks else None
     )
+    delays = None
+    if args.robots:
+        # declared Crawl-delay becomes each host's own per-cycle cap
+        from engine.ops.robots import crawl_delays
+
+        delays = crawl_delays(
+            spark.read.parquet(args.robots), crawler=args.crawler
+        )
     frontier = frontier_candidates(
         spark,
         pages,
@@ -98,6 +106,8 @@ def run(args) -> dict:
         fpp=args.fpp,
         top_k=args.top,
         per_host_cap=args.per_host_cap,
+        host_delays=delays,
+        fetch_window_s=args.fetch_window,
     )
     out = os.path.join(args.output, "frontier")
     frontier.write.mode("overwrite").parquet(out)
@@ -142,6 +152,22 @@ def _parser() -> argparse.ArgumentParser:
         default=None,
         help="politeness bound: at most this many candidates per host "
         "per cycle",
+    )
+    p.add_argument(
+        "--robots",
+        default=None,
+        help="robots.txt table (host, body): honor each host's "
+        "declared Crawl-delay as its own per-cycle candidate cap, "
+        "floor(--fetch-window / delay), combined with --per-host-cap "
+        "by least()",
+    )
+    p.add_argument("--crawler", default="sparkbot")
+    p.add_argument(
+        "--fetch-window",
+        type=float,
+        default=3600.0,
+        help="seconds per fetch cycle used to convert Crawl-delay "
+        "into a per-host cap",
     )
     p.add_argument("--top", type=int, default=None)
     p.add_argument("--fpp", type=float, default=0.01)

@@ -232,3 +232,50 @@ def test_since_snapshot_default_seen_is_full_history(spark, tmp_path):
     )
     assert summary["no_new_pages"] and summary["output"].endswith("frontier")
     assert spark.read.parquet(f"{out}/frontier").count() == 0
+
+
+def test_crawl_delay_caps_per_host(spark):
+    """A host's declared Crawl-delay becomes its own per-cycle cap
+    (floor(window / delay), >= 1); undeclared hosts fall back to the
+    global cap; least() wins when both apply."""
+    flood_big = "".join(
+        f'<a href="https://big.com/p{i:02d}">x</a>' for i in range(10)
+    )
+    flood_slow = "".join(
+        f'<a href="https://slow.com/q{i:02d}">x</a>' for i in range(10)
+    )
+    pages = _pages(spark, [("https://a.com/p", flood_big + flood_slow)])
+    seen = spark.createDataFrame([("https://nothing.com/",)], "url string")
+    delays = spark.createDataFrame(
+        [("slow.com", 600.0), ("big.com", 1.0)],
+        "host string, crawl_delay double",
+    )
+    out = frontier_candidates(
+        spark,
+        pages,
+        seen,
+        per_host_cap=4,
+        host_delays=delays,
+        fetch_window_s=1200.0,
+    ).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # slow.com: floor(1200/600)=2 beats the global 4
+    assert len(by_host["slow.com"]) == 2
+    # big.com: floor(1200/1)=1200, global 4 wins
+    assert len(by_host["big.com"]) == 4
+
+    # no global cap: undeclared hosts are unbounded, declared bound
+    out2 = frontier_candidates(
+        spark,
+        pages,
+        seen,
+        host_delays=delays,
+        fetch_window_s=1200.0,
+    ).collect()
+    by2 = {}
+    for r in out2:
+        by2.setdefault(r["host"], []).append(r)
+    assert len(by2["slow.com"]) == 2
+    assert len(by2["big.com"]) == 10

@@ -127,3 +127,32 @@ def test_screen_end_to_end_and_plan(spark):
     p = plan(robots_verdicts(pages, parse_robots(robots)))
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_crawl_delays_group_selection_and_max(spark):
+    """Crawl-delay follows the same RFC group selection as the rules:
+    the crawler-specific group's delay beats *'s; within the
+    governing group the max declared delay wins; unparsable values
+    and hosts without a delay emit nothing."""
+    from engine.ops.robots import crawl_delays
+
+    robots = _robots(
+        spark,
+        [
+            (
+                "a.com",
+                "User-agent: *\nCrawl-delay: 10\n\n"
+                "User-agent: sparkbot\nDisallow: /tmp\nCrawl-delay: 2\n"
+                "Crawl-delay: 5\n",
+            ),
+            ("b.com", "User-agent: *\nCrawl-delay: 7\n"),
+            ("c.com", "User-agent: *\nDisallow: /x\n"),           # none
+            ("d.com", "User-agent: *\nCrawl-delay: soon\n"),      # junk
+            ("e.com", "User-agent: otherbot\nCrawl-delay: 99\n"),  # other
+        ],
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delays(robots, crawler="sparkbot").collect()
+    }
+    assert got == {"a.com": 5.0, "b.com": 7.0}
