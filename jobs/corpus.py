@@ -46,6 +46,10 @@ Stages, each writing its own parquet table under <output>/:
                shards -> <output>/export (engine/io/export; packed
                examples when --pack-budget is set, else the final
                docs table)
+    report     (opt-in, --report) corpus card over the final docs
+               table -> <output>/corpus_card.json (jobs/report.py);
+               --report-compare adds crawl-over-crawl deltas against
+               a previous run's card
 
 Stage resume: after each stage commits, <output>/corpus_manifest.json
 is atomically rewritten (tmp + rename, same discipline as
@@ -615,8 +619,49 @@ def run(args) -> dict:
             },
         )
 
+    # -- optional: corpus card over the final docs table ----------------
+    # Runs every invocation when asked (no resume gate: the card costs
+    # a few agg passes over the FINAL table and rewriting it is
+    # idempotent — and a resumed run's card should reflect the tables
+    # as they now stand)
+    if args.report:
+        import types
+
+        from jobs.report import build_card, card_delta
+
+        card = build_card(
+            spark,
+            types.SimpleNamespace(
+                text_col="text",
+                id_col="url",
+                lang_col="lang",
+                host_col="host",
+                top_hosts=20,
+                top_ngrams=0,
+                ngram_n=10,
+            ),
+            os.path.join(out, docs_table),
+        )
+        if args.report_compare:
+            with open(args.report_compare) as f:
+                baseline = json.load(f)
+            base_card = baseline.get("card", baseline)
+            card["compare"] = {
+                "baseline": args.report_compare,
+                "delta": card_delta(card, base_card),
+            }
+        card_path = os.path.join(out, "corpus_card.json")
+        tmp = card_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"card": card, "table": docs_table}, f,
+                      indent=2, sort_keys=True)
+        os.replace(tmp, card_path)
+        manifest["card"] = {"table": docs_table,
+                            "docs": card["totals"]["docs"],
+                            "path": card_path}
+
     result = {"output": out, "stages": manifest["stages"]}
-    for k in ("packing", "bpe", "export"):
+    for k in ("packing", "bpe", "export", "card"):
         if k in manifest:
             result[k] = manifest[k]
     print(json.dumps(result))
@@ -744,6 +789,18 @@ def _parser() -> argparse.ArgumentParser:
         "reason 'code') — route source code out of the prose corpus",
     )
     p.add_argument("--sample-fraction", type=float, default=1.0)
+    p.add_argument(
+        "--report",
+        action="store_true",
+        help="write <output>/corpus_card.json (jobs/report.py card) "
+        "over the final docs table after the chain finishes",
+    )
+    p.add_argument(
+        "--report-compare",
+        default=None,
+        help="with --report: a previous run's corpus_card.json — the "
+        "new card gains crawl-over-crawl deltas against it",
+    )
     p.add_argument(
         "--max-host-share",
         type=float,

@@ -633,3 +633,36 @@ def test_temperature_mix_stage(spark, tmp_path, pages_path):
     assert os.path.exists(os.path.join(out, "tempered", "_SUCCESS"))
     # tempmix runs on the sampled final table (downsample-only)
     assert 0 < res["stages"]["tempmix"]["rows"] <= res["stages"]["sample"]["rows"]
+
+
+def test_report_stage_writes_card_and_compares(spark, tmp_path, pages_path):
+    """--report writes <output>/corpus_card.json over the final docs
+    table; --report-compare adds crawl-over-crawl deltas against a
+    previous run's card."""
+    from jobs.corpus import run
+
+    out1 = str(tmp_path / "c1")
+    res1 = run(
+        _args(pages_path, out1, min_tokens=5, sample_fraction=0.5,
+              report=True)
+    )
+    card_path = f"{out1}/corpus_card.json"
+    assert os.path.exists(card_path)
+    with open(card_path) as f:
+        card1 = json.load(f)
+    assert card1["table"] == "final"
+    assert card1["card"]["totals"]["docs"] == res1["stages"]["sample"]["rows"]
+    assert res1["card"]["docs"] == card1["card"]["totals"]["docs"]
+
+    # second run keeps everything -> deltas vs run 1 are the size gap
+    out2 = str(tmp_path / "c2")
+    res2 = run(
+        _args(pages_path, out2, min_tokens=5, sample_fraction=1.0,
+              report=True, report_compare=card_path)
+    )
+    with open(f"{out2}/corpus_card.json") as f:
+        card2 = json.load(f)
+    d = card2["card"]["compare"]["delta"]
+    assert d["totals"]["docs"] == (
+        res2["stages"]["sample"]["rows"] - res1["stages"]["sample"]["rows"]
+    )
