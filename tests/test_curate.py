@@ -523,3 +523,29 @@ def test_ip_pii_screen_and_redaction(spark):
         for r in quality_metrics(redact_pii(docs)).collect()
     }
     assert set(n2.values()) == {0}
+
+
+def test_repetition_panel_random_differential(spark):
+    """Seeded random docs over a tiny alphabet (maximal gram
+    collisions and overlapping duplicate spans — the hard regime for
+    the coverage union) must match the independent reference on all
+    nine metrics."""
+    import random
+
+    from engine.ops.curate import with_repetition_panel
+
+    rng = random.Random(20260821)
+    words = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(40):
+        k = rng.randint(0, 60)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in with_repetition_panel(docs).collect()
+    }
+    for doc_id, text in rows:
+        ref = _ref_repetition(text)
+        for key, v in ref.items():
+            assert abs(got[doc_id][key] - v) < 5e-5, (doc_id, key, text)
