@@ -89,3 +89,38 @@ def export_jsonl(
         .text(path)
     )
     return {"rows": rows, "bytes_est": total, "n_shards": n_shards}
+
+
+def read_jsonl(
+    spark,
+    path: str,
+    schema: str | None = None,
+):
+    """Read a JSONL(.gz) document corpus — the interchange format the
+    public corpora actually ship in (C4 / Dolma / RedPajama releases
+    are gzip JSONL), and the format export_jsonl above writes, so an
+    exported corpus round-trips back into the engine's jobs.
+
+    `schema`: a DDL string ("url string, text string, lang string").
+    Pass it at scale — omitting it makes Spark INFER the schema with
+    a full extra pass over the data before the real read (fine for
+    inspection, wrong for 100 TB; the jobs expose --input-schema for
+    exactly this reason). Gzip input is splittable only per FILE, so
+    parallelism = number of .gz shards — which is how the public
+    corpora (and export_jsonl) shard anyway. Corrupt lines land in
+    Spark's default PERMISSIVE null-row handling rather than killing
+    the job."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_docs(spark, path: str, fmt: str = "parquet", schema: str | None = None):
+    """One seam for the document-level jobs' --input-format switch:
+    parquet (native) or jsonl (public-corpus interchange)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        return read_jsonl(spark, path, schema=schema)
+    raise ValueError(f"unknown input format {fmt!r} (parquet|jsonl)")

@@ -70,7 +70,11 @@ def run(args) -> dict:
         app_name="webtext-curate",
     )
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.input)
+    from engine.io.export import read_docs
+
+    docs = read_docs(
+        spark, args.input, fmt=args.input_format, schema=args.input_schema
+    )
 
     rules = dict(DEFAULT_RULES)
     if args.min_tokens is not None:
@@ -355,7 +359,20 @@ def run(args) -> dict:
 
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--input", required=True, help="documents table")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="jsonl reads gzip/plain JSONL (the C4/Dolma interchange "
+        "layout and what engine/io/export.py writes)",
+    )
+    p.add_argument(
+        "--input-schema",
+        default=None,
+        help="DDL for --input-format jsonl (omit to infer: an extra "
+        "full pass — fine for inspection, not at scale)",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--min-tokens", type=int, default=None)

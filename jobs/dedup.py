@@ -48,6 +48,9 @@ from engine.session import get_spark  # noqa: E402
 
 
 def run(args) -> dict:
+    from engine.cli import fill_defaults
+
+    fill_defaults(args, _parser())
     spark = get_spark(
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
@@ -73,7 +76,12 @@ def run(args) -> dict:
             print(json.dumps(result))
             return result
     else:
-        docs = spark.read.parquet(args.input)
+        from engine.io.export import read_docs
+
+        docs = read_docs(
+            spark, args.input, fmt=args.input_format,
+            schema=args.input_schema,
+        )
 
     if getattr(args, "index", None):
         return _incremental(spark, docs, args, t0)
@@ -308,9 +316,16 @@ def _finish(spark, docs, clusters, args, t0, n_pairs) -> dict:
     return result
 
 
-def main() -> None:
+def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="jsonl reads gzip/plain JSONL (public-corpus layout)",
+    )
+    p.add_argument("--input-schema", default=None)
     p.add_argument("--output", required=True)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -370,7 +385,11 @@ def main() -> None:
     )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
-    run(p.parse_args())
+    return p
+
+
+def main() -> None:
+    run(_parser().parse_args())
 
 
 if __name__ == "__main__":

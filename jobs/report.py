@@ -89,7 +89,11 @@ def run(args) -> dict:
 def build_card(spark, args, input_path: str) -> dict:
     from engine.ops.curate import _metric_cols, quality_metrics
 
-    docs = spark.read.parquet(input_path)
+    from engine.io.export import read_docs
+
+    docs = read_docs(
+        spark, input_path, fmt=args.input_format, schema=args.input_schema
+    )
     text = F.coalesce(F.col(args.text_col), F.lit(""))
     # the ONE token-count definition (pinned in curate): lang_mix and
     # host shares must reconcile with totals.tokens, so they reuse it
@@ -314,7 +318,14 @@ def card_delta(new: dict, old: dict) -> dict:
 
 def _parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="corpus parquet")
+    p.add_argument("--input", required=True, help="corpus table")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="jsonl reads gzip/plain JSONL (public-corpus layout)",
+    )
+    p.add_argument("--input-schema", default=None)
     p.add_argument("--output", default=None, help="write the card JSON here")
     p.add_argument(
         "--compare",

@@ -174,3 +174,43 @@ def test_export_shard_sizing_counts_octets(docs, tmp_path):
     # ~50 rows * (400*3 bytes + json envelope) ≈ 62KB -> ≥8 shards;
     # a char-based estimate would plan ~3
     assert stats["n_shards"] >= 8
+
+
+def test_read_jsonl_and_job_input_format(spark, tmp_path):
+    """read_docs(jsonl) round-trips a gzip JSONL corpus (the public-
+    corpus interchange layout) and the curate job accepts it via
+    --input-format, producing the same verdict counts as parquet."""
+    import types
+
+    from engine.io.export import read_docs
+    from jobs.curate import run
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    jl = str(tmp_path / "docs_jsonl")
+    docs.coalesce(2).write.option("compression", "gzip").json(jl)
+
+    ddl = "doc_id long, text string, lang string"
+    back = read_docs(spark, jl, fmt="jsonl", schema=ddl)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "text", "lang"}
+
+    pq_out = str(tmp_path / "out_pq")
+    jl_out = str(tmp_path / "out_jl")
+    res_pq = run(
+        types.SimpleNamespace(
+            input="/root/testdata/sf0.001/documents.parquet",
+            output=pq_out, no_check_lang=True,
+            master="local[4]", shuffle_partitions=4,
+        )
+    )
+    res_jl = run(
+        types.SimpleNamespace(
+            input=jl, input_format="jsonl", input_schema=ddl,
+            output=jl_out, no_check_lang=True,
+            master="local[4]", shuffle_partitions=4,
+        )
+    )
+    assert res_jl["kept"] == res_pq["kept"]
+    assert res_jl["reasons"] == res_pq["reasons"]
