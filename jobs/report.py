@@ -91,8 +91,13 @@ def build_card(spark, args, input_path: str) -> dict:
 
     from engine.io.export import read_docs
 
+    # getattr: programmatic callers (the corpus job's --report stage
+    # builds a minimal namespace) default to parquet
     docs = read_docs(
-        spark, input_path, fmt=args.input_format, schema=args.input_schema
+        spark,
+        input_path,
+        fmt=getattr(args, "input_format", "parquet") or "parquet",
+        schema=getattr(args, "input_schema", None),
     )
     text = F.coalesce(F.col(args.text_col), F.lit(""))
     # the ONE token-count definition (pinned in curate): lang_mix and
