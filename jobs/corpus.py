@@ -147,7 +147,18 @@ def run(args) -> dict:
             return
         dirty = True
         t0 = time.monotonic()
-        rows = action(os.path.join(out, table))
+        table_path = os.path.join(out, table)
+        rows = action(table_path)
+        # partitionBy writes under the session's dynamic
+        # partitionOverwriteMode commit WITHOUT a root _SUCCESS
+        # (observed on the splits stage: every resume re-ran split and
+        # cascaded through pack/export). The marker is this job's
+        # stage-completion contract, so guarantee it ourselves — the
+        # action has fully returned, which is exactly what _SUCCESS
+        # asserts.
+        marker = os.path.join(table_path, "_SUCCESS")
+        if os.path.isdir(table_path) and not os.path.exists(marker):
+            open(marker, "w").close()
         info = {"rows": int(rows), "wall_s": round(time.monotonic() - t0, 2)}
         if params:
             info["params"] = params

@@ -666,3 +666,33 @@ def test_report_stage_writes_card_and_compares(spark, tmp_path, pages_path):
     assert d["totals"]["docs"] == (
         res2["stages"]["sample"]["rows"] - res1["stages"]["sample"]["rows"]
     )
+
+
+def test_resume_skips_partitioned_split_stage(spark, tmp_path, pages_path):
+    """The splits table is written partitionBy(split) under the
+    session's dynamic partitionOverwriteMode, whose commit path skips
+    the root _SUCCESS — without the stage-level marker guarantee,
+    every --resume re-ran split and cascaded through pack/export."""
+    from jobs.corpus import run
+
+    out = str(tmp_path / "corpus_sp")
+    kw = dict(
+        min_tokens=5,
+        sample_fraction=1.0,
+        splits="train=0.8,val=0.1,test=0.1",
+        pack_budget=200,
+    )
+    run(_args(pages_path, out, **kw))
+    marker = os.path.join(out, "splits", "_SUCCESS")
+    assert os.path.exists(marker)
+    mark_mtimes = {
+        t: os.path.getmtime(os.path.join(out, t, "_SUCCESS"))
+        for t in ("splits", "examples", "final")
+    }
+    res2 = run(_args(pages_path, out, resume=True, **kw))
+    after = {
+        t: os.path.getmtime(os.path.join(out, t, "_SUCCESS"))
+        for t in ("splits", "examples", "final")
+    }
+    assert after == mark_mtimes  # every stage skipped, nothing rewritten
+    assert set(res2["stages"]) >= {"split", "pack"}
