@@ -122,6 +122,33 @@ def bm25_topk(
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
 
 
+def _batch_postings(docs, path, text_col, id_col, n_buckets, batch_id):
+    """One batch's postings -> {path}/postings/batch={batch_id},
+    partitionBy bucket, mode OVERWRITE (re-running the same batch id
+    replaces, never duplicates). Returns the tokenized df for the
+    caller's stats agg."""
+    toked = docs.select(
+        F.col(id_col).alias("doc"), lm_tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    postings = (
+        toked.select("doc", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings/batch={batch_id}"
+    )
+    return toked
+
+
+def _write_stats(spark, path, n_docs, avgdl, n_buckets, n_batches):
+    spark.createDataFrame(
+        [(n_docs, avgdl, n_buckets, n_batches)],
+        "n_docs long, avgdl double, n_buckets int, n_batches int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -133,29 +160,22 @@ def build_bm25_index(
     PARTITIONED BY pmod(xxhash64(term), n_buckets) — a query's terms
     prune to their buckets' directories, so search reads
     ~|terms|/n_buckets of the index — plus a one-row stats table
-    (N, avgdl). One explode + one groupBy over the corpus (the
-    word-count shape, map-side combinable); df is NOT materialized —
-    it is hit-sized at query time."""
-    toked = docs.select(
-        F.col(id_col).alias("doc"), lm_tokens(text_col).alias("_toks")
-    ).withColumn("dl", F.size("_toks"))
-    postings = (
-        toked.select("doc", "dl", F.explode("_toks").alias("term"))
-        .groupBy("term", "doc")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
-    stats = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.lit(n_buckets).alias("n_buckets"),
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
-    r = stats.sparkSession.read.parquet(f"{path}/stats").collect()[0]
-    return {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
+    (N, avgdl, n_batches). One explode + one groupBy over the corpus
+    (the word-count shape, map-side combinable); df is NOT
+    materialized — it is hit-sized at query time.
+
+    Layout: postings live under batch=<i> subdirs; the stats row's
+    n_batches is the COMMIT POINTER — search reads exactly the
+    committed batch dirs, so a half-landed update is invisible until
+    its stats commit (see update_bm25_index)."""
+    spark = docs.sparkSession
+    toked = _batch_postings(docs, path, text_col, id_col, n_buckets, 0)
+    row = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"] or 0.0)
+    _write_stats(spark, path, n_docs, avgdl, n_buckets, 1)
+    return {"n_docs": n_docs, "avgdl": avgdl}
 
 
 def update_bm25_index(
@@ -164,7 +184,7 @@ def update_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
-    """Append a NEW batch's postings to an existing index — the
+    """Add a NEW batch's postings to an existing index — the
     index-maintenance twin of the vector sink's delta path: a crawl
     batch costs one explode+groupBy over the BATCH, never a rebuild
     over the corpus.
@@ -172,31 +192,29 @@ def update_bm25_index(
     Exactness contract (pinned in tests/test_bm25.py): because df is
     derived from the postings at query time and the stats update is
     the exact running mean, an index built as build(A) + update(B)
-    scores IDENTICALLY to build(A ∪ B). The caller owns novelty —
-    re-adding a doc id would double its postings (screen re-crawls
-    through engine/ops/bloom.screen_new_keys or pipeline.changed_docs
-    first, the same contract the vector-index delta path states).
+    scores IDENTICALLY to build(A ∪ B). The caller owns novelty
+    ACROSS batches — re-adding a doc id in a LATER batch would double
+    its postings (screen re-crawls through
+    engine/ops/bloom.screen_new_keys or pipeline.changed_docs first,
+    the same contract the vector-index delta path states).
 
-    The append writes only the buckets the batch's terms hash into;
-    stats are rewritten from four numbers (running doc count and
-    token total). Uses the same bucket count the index was built
-    with (read from stats — a mismatched bucket layout would silently
-    split a term across directories)."""
+    Crash safety (ADVICE r3): the batch writes to its OWN
+    batch=<n_batches> subdir in overwrite mode, and only the final
+    stats overwrite — which bumps n_batches — makes it visible to
+    bm25_search. A crash anywhere before that commit leaves the index
+    serving the previous state, and RE-RUNNING the update replaces
+    the half-landed dir instead of appending a duplicate (the redo
+    that silently doubled df/scores under the old flat-append
+    layout). Uses the bucket count the index was built with (read
+    from stats — a mismatched layout would split a term across
+    directories)."""
     spark = docs_new.sparkSession
     st = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(st["n_buckets"])
     n0, avg0 = int(st["n_docs"]), float(st["avgdl"])
-    toked = docs_new.select(
-        F.col(id_col).alias("doc"), lm_tokens(text_col).alias("_toks")
-    ).withColumn("dl", F.size("_toks"))
-    postings = (
-        toked.select("doc", "dl", F.explode("_toks").alias("term"))
-        .groupBy("term", "doc")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    )
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        f"{path}/postings"
+    batch_id = int(st["n_batches"])
+    toked = _batch_postings(
+        docs_new, path, text_col, id_col, n_buckets, batch_id
     )
     batch = toked.agg(
         F.count(F.lit(1)).alias("k"), F.sum("dl").alias("dl_sum")
@@ -204,14 +222,8 @@ def update_bm25_index(
     k, dl_sum = int(batch["k"]), int(batch["dl_sum"] or 0)
     n1 = n0 + k
     avg1 = (n0 * avg0 + dl_sum) / n1 if n1 else 0.0
-    stats = spark.createDataFrame(
-        [(n1, avg1, n_buckets)], "n_docs long, avgdl double, n_buckets int"
-    )
-    # stats overwrite LAST (postings-then-stats): a crash between the
-    # two leaves extra postings invisible to scoring only through
-    # avgdl/N staleness, and re-running the update is the caller's
-    # redo unit
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # the COMMIT: stats overwrite last, bumping the batch pointer
+    _write_stats(spark, path, n1, avg1, n_buckets, batch_id + 1)
     return {"n_docs": n1, "avgdl": avg1, "added": k}
 
 
@@ -223,15 +235,17 @@ def bm25_search(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Top-k over a build_bm25_index index. The bucket filter prunes
-    the postings scan to the query terms' partitions; everything
-    after the term filter is hit-sized."""
+    """Top-k over a build_bm25_index index. Reads only the COMMITTED
+    batch dirs (stats' n_batches pointer — a half-landed update is
+    invisible); the bucket filter prunes the scan to the query terms'
+    partitions; everything after the term filter is hit-sized."""
     terms = _tokenize(query)
     if not terms:
         raise ValueError("empty query")
     st = spark.read.parquet(f"{path}/stats").collect()[0]
     n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
     n_buckets = int(st["n_buckets"])
+    n_batches = int(st["n_batches"])
     term_df = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         r["b"]
@@ -242,7 +256,10 @@ def bm25_search(
         .collect()
     )
     post = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.option("basePath", f"{path}/postings")
+        .parquet(
+            *[f"{path}/postings/batch={i}" for i in range(n_batches)]
+        )
         .filter(F.col("bucket").isin(buckets))  # partition-pruned scan
         .filter(F.col("term").isin(terms))
     )

@@ -39,10 +39,13 @@ PHONE_RE = (
 )
 # IPv4 (the third member of the Dolma-style PII set): four 0-255
 # octets, anchored so longer dotted digit runs (versions like
-# 1.2.3.4.5, decimal section numbers) never partially match
+# 1.2.3.4.5, decimal section numbers) never partially match — but a
+# bare dot NOT followed/preceded by a digit (sentence punctuation:
+# "connect to 10.0.0.1.") must not veto the match (ADVICE r3: the
+# old (?![\d.]) lookahead under-redacted every sentence-final IP)
 IP_RE = (
-    r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])"
+    r"(?<!\d)(?<!\d\.)(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?!\.?\d)"
 )
 
 DEFAULT_RULES: dict[str, tuple[float, float]] = {

@@ -18,7 +18,9 @@ Scale shape: the only shuffle that touches the candidate set is ONE
 groupBy on the canonical destination url (ids + counts, never html or
 text); the seen screen broadcasts a Bloom bitmap so history is joined
 only by the (novelty + fpp) fraction of candidates; the host-rank
-table is |hosts|-sized and broadcasts; top-k is orderBy().limit()
+and delay tables are |hosts|-sized and broadcast only under a size
+budget (above it AQE decides — at 10^8 hosts a forced broadcast
+would OOM the driver); top-k is orderBy().limit()
 (TakeOrderedAndProject — no global sort materialization). At 10^12
 seen urls the Bloom table is the one artifact to persist per epoch
 (build_bloom_for) and reuse across every discovered batch.
@@ -40,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from engine.ops.bloom import build_bloom_for, screen_new_keys
 from engine.ops.linkgraph import extract_outlinks_df, host_edges, pagerank
 from engine.ops.urlnorm import canonical_url_col
+from engine.partitioning import fits_broadcast_budget
 
 RANK_FLOOR = 1e-6
 
@@ -92,6 +95,7 @@ def frontier_candidates(
     per_host_cap: int | None = None,
     host_delays: DataFrame | None = None,
     fetch_window_s: float = 3600.0,
+    broadcast_bytes: int | None = 512 * 1024 * 1024,
 ) -> DataFrame:
     """pages + seen(url) -> prioritized frontier
     (url, host, n_ref_hosts, n_refs, rank, priority), priority desc.
@@ -123,8 +127,16 @@ def frontier_candidates(
     OWN cap, floor(fetch_window_s / delay) fetches per cycle (>= 1 so
     a declared-but-huge delay still progresses). Combined with
     per_host_cap by least(); hosts declaring no delay fall back to
-    the global cap (or no cap). The delay table is host-sized and
-    broadcasts.
+    the global cap (or no cap).
+
+    `broadcast_bytes` (VERDICT r3 #2): the host-rank and host-delay
+    tables broadcast ONLY while their estimated bytes fit the budget
+    (engine/partitioning.fits_broadcast_budget — one ids+lengths agg
+    each); above it the joins are left unhinted and AQE picks the
+    strategy from actual sizes. The tables are |hosts|-sized — at
+    10^8 hosts the rank table alone is GBs and a forced broadcast is
+    a driver OOM, while the candidate side here is the small,
+    delta-sized one. budget=None never forces (always AQE).
     """
     seen_canon = seen.select(canonical_url_col(url_col).alias("url"))
     # the candidate path and the default rank prior each run their own
@@ -149,11 +161,15 @@ def frontier_candidates(
             max_iter=rank_iters,
             tol=0,
         ).withColumnRenamed("node", "host")
+    # rank/delay tables are (host, double): text + 8B + row overhead
+    dim_bytes = F.length("host") + F.lit(32)
+    if fits_broadcast_budget(host_ranks, dim_bytes, broadcast_bytes):
+        host_ranks = F.broadcast(host_ranks)
     scored = (
         new.withColumn(
             "host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
         )
-        .join(F.broadcast(host_ranks), "host", "left")
+        .join(host_ranks, "host", "left")
         .withColumn(
             "priority",
             F.log1p(F.col("n_ref_hosts"))
@@ -176,7 +192,9 @@ def frontier_candidates(
                 F.lower(F.col("host")).alias("host"),
                 F.col("crawl_delay").cast("double").alias("_delay"),
             )
-            scored = scored.join(F.broadcast(hd), "host", "left")
+            if fits_broadcast_budget(hd, dim_bytes, broadcast_bytes):
+                hd = F.broadcast(hd)
+            scored = scored.join(hd, "host", "left")
             dcap = F.when(
                 F.col("_delay") > 0,
                 F.greatest(

@@ -15,8 +15,11 @@ Spark-first shape:
     user-agent token that prefix-matches the crawler, else the `*`
     group, else allow-all) happens relationally ONCE per host — a
     host-sized agg, not per page.
-  * VERDICT: the per-host rule arrays broadcast-join onto pages by
-    host (pages NEVER shuffle — the rules side is the dim table), and
+  * VERDICT: the per-host rule arrays join onto pages by host under a
+    SIZE-BUDGETED broadcast (pages never shuffle while the rules side
+    fits the budget; above it the join is unhinted and AQE decides —
+    the bloom_probe discipline, so a 10^8-host rule table can't OOM
+    the driver), and
     longest-match evaluation runs in ONE Arrow pass with per-batch
     compiled-regex caching (`*` and `$` per RFC §2.2.3; longest path
     wins, Allow wins ties, no match = allowed). Hosts with no
@@ -31,6 +34,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BooleanType
+
+from engine.partitioning import fits_broadcast_budget
 
 RULES_DDL = "host string, agent string, allow boolean, path string"
 PARSE_LIMIT = 500 * 1024  # RFC 9309 §2.5: parse at least 500 KiB
@@ -100,7 +105,11 @@ DELAY_DDL = "host string, agent string, delay double"
 
 def _parse_delays_one(host: str, body: str):
     """Crawl-delay lines, attributed to their group exactly like
-    rules (same consecutive-user-agent grouping as _parse_one).
+    rules (same consecutive-user-agent grouping as _parse_one), PLUS
+    one null-delay presence row per (group, agent) — so downstream
+    group selection sees EVERY group, not just delay-bearing ones
+    (ADVICE r3: a crawler-specific group with Allow/Disallow rules
+    but no Crawl-delay must SHADOW *'s delay, not inherit it).
     Crawl-delay is not in RFC 9309 but is honored by major non-Google
     crawlers; unparsable values are skipped (tolerant-parse rule)."""
     agents: list[str] = []
@@ -118,6 +127,9 @@ def _parse_delays_one(host: str, body: str):
                 rules_started = False
             if val:
                 agents.append(val.lower())
+                # presence sentinel (mirrors _parse_one's zero-length
+                # allow): makes delay-less groups visible to selection
+                yield (host, val.lower(), None)
         elif key in ("allow", "disallow", "crawl-delay"):
             rules_started = True
             if key == "crawl-delay":
@@ -138,10 +150,14 @@ def crawl_delays(
 ) -> DataFrame:
     """Robots-file table -> (host, crawl_delay) for the group that
     governs `crawler` (same RFC §2.2.1 selection as the Allow/
-    Disallow screen: longest prefix-matching agent token, else `*`).
-    Within the governing group the MAX declared delay wins
-    (conservative politeness). Hosts declaring no delay emit no row.
-    Host-sized end to end: one map-only parse + two small aggs."""
+    Disallow screen: longest prefix-matching agent token among ALL
+    groups, else `*`). A delay is emitted only when the governing
+    group ITSELF declares one — a crawler-specific group with rules
+    but no Crawl-delay shadows *'s delay rather than inheriting it
+    (the group declared no delay, so none applies). Within the
+    governing group the MAX declared delay wins (conservative
+    politeness). Host-sized end to end: one map-only parse + two
+    small aggs."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,7 +166,9 @@ def crawl_delays(
                 if host is None:
                     continue
                 out.extend(_parse_delays_one(host.lower(), body))
-            yield pd.DataFrame(out, columns=["host", "agent", "delay"])
+            yield pd.DataFrame(
+                out, columns=["host", "agent", "delay"]
+            ).astype({"delay": "float64"})
 
     rows = robots.mapInPandas(fn, DELAY_DDL)
     c = crawler.lower()
@@ -160,11 +178,22 @@ def crawl_delays(
         "_spec",
         F.when(F.col("agent") == "*", F.lit(0)).otherwise(F.length("agent")),
     )
+    # max(delay) ignores the null presence sentinels, so a governing
+    # group with no declared delay carries delay=NULL here and is
+    # dropped AFTER selection — it still outranks (shadows) *.
     per_group = matched.groupBy("host", "_spec").agg(
         F.max("delay").alias("delay")
     )
-    return per_group.groupBy("host").agg(
-        F.max_by("delay", "_spec").alias("crawl_delay")
+    # struct-max, not max_by: the winner must be decided by _spec
+    # ALONE even when its delay is NULL (struct comparison resolves at
+    # the first field; _spec is unique per host after the groupBy) —
+    # an agg that skipped null values would fall back to a lower
+    # group and reinstate the inheritance bug this fixes.
+    return (
+        per_group.groupBy("host")
+        .agg(F.max(F.struct("_spec", "delay")).alias("_w"))
+        .select("host", F.col("_w.delay").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
     )
 
 
@@ -231,12 +260,29 @@ def robots_verdicts(
     crawler: str = "sparkbot",
     url_col: str = "url",
     out_col: str = "robots_allowed",
+    broadcast_bytes: int | None = 512 * 1024 * 1024,
 ) -> DataFrame:
     """pages + parsed rule table -> pages + boolean out_col. The
-    per-host governed rule group broadcast-joins on host; matching is
-    one Arrow pass (longest path wins; Allow wins equal-length ties;
-    no match or no robots.txt = allowed)."""
+    per-host governed rule group joins on host; matching is one Arrow
+    pass (longest path wins; Allow wins equal-length ties; no match
+    or no robots.txt = allowed).
+
+    The rules side broadcasts ONLY under `broadcast_bytes`
+    (engine/partitioning.fits_broadcast_budget — estimated on the
+    pre-aggregation rule rows, a map-only scan); above the budget the
+    join is left unhinted and AQE picks the strategy from actual
+    sizes. Rationale (VERDICT r3 #1): the packed table is
+    |hosts|-sized — at web scale ~10^8 hosts x rule arrays is tens of
+    GB, and an unconditional F.broadcast there is a driver OOM.
+    budget=None never forces (always AQE)."""
     grouped = _group_rules(rules, crawler)
+    # per-rule-row bytes upper-bounds the packed array entry it folds
+    # into (path text + plen/allow + struct overhead), and host text
+    # upper-bounds the group key; summing on `rules` keeps the
+    # estimate map-only instead of running _group_rules' shuffle twice
+    est = F.length("path") + F.length("host") + F.lit(32)
+    if fits_broadcast_budget(rules, est, broadcast_bytes):
+        grouped = F.broadcast(grouped)
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     path = F.coalesce(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
@@ -244,7 +290,7 @@ def robots_verdicts(
     path = F.when(path == "", "/").otherwise(path)
     joined = pages.withColumn("_host", host).withColumn(
         "_path", path
-    ).join(F.broadcast(grouped), F.col("_host") == grouped["host"], "left")
+    ).join(grouped, F.col("_host") == grouped["host"], "left")
 
     @F.pandas_udf(BooleanType())
     def _allowed(paths: pd.Series, rule_arrs: pd.Series) -> pd.Series:

@@ -66,12 +66,30 @@ def run(args) -> dict:
     )
     t0 = time.monotonic()
 
-    def _card(input_path: str) -> dict:
-        return build_card(spark, args, input_path)
-
-    report = _card(args.input)
+    report = build_card(spark, args, args.input)
     if args.compare:
-        baseline = _card(args.compare)
+        cmp_fmt = getattr(args, "compare_format", None) or getattr(
+            args, "input_format", "parquet"
+        )
+        if cmp_fmt == "card":
+            # a prior card JSON (this job's own --output, or the
+            # corpus job's corpus_card.json) — no Spark re-read of
+            # the baseline corpus at all
+            with open(args.compare) as f:
+                loaded = json.load(f)
+            baseline = loaded.get("card", loaded)
+        else:
+            # the baseline corpus keeps ITS OWN format/schema
+            # (ADVICE r3: comparing a jsonl crawl against a prior
+            # parquet corpus must not misparse the baseline); when no
+            # compare format/schema is given at all, the baseline
+            # inherits the input's (the old same-layout behavior)
+            cmp_schema = getattr(args, "compare_schema", None)
+            if getattr(args, "compare_format", None) is None:
+                cmp_schema = cmp_schema or getattr(args, "input_schema", None)
+            baseline = build_card(
+                spark, args, args.compare, fmt=cmp_fmt, schema=cmp_schema
+            )
         report["compare"] = {
             "baseline": args.compare,
             "baseline_card": baseline,
@@ -86,18 +104,24 @@ def run(args) -> dict:
     return report
 
 
-def build_card(spark, args, input_path: str) -> dict:
+def build_card(
+    spark, args, input_path: str, fmt: str | None = None,
+    schema: str | None = None,
+) -> dict:
     from engine.ops.curate import _metric_cols, quality_metrics
 
     from engine.io.export import read_docs
 
     # getattr: programmatic callers (the corpus job's --report stage
-    # builds a minimal namespace) default to parquet
+    # builds a minimal namespace) default to parquet; fmt/schema
+    # override lets --compare read a baseline in a DIFFERENT layout
     docs = read_docs(
         spark,
         input_path,
-        fmt=getattr(args, "input_format", "parquet") or "parquet",
-        schema=getattr(args, "input_schema", None),
+        fmt=fmt or getattr(args, "input_format", "parquet") or "parquet",
+        schema=schema
+        if fmt is not None
+        else getattr(args, "input_schema", None),
     )
     text = F.coalesce(F.col(args.text_col), F.lit(""))
     # the ONE token-count definition (pinned in curate): lang_mix and
@@ -335,10 +359,24 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--compare",
         default=None,
-        help="second corpus parquet (e.g. the previous crawl's "
-        "version): the card gains a compare section with the "
-        "baseline card and signed new-minus-old deltas for totals, "
-        "quality means, dup rate, lang shares, and host concentration",
+        help="baseline corpus (e.g. the previous crawl's version): "
+        "the card gains a compare section with the baseline card and "
+        "signed new-minus-old deltas for totals, quality means, dup "
+        "rate, lang shares, and host concentration",
+    )
+    p.add_argument(
+        "--compare-format",
+        choices=["parquet", "jsonl", "card"],
+        default=None,
+        help="baseline's own format (defaults to --input-format); "
+        "'card' reads --compare as a prior card JSON (this job's "
+        "--output or the corpus job's corpus_card.json) with no "
+        "Spark re-read of the baseline corpus",
+    )
+    p.add_argument(
+        "--compare-schema",
+        default=None,
+        help="baseline's schema when --compare-format differs",
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")

@@ -156,3 +156,53 @@ def test_bm25_incremental_update_equals_rebuild(spark, tmp_path):
     stf = spark.read.parquet(f"{full_path}/stats").collect()[0]
     assert sti["n_docs"] == stf["n_docs"]
     assert abs(sti["avgdl"] - stf["avgdl"]) < 1e-12
+
+
+def test_bm25_update_redo_after_crash_is_idempotent(spark, tmp_path):
+    """ADVICE r3 (medium): a crash AFTER the batch's postings land but
+    BEFORE the stats commit must leave the index (a) serving exactly
+    the pre-update state and (b) safe to redo by re-running the
+    update — under the old flat-append layout the redo appended the
+    batch's postings twice, inflating df and doubling scores."""
+    from engine.ops.bm25 import update_bm25_index
+
+    a = [r for r in DOCS if r[0] < 4]
+    b = [r for r in DOCS if r[0] >= 4]
+    ddl = "doc_id long, text string"
+    idx = str(tmp_path / "crash")
+    build_bm25_index(spark.createDataFrame(a, ddl), idx, n_buckets=16)
+    before = [
+        (r["doc"], r["bm25"])
+        for r in bm25_search(spark, idx, QUERY, k=10).collect()
+    ]
+    pre_stats = spark.read.parquet(f"{idx}/stats").collect()
+
+    # simulate the crash: run the full update, then roll the stats
+    # commit back — postings/batch=1 is on disk, stats still point at
+    # 1 committed batch
+    update_bm25_index(spark.createDataFrame(b, ddl), idx)
+    spark.createDataFrame(pre_stats).write.mode("overwrite").parquet(
+        f"{idx}/stats"
+    )
+
+    # (a) uncommitted batch is invisible
+    mid = [
+        (r["doc"], r["bm25"])
+        for r in bm25_search(spark, idx, QUERY, k=10).collect()
+    ]
+    assert mid == before
+
+    # (b) the redo: re-run the SAME update, then scores == a clean
+    # build over the union (no duplicated postings, df not inflated)
+    update_bm25_index(spark.createDataFrame(b, ddl), idx)
+    full = str(tmp_path / "full")
+    build_bm25_index(spark.createDataFrame(DOCS, ddl), full, n_buckets=16)
+    si = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, idx, QUERY, k=10).collect()
+    }
+    sf = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, full, QUERY, k=10).collect()
+    }
+    assert si == sf

@@ -504,12 +504,16 @@ def test_ip_pii_screen_and_redaction(spark):
         (4, "octet 999.1.1.1 is not an address"),
         (5, "pi is 3.14159 and section 2.4 exists"),
         (6, GOOD),
+        # sentence-final address: the bare trailing period must not
+        # veto the match (ADVICE r3 — the old (?![\d.]) lookahead
+        # under-redacted this common case)
+        (7, "connect to 10.0.0.1. Then log in."),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     n = {
         r["doc_id"]: r["n_pii"] for r in quality_metrics(docs).collect()
     }
-    assert n == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0}
+    assert n == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 1}
     red = {
         r["doc_id"]: (r["text"], r["n_redacted"])
         for r in redact_pii(docs).collect()
@@ -517,6 +521,7 @@ def test_ip_pii_screen_and_redaction(spark):
     assert red[1] == ("server at <IP> responded", 1)
     assert red[2] == ("edge case <IP> and <IP> both count", 2)
     assert red[3][1] == 0 and "1.2.3.4.5" in red[3][0]
+    assert red[7] == ("connect to <IP>. Then log in.", 1)
     # redact -> metric closes to zero for every doc
     n2 = {
         r["doc_id"]: r["n_pii"]

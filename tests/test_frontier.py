@@ -279,3 +279,45 @@ def test_crawl_delay_caps_per_host(spark):
         by2.setdefault(r["host"], []).append(r)
     assert len(by2["slow.com"]) == 2
     assert len(by2["big.com"]) == 10
+
+
+def test_frontier_dim_broadcast_budget_gate(spark):
+    """VERDICT r3 #2: the host-rank and host-delay dim tables
+    broadcast only under broadcast_bytes; with budget 0 the joins are
+    unhinted (AQE decides) and the frontier is IDENTICAL — parity
+    pinned across both regimes, broadcast visibility pinned in the
+    plans."""
+    from tests.test_plans import plan
+
+    body = "".join(
+        f'<a href="https://t{i}.com/p">x</a>' for i in range(6)
+    )
+    pages = _pages(spark, [("https://a.com/p", body)])
+    seen = spark.createDataFrame([("https://nothing.com/",)], "url string")
+    ranks = spark.createDataFrame(
+        [(f"t{i}.com", 0.1 * (i + 1)) for i in range(6)],
+        "host string, rank double",
+    )
+    delays = spark.createDataFrame(
+        [("t1.com", 600.0)], "host string, crawl_delay double"
+    )
+    kw = dict(host_ranks=ranks, host_delays=delays, fetch_window_s=1200.0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        under = frontier_candidates(spark, pages, seen, **kw)
+        over = frontier_candidates(
+            spark, pages, seen, broadcast_bytes=0, **kw
+        )
+        # the bloom screen's own (independently budgeted) broadcast is
+        # present in BOTH plans; budget 0 must remove exactly the two
+        # host-dim hints (ranks + delays). Formatted explain prints
+        # each node twice (tree + details), hence the //2.
+        n_under = plan(under).count("BroadcastHashJoin") // 2
+        n_over = plan(over).count("BroadcastHashJoin") // 2
+        assert n_under - n_over == 2, (n_under, n_over)
+        rows_u = [tuple(r) for r in under.collect()]
+        rows_o = [tuple(r) for r in over.collect()]
+        assert rows_u == rows_o and len(rows_u) == 6
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -182,3 +182,68 @@ def test_report_compare_end_to_end(spark, tmp_path):
     assert rep["compare"]["baseline_card"]["totals"]["docs"] == 3
     # es doc share rose from 1/3 to 2/4
     assert d["lang_doc_share"]["es"] == round(0.5 - 1 / 3, 6)
+
+
+def test_report_compare_cross_format_and_card(spark, tmp_path):
+    """ADVICE r3: the baseline keeps its OWN layout — a jsonl input
+    compares against a prior parquet corpus via --compare-format, and
+    --compare-format card diffs against a prior card JSON with no
+    Spark re-read of the baseline at all."""
+    import gzip
+
+    from jobs.report import run
+
+    ddl = "doc_id long, text string"
+    old_rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # dup
+        (2, "uno dos tres cuatro"),
+    ]
+    po = str(tmp_path / "old_parquet")
+    spark.createDataFrame(old_rows, ddl).write.parquet(po)
+
+    # the new crawl arrives as gzip JSONL (public-corpus layout)
+    pn = tmp_path / "new_jsonl"
+    pn.mkdir()
+    new_rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 3, "text": "cinco seis siete ocho"},
+    ]
+    with gzip.open(pn / "part-000.jsonl.gz", "wt") as f:
+        for r in new_rows:
+            f.write(json.dumps(r) + "\n")
+
+    rep = run(
+        _args(
+            str(pn),
+            None,
+            input_format="jsonl",
+            input_schema=ddl,
+            compare=po,
+            compare_format="parquet",
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert rep["totals"]["docs"] == 2
+    assert rep["compare"]["baseline_card"]["totals"]["docs"] == 3
+    assert rep["compare"]["delta"]["totals"]["docs"] == -1.0
+    assert rep["compare"]["delta"]["dup_rate"] == round(0.0 - 1 / 3, 6)
+
+    # card mode: baseline is the prior card JSON itself
+    card_path = str(tmp_path / "old_card.json")
+    with open(card_path, "w") as f:
+        json.dump(rep["compare"]["baseline_card"], f)
+    rep2 = run(
+        _args(
+            str(pn),
+            None,
+            input_format="jsonl",
+            input_schema=ddl,
+            compare=card_path,
+            compare_format="card",
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert rep2["compare"]["delta"] == rep["compare"]["delta"]

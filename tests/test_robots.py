@@ -156,3 +156,79 @@ def test_crawl_delays_group_selection_and_max(spark):
         for r in crawl_delays(robots, crawler="sparkbot").collect()
     }
     assert got == {"a.com": 5.0, "b.com": 7.0}
+
+
+def test_crawl_delay_governing_group_shadows_star(spark):
+    """ADVICE r3: a crawler-specific group with Allow/Disallow rules
+    but NO Crawl-delay is still the governing group — it shadows *'s
+    delay rather than inheriting it (the governing group declared no
+    delay, so none applies). A host whose specific group DOES declare
+    one keeps it; a host with only * keeps *'s."""
+    from engine.ops.robots import crawl_delays
+
+    robots = _robots(
+        spark,
+        [
+            (
+                "shadow.com",
+                "User-agent: sparkbot\nDisallow: /x\n\n"
+                "User-agent: *\nCrawl-delay: 10\n",
+            ),
+            (
+                "keeps.com",
+                "User-agent: sparkbot\nCrawl-delay: 3\n\n"
+                "User-agent: *\nCrawl-delay: 10\n",
+            ),
+            ("star.com", "User-agent: *\nCrawl-delay: 4\n"),
+            # an EMPTY specific group (trailing user-agent line with
+            # no rules — were it followed by another user-agent line
+            # the two would merge per RFC adjacency) also governs and
+            # shadows
+            (
+                "empty.com",
+                "User-agent: *\nCrawl-delay: 9\nDisallow: /y\n\n"
+                "User-agent: sparkbot\n",
+            ),
+        ],
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delays(robots, crawler="sparkbot").collect()
+    }
+    assert got == {"keeps.com": 3.0, "star.com": 4.0}
+
+
+def test_verdict_broadcast_budget_gate(spark):
+    """VERDICT r3 #1: the |hosts|-sized rule table broadcasts ONLY
+    under broadcast_bytes; above the budget the join is unhinted (AQE
+    decides from actual sizes — no driver OOM path). Parity pinned in
+    both regimes."""
+    from tests.test_plans import plan
+
+    robots = _robots(
+        spark, [("a.example", "User-agent: *\nDisallow: /no/\n")]
+    )
+    pages = _pages(
+        spark,
+        ["http://a.example/no/1", "http://a.example/yes", "http://b.example/z"],
+    )
+    rules = parse_robots(robots)
+    expected = {
+        "http://a.example/no/1": False,
+        "http://a.example/yes": True,
+        "http://b.example/z": True,
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill the auto threshold so the ONLY broadcast source is the
+        # explicit budget-gated hint — makes the two regimes visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        under = robots_verdicts(pages, rules)
+        assert "BroadcastHashJoin" in plan(under), plan(under)
+        over = robots_verdicts(pages, rules, broadcast_bytes=0)
+        assert "BroadcastHashJoin" not in plan(over), plan(over)
+        for df in (under, over):
+            got = {r["url"]: r["robots_allowed"] for r in df.collect()}
+            assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
