@@ -4,10 +4,12 @@ function of (seed, media_id) so any scale regenerates identically on
 any executor.
 
 Mix: ~45% PNG (gray-8, really decodable by the kernel), ~35% WAV
-(PCM16 mono, really decodable), ~10% JPEG-sniffable stubs, ~5% MP4
-stubs, ~5% garbage. Pixel/sample content is integer-only (no libm) so
-bytes are identical across platforms; PNG compressed bytes depend on
-the in-process zlib, so goldens pin DECODED pixels / hashes, not the
+(PCM16 mono, really decodable), ~10% REAL baseline JPEG (decodable
+since r4 — gray and YCbCr 4:2:0 w/ restart markers alternate), ~5%
+MP4 stubs, ~5% garbage. Pixel/sample content is integer-only (no
+libm; the JPEG DCT is fixed-order float64 rounded to uint8) so bytes
+are identical across platforms; PNG compressed bytes depend on the
+in-process zlib, so goldens pin DECODED pixels / hashes, not the
 container bytes.
 """
 
@@ -88,10 +90,16 @@ def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
         kind, payload = "png", make_png_gray(seed, i)
     elif r < 0.80:
         kind, payload = "wav", make_wav_pcm16(seed, i)
-    elif r < 0.90:  # sniffable JPEG stub (header only — decode is stubbed)
+    elif r < 0.90:  # REAL baseline JPEG (decodable since r4): gray
+        # and YCbCr-4:2:0-with-restarts alternate, exercising both
+        # decoder paths in every generated corpus
+        from engine.synth.jpeggen import make_jpeg_gray, make_jpeg_ycbcr420
+
         kind = "jpeg"
-        payload = b"\xff\xd8\xff\xe0" + b"\x00\x10JFIF\x00" + bytes(
-            (rng.next() & 0xFF for _ in range(64))
+        payload = (
+            make_jpeg_gray(seed, i)
+            if i % 2 == 0
+            else make_jpeg_ycbcr420(seed, i)
         )
     elif r < 0.95:  # MP4 stub
         kind = "mp4"
