@@ -194,10 +194,10 @@ def main() -> None:
         fn, _oracle = ALL[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
-    # hash-banded near-dup candidates, timed per banding family (the
-    # registry consolidated them into one x04_neardup_pairs entry for
-    # the driver's 50-entry recording cap; the bench keeps the r1/r2
-    # per-method timing keys for round-over-round comparability)
+    # hash-banded near-dup candidates, timed per banding family (r4
+    # registry shape: oracle-backed q45_simhash_pairs +
+    # q46_minhash_pairs; the bench keeps the r1/r2 per-method timing
+    # keys for round-over-round comparability)
     from engine.ops.dedup import minhash_candidate_pairs, simhash_candidate_pairs
     from engine.queries import T as _T
 

@@ -90,8 +90,14 @@ def x01(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# A6-A9: sentence-aware chunking + deterministic featurizer, one
-# per-url rollup (chunks computed ONCE, persisted across both uses)
+# A6-A9 + text-metric kernels: sentence-aware chunking +
+# deterministic featurizer, one per-url rollup (chunks computed ONCE,
+# persisted across both uses), PLUS the rolling-hash fingerprint and
+# language-ID kernels over each url's extracted text — absorbed from
+# the former x07_text_metrics entry (r4 freed its registry slot for
+# the oracle-backed q45/q46 pair within the driver's 50-entry record
+# window; the kernels themselves are unchanged and still golden-
+# pinned in tests/test_kernels.py).
 # --------------------------------------------------------------------------
 @register("x02_chunk_vectors")
 def x02(spark, sf_dir):
@@ -114,39 +120,227 @@ def x02(spark, sf_dir):
             F.sum("label").alias("label_sum"),
         )
     )
-    return per_chunk.join(per_vec, "url").orderBy("url")
+    metrics = ex.select(
+        "url",
+        rolling_fp_udf(F.col("text")).alias("fingerprint"),
+        langid_udf(F.col("text")).alias("lang_guess"),
+        (F.col("lang") != langid_udf(F.col("text"))).cast("int").alias(
+            "lang_mismatch"
+        ),
+    )
+    return per_chunk.join(per_vec, "url").join(metrics, "url").orderBy("url")
 
 
 # --------------------------------------------------------------------------
-# Dedup: hash-banded near-dup candidate pairs over documents — BOTH
-# banding families in one registry entry (the driver records only the
-# first 50 sorted entries, so round 3 consolidated the former
-# x04_minhash_lsh_pairs + x05_simhash_pairs; the operators themselves
-# are unchanged and separately pinned in tests/test_dedup_job.py):
-#   - minhash: shingle -> minhash -> band hash -> bucket join
-#     (8 bands x 4 rows)
-#   - simhash: 64-bit fingerprint, 4 x 16-bit slice buckets,
-#     hamming <= 8
+# Dedup: hash-banded near-dup candidate pairs over documents. History:
+# round 3 consolidated x04_minhash_lsh_pairs + x05_simhash_pairs into
+# one rows-only x04 entry; round 4 (VERDICT r3 next #3) replicated
+# BOTH banding families end-to-end in DuckDB SQL, so the entry split
+# back into two fully ORACLE-BACKED entries, q45 (simhash) and q46
+# (minhash) — net registry change 0 after the x07 merge above.
+#
+# q46 minhash oracle notes: shingle FNV-1a via the same HUGEINT
+# list_reduce as q45; the 32 pinned (a*x+b) mod 2^61-1 permutation
+# constants are INLINED from engine.kernels.fingerprint._MINHASH_AB
+# (splitmix64-derived, seed-free); band buckets join on the RAW
+# 4-row signature slices (list equality) where Spark joins on
+# F.hash(band_sig) — identical pairs barring a 2^-32 murmur
+# collision, which the hash-match gate would surface.
 # --------------------------------------------------------------------------
-@register("x04_neardup_pairs")
-def x04(spark, sf_dir):
-    # operators live in engine/ops/dedup.py (shared with jobs/dedup.py)
-    from engine.ops.dedup import minhash_candidate_pairs, simhash_candidate_pairs
+from engine.kernels.fingerprint import _MERSENNE61, _MINHASH_AB
+
+_PERM_VALUES = ",\n            ".join(
+    f"({k}, {a}::HUGEINT, {b}::HUGEINT)"
+    for k, (a, b) in enumerate(_MINHASH_AB)
+)
+
+_FNV_LIST_REDUCE = """
+               list_reduce(
+                   list_prepend(
+                       14695981039346656037::HUGEINT,
+                       list_transform(
+                           range(1, length(s) + 1),
+                           i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))
+                   ),
+                   (acc, b) -> ((acc - (acc % 256)
+                                 + CAST(xor(CAST(acc % 256 AS BIGINT),
+                                            CAST(b AS BIGINT)) AS HUGEINT))
+                                * 1099511628211)
+                               % 18446744073709551616::HUGEINT
+               )
+"""
+
+
+@register(
+    "q46_minhash_pairs",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                 WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(
+                     range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' '))
+            END) AS s
+        FROM tok
+    ),
+    vocab AS (SELECT DISTINCT s FROM sh),
+    vhash AS (
+        SELECT s, {_FNV_LIST_REDUCE} AS h
+        FROM vocab
+    ),
+    dh AS (SELECT sh.doc_id, v.h FROM sh JOIN vhash v USING (s)),
+    perms(k, a, b) AS (
+        VALUES
+            {_PERM_VALUES}
+    ),
+    sigs AS (
+        SELECT doc_id, p.k,
+               MIN(CASE WHEN ((p.a * h) % {_MERSENNE61} + p.b)
+                             >= {_MERSENNE61}
+                        THEN ((p.a * h) % {_MERSENNE61} + p.b)
+                             - {_MERSENNE61}
+                        ELSE ((p.a * h) % {_MERSENNE61} + p.b)
+                   END) AS sv
+        FROM dh CROSS JOIN perms p
+        GROUP BY doc_id, p.k
+    ),
+    sig AS (
+        SELECT d.doc_id,
+               COALESCE(s.sig, list_transform(
+                   range(32), x -> {_MERSENNE61 - 1}::HUGEINT)) AS sig
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, list(sv ORDER BY k) AS sig
+            FROM sigs GROUP BY doc_id
+        ) s USING (doc_id)
+    ),
+    band_t AS (
+        SELECT doc_id, b.band,
+               sig[1 + 4 * b.band : 4 * b.band + 4] AS bsig
+        FROM sig CROSS JOIN range(8) AS b(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_t a
+        JOIN band_t b ON a.band = b.band AND a.bsig = b.bsig
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+)
+def q46(spark, sf_dir):
+    # operator lives in engine/ops/dedup.py (shared with jobs/dedup.py)
+    from engine.ops.dedup import minhash_candidate_pairs
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    mh = minhash_candidate_pairs(docs, n_bands=8, rows_per_band=4).select(
-        F.lit("minhash").alias("method"),
-        "doc_a",
-        "doc_b",
-        F.lit(None).cast("int").alias("hamming"),
+    return (
+        minhash_candidate_pairs(
+            docs, n_bands=8, rows_per_band=4, hot_bucket_cap=None
+        )
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
     )
-    sh = simhash_candidate_pairs(docs, max_hamming=8).select(
-        F.lit("simhash").alias("method"),
-        "doc_a",
-        "doc_b",
-        F.col("hamming").cast("int"),
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked SimHash near-dup (VERDICT r3 next #3: the whole
+# fingerprint + banding spec replicated in DuckDB SQL, the q42/q43
+# full-replication discipline): FNV-1a(token) via HUGEINT
+# list_reduce (the 2^64 modular multiply fits: 64-bit x 41-bit =
+# 105 bits < 127), per-bit majority vote, 4 x 16-bit slice banding,
+# exact hamming <= 8 on candidates. The Spark side disables the
+# hot-bucket star-pairing cap so both engines compute the PURE
+# banding semantics; the cap's bounded-overhead behavior is pinned
+# separately in tests/test_dedup_job.py.
+# --------------------------------------------------------------------------
+@register(
+    "q45_simhash_pairs",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    vhash AS (
+        SELECT tok,
+               list_reduce(
+                   list_prepend(
+                       14695981039346656037::HUGEINT,
+                       list_transform(
+                           range(1, length(tok) + 1),
+                           i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))
+                   ),
+                   (acc, b) -> ((acc - (acc % 256)
+                                 + CAST(xor(CAST(acc % 256 AS BIGINT),
+                                            CAST(b AS BIGINT)) AS HUGEINT))
+                                * 1099511628211)
+                               % 18446744073709551616::HUGEINT
+               ) AS h
+        FROM vocab
+    ),
+    th AS (SELECT t.doc_id, v.h FROM tok t JOIN vhash v USING (tok)),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN 2 * SUM(CAST((h // CAST(POWER(2, b.bit) AS HUGEINT))
+                                      % 2 AS BIGINT)) > COUNT(*)
+                    THEN 1 ELSE 0 END AS bset
+        FROM th CROSS JOIN range(64) AS b(bit)
+        GROUP BY doc_id, b.bit
+    ),
+    sim0 AS (
+        SELECT doc_id,
+               SUM(CAST(bset AS HUGEINT) * CAST(POWER(2, bit) AS HUGEINT)) AS u
+        FROM bits GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT d.doc_id, COALESCE(s.u, 0::HUGEINT) AS u
+        FROM documents d LEFT JOIN sim0 s USING (doc_id)
+    ),
+    bands AS (
+        SELECT doc_id, u, b.band,
+               CAST((u // CAST(POWER(2, 16 * b.band) AS HUGEINT)) % 65536
+                    AS BIGINT) AS bh
+        FROM sim CROSS JOIN range(4) AS b(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.u AS ua, b.u AS ub
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(
+                   CAST(CASE WHEN ua >= 9223372036854775808::HUGEINT
+                             THEN ua - 18446744073709551616::HUGEINT
+                             ELSE ua END AS BIGINT),
+                   CAST(CASE WHEN ub >= 9223372036854775808::HUGEINT
+                             THEN ub - 18446744073709551616::HUGEINT
+                             ELSE ub END AS BIGINT)
+               )) AS INTEGER) AS hamming
+        FROM cand
     )
-    return mh.unionByName(sh).orderBy("method", "doc_a", "doc_b")
+    SELECT doc_a, doc_b, hamming FROM scored
+    WHERE hamming <= 8 ORDER BY doc_a, doc_b
+    """,
+)
+def q45(spark, sf_dir):
+    from engine.ops.dedup import simhash_candidate_pairs
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        simhash_candidate_pairs(docs, max_hamming=8, hot_bucket_cap=None)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -186,21 +380,8 @@ def q41(spark, sf_dir):
     return pairs.filter(F.col("cos_sim") >= 0.4).orderBy("vec_a", "vec_b")
 
 
-# --------------------------------------------------------------------------
-# Text analysis: per-doc rolling-hash fingerprint + language-ID guess
-# vs the crawler label (two kernels, one Arrow crossing each)
-# --------------------------------------------------------------------------
-@register("x07_text_metrics")
-def x07(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id",
-        rolling_fp_udf(F.col("text")).alias("fingerprint"),
-        "lang",
-        langid_udf(F.col("text")).alias("lang_guess"),
-    ).withColumn(
-        "mismatch", (F.col("lang") != F.col("lang_guess")).cast("int")
-    ).orderBy("doc_id")
+# (former x07_text_metrics: merged into x02_chunk_vectors above —
+# the registry slot funds the oracle-backed q45/q46 banding pair.)
 
 
 # --------------------------------------------------------------------------

@@ -12,20 +12,19 @@ SF_001 = "/root/testdata/sf0.001"
 SF_01 = "/root/testdata/sf0.01"
 
 
-def test_x04_matches_shared_operator_pins(spark):
-    """The consolidated registry entry delegates to
-    minhash_candidate_pairs + simhash_candidate_pairs; pin the sf0.01
-    per-method counts so the consolidation is observably the union of
-    the former x04 (25 minhash pairs) and x05 (389 simhash pairs),
-    the CORRECTNESS_r01/r02 values."""
+def test_q45_q46_keep_former_x04_x05_pins(spark):
+    """r4 split the rows-only x04_neardup_pairs into two ORACLE-
+    BACKED entries; the sf0.01 pair counts must still equal the
+    CORRECTNESS_r01/r02 values (25 minhash / 389 simhash) so the
+    re-expression is observably the same operator."""
     from engine.queries_extract import ALL
 
-    fn, _ = ALL["x04_neardup_pairs"]
-    counts = {
-        r["method"]: r["n"]
-        for r in fn(spark, SF_01).groupBy("method").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    assert counts == {"minhash": 25, "simhash": 389}
+    fn46, oracle46 = ALL["q46_minhash_pairs"]
+    assert oracle46 is not None
+    assert fn46(spark, SF_01).count() == 25
+    fn45, oracle45 = ALL["q45_simhash_pairs"]
+    assert oracle45 is not None
+    assert fn45(spark, SF_01).count() == 389
 
 
 def test_jaccard_verify_matches_bruteforce(spark):
