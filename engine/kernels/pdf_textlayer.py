@@ -1,10 +1,13 @@
 """PDF text-layer extraction (SURVEY.md §2 A4).
 
 Parses the well-defined PDF subset our corpus generator emits
-(engine/synth/pdfgen.py) — xref-table PDFs, FlateDecode or plain
-content streams, text operators Tj/TJ/'/\"/Td/TD/Tm/T*/TL — and
-reassembles page text in reading order. Pure stdlib (re + zlib),
-total (returns "" on any malformed input), deterministic.
+(engine/synth/pdfgen.py) — xref-table AND xref-stream (PDF 1.5
+/ObjStm-packed) documents; content streams filtered by FlateDecode,
+ASCIIHexDecode, LZWDecode or filter ARRAYS thereof, or plain; text
+operators Tj/TJ/'/\"/Td/TD/Tm/T*/TL — and reassembles page text in
+reading order. Pure stdlib (re + zlib + an in-repo TIFF-style LZW),
+total (returns "" on any malformed input), deterministic. Filter
+widening + ObjStm landed r4 (VERDICT r3 next #6).
 
 Pinned reading-order spec:
   * Runs are recorded at their text-line origin (x, y).
@@ -36,7 +39,13 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
-_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode")
+# /Filter value: a single name or an array of names, applied in order
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08",
@@ -48,23 +57,132 @@ def is_pdf(raw: bytes | None) -> bool:
     return raw is not None and raw[:5] == b"%PDF-"
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """PDF ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD,
+    an odd trailing digit is padded with 0 (PDF 32000 §7.4.2)."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    hexdigits = b"".join(data.split())  # strip all whitespace
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (PDF 32000 §7.4.4 = TIFF-style LZW): MSB-first
+    variable-width codes 9->12 bits, clear table = 256, EOD = 257,
+    EarlyChange=1 (the default: the width grows one code early, when
+    entry 2^w - 1 is ADDED). DecodeParms predictors are out of the
+    honest subset (the generator never emits them)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    base_len = len(table)
+    out = bytearray()
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:base_len]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("lzw_bad_first_code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):  # KwKwK case
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("lzw_code_out_of_range")
+                table.append(prev + entry[:1])
+                # EarlyChange=1: grow when entry 2^w - 1 is added
+                if len(table) >= (1 << width) - 1 and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _decode_stream(dict_bytes: bytes, data: bytes) -> bytes:
+    """Apply the /Filter chain in order (single name or array). Any
+    unknown filter or decode error yields b'' — total, the kernel's
+    malformed-input contract."""
+    fm = _FILTER_RE.search(dict_bytes)
+    if not fm:
+        return data
+    try:
+        for name in _FILTER_NAME_RE.findall(fm.group(1)):
+            if name == b"FlateDecode" or name == b"Fl":
+                data = zlib.decompress(data)
+            elif name == b"ASCIIHexDecode" or name == b"AHx":
+                data = _ascii_hex_decode(data)
+            elif name == b"LZWDecode" or name == b"LZW":
+                data = _lzw_decode(data)
+            else:  # DCTDecode etc.: outside the honest subset
+                return b""
+    except Exception:
+        return b""
+    return data
+
+
+def _unpack_objstm(dict_bytes: bytes, stream: bytes):
+    """Yield (obj_num, body) for each object packed in a /Type /ObjStm
+    stream (PDF 1.5 xref-stream documents keep their page/catalog
+    dicts here): header of /N (num, offset) int pairs, bodies start
+    at /First. Packed objects are dict-only (the spec forbids nested
+    streams), so body parses like a top-level object body."""
+    nm = _N_RE.search(dict_bytes)
+    fm = _FIRST_RE.search(dict_bytes)
+    if not nm or not fm:
+        return
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = _INT_RE.findall(stream[:first])
+    pairs = [
+        (int(header[2 * i]), int(header[2 * i + 1]))
+        for i in range(min(n, len(header) // 2))
+    ]
+    for i, (num, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(stream) - first
+        yield num, stream[first + off : first + end]
+
+
 def parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """obj_num -> (dict_and_body, decoded_stream_or_None)."""
+    """obj_num -> (dict_and_body, decoded_stream_or_None). Two passes:
+    the regex scan over `N 0 obj ... endobj` wrappers (xref tables are
+    deliberately ignored — scanning is total over malformed files),
+    then objects packed inside /Type /ObjStm streams are unpacked
+    (PDF 1.5+ xref-STREAM documents; their /Type /XRef stream object
+    itself is just carried as an opaque object). Top-level wins on a
+    duplicate object number."""
     objs: dict[int, tuple[bytes, bytes | None]] = {}
+    objstms: list[tuple[bytes, bytes]] = []
     for m in _OBJ_RE.finditer(raw):
         num = int(m.group(1))
         body = m.group(2)
         stream = None
         sm = _STREAM_RE.search(body)
         if sm:
-            data = sm.group(1)
-            if _FLATE_RE.search(body[: sm.start()]):
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    data = b""
-            stream = data
+            stream = _decode_stream(body[: sm.start()], sm.group(1))
+            if _OBJSTM_RE.search(body[: sm.start()]):
+                objstms.append((body[: sm.start()], stream))
         objs[num] = (body, stream)
+    for dict_bytes, stream in objstms:
+        try:
+            for num, body in _unpack_objstm(dict_bytes, stream):
+                objs.setdefault(num, (body, None))
+        except Exception:
+            continue  # malformed ObjStm: keep what the scan found
     return objs
 
 
