@@ -696,3 +696,89 @@ def test_resume_skips_partitioned_split_stage(spark, tmp_path, pages_path):
     }
     assert after == mark_mtimes  # every stage skipped, nothing rewritten
     assert set(res2["stages"]) >= {"split", "pack"}
+
+
+# -- kill-mid-stage chaos harness (VERDICT r3 next #7) ----------------
+
+# a 12-stage configuration: every non-data-dependent opt-in enabled
+CHAOS_KW = dict(
+    min_tokens=5,
+    sample_fraction=0.5,
+    fix_lines=True,
+    monolingual="en",
+    substr_w=8,
+    max_host_share=0.5,
+    splits="train=0.8,val=0.2",
+    pack_budget=128,
+    pack_shards=4,
+    export_shard_mb=1,
+)
+CHAOS_STAGES = [
+    "extract", "linefix", "langsplit", "neardup", "linedup",
+    "substrdedup", "curate", "sample", "rebalance", "split", "pack",
+    "export",
+]
+
+
+def _artifact_bytes(out):
+    """(shard_dir, sorted file bytes) for the run's final artifact
+    (export shard tree). Keyed by directory, not filename — Spark
+    part names embed a per-write UUID; byte-identity is the CONTENT
+    contract. Markers and .crc sidecars excluded."""
+    got = {}
+    root = os.path.join(out, "export")
+    for dirpath, _dirs, files in os.walk(root):
+        blobs = []
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            with open(os.path.join(dirpath, name), "rb") as f:
+                blobs.append(f.read())
+        if blobs:
+            got[os.path.relpath(dirpath, root)] = sorted(blobs)
+    return got
+
+
+@pytest.fixture(scope="module")
+def chaos_ref(spark, tmp_path_factory, pages_path):
+    from jobs.corpus import run
+
+    out = str(tmp_path_factory.mktemp("chaosref") / "corpus")
+    res = run(_args(pages_path, out, **CHAOS_KW))
+    # the config really exercises all 12 stages, in this order
+    assert list(res["stages"]) == CHAOS_STAGES
+    return out, res
+
+
+@pytest.mark.parametrize("kill_at", range(1, len(CHAOS_STAGES) + 1))
+def test_kill_mid_stage_resume_byte_equals_single_shot(
+    spark, tmp_path, pages_path, chaos_ref, monkeypatch, kill_at
+):
+    """Chaos harness: crash the job DURING stage k's manifest commit
+    (output table + _SUCCESS already on disk, manifest entry missing —
+    the exact window the late-r3 _SUCCESS bug lived in), then --resume
+    and require the stage accounting AND the final export shards to
+    byte-equal the single-shot reference, for EVERY stage k."""
+    import jobs.corpus as jc
+
+    ref_out, ref_res = chaos_ref
+    out = str(tmp_path / "corpus")
+    real = jc._commit_stage
+    calls = {"n": 0}
+
+    def chaotic(out_dir, manifest, stage, info):
+        calls["n"] += 1
+        if calls["n"] == kill_at:
+            raise RuntimeError(f"chaos_kill_before_commit:{stage}")
+        real(out_dir, manifest, stage, info)
+
+    monkeypatch.setattr(jc, "_commit_stage", chaotic)
+    with pytest.raises(RuntimeError, match="chaos_kill"):
+        jc.run(_args(pages_path, out, **CHAOS_KW))
+    monkeypatch.setattr(jc, "_commit_stage", real)
+
+    res = jc.run(_args(pages_path, out, resume=True, **CHAOS_KW))
+    assert {k: v["rows"] for k, v in res["stages"].items()} == {
+        k: v["rows"] for k, v in ref_res["stages"].items()
+    }
+    assert _artifact_bytes(out) == _artifact_bytes(ref_out)
