@@ -255,51 +255,97 @@ def build_card(
         }
 
     if args.top_ngrams:
-        # WIMBD-style (Elazar et al. 2024 "What's In My Big Data"):
-        # the corpus's most-duplicated n-grams — the list a curation
-        # pass reads to spot boilerplate that survived every screen.
-        # One explode -> count agg (map-side combinable, so the
-        # shuffle carries one partial row per distinct gram per task,
-        # not one row per occurrence) -> top-k; tokens from the SAME
-        # pinned tokenizer, gram text kept readable (not hashed) —
-        # this is a human-audit surface
-        from engine.ops.lm import lm_tokens
-
-        n = args.ngram_n
-        # token array MATERIALIZED before the positional lambda reads
-        # it via slice — handing the raw split expression in would
-        # re-tokenize the doc once per position (the O(tokens^2)
-        # blowup engine/ops/dsir.py:hashed_feature_col documents)
-        toks = F.col("_toks")
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i, F.lit(n))
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        top_g = (
-            docs.select(
-                F.filter(
-                    lm_tokens(F.col(args.text_col)),
-                    lambda t: t != F.lit(""),
-                ).alias("_toks")
-            )
-            .select(F.explode(grams).alias("g"))
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc("g"))  # deterministic ties
-            .limit(args.top_ngrams)
-            .collect()
-        )
+        top_g = top_ngrams_df(
+            docs,
+            text_col=args.text_col,
+            n=args.ngram_n,
+            k=args.top_ngrams,
+            min_count=getattr(args, "ngram_min_count", 0) or 0,
+        ).collect()
         report["top_ngrams"] = {
-            "n": n,
+            "n": args.ngram_n,
             "top": [{"gram": r["g"], "count": int(r["c"])} for r in top_g],
         }
 
     return report
+
+
+def _grams_df(docs, text_col: str, n: int):
+    from engine.ops.lm import lm_tokens
+
+    # token array MATERIALIZED before the positional lambda reads
+    # it via slice — handing the raw split expression in would
+    # re-tokenize the doc once per position (the O(tokens^2)
+    # blowup engine/ops/dsir.py:hashed_feature_col documents)
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.filter(
+            lm_tokens(F.col(text_col)), lambda t: t != F.lit("")
+        ).alias("_toks")
+    ).select(F.explode(grams).alias("g"))
+
+
+def top_ngrams_df(
+    docs,
+    text_col: str = "text",
+    n: int = 10,
+    k: int = 20,
+    min_count: int = 0,
+    broadcast_bytes: int | None = 512 * 1024 * 1024,
+):
+    """WIMBD-style (Elazar et al. 2024 "What's In My Big Data") most-
+    duplicated n-grams: (g, c) ordered count desc, gram asc, limit k.
+    Tokens from the SAME pinned tokenizer as the LM/BM25 family; gram
+    text kept readable (not hashed) — a human-audit surface.
+
+    min_count=0: ONE explode -> count agg (map-side combinable: the
+    shuffle carries one partial row per distinct gram per task, not
+    one row per occurrence) -> top-k. The exchange is still distinct-
+    GRAM-cardinality sized — n-gram-text wide — which at corpus scale
+    is the dominant cost.
+
+    min_count>0 (VERDICT r3 next #8, the scale path): TWO passes —
+    (1) count 64-bit gram HASHES (the same shuffle cardinality but
+    rows of two longs, ~20x narrower than 10-gram text) and keep
+    hashes with count >= min_count; (2) re-explode, semi-join grams
+    against the surviving hashes (budget-gated broadcast — the
+    engine/partitioning.fits_broadcast_budget discipline; above
+    budget AQE decides), exact count on survivors only. The wide
+    text exchange is then SURVIVOR-sized. Exact counts always; the
+    top-k equals the single-pass list whenever min_count <= the
+    k-th most-frequent gram's count (the operator's contract — a
+    too-high min_count truncates the list, it never reorders it)."""
+    grams = _grams_df(docs, text_col, n)
+    if min_count > 0:
+        hot = (
+            grams.select(F.xxhash64("g").alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("hc"))
+            .filter(F.col("hc") >= min_count)
+            .select("h")
+        )
+        from engine.partitioning import fits_broadcast_budget
+
+        if fits_broadcast_budget(hot, F.lit(16), broadcast_bytes):
+            hot = F.broadcast(hot)
+        # hash collisions only ADD survivors (count(h) >= count(g)),
+        # so the exact pass below never loses a qualifying gram
+        grams = grams.withColumn("h", F.xxhash64("g")).join(
+            hot, "h", "left_semi"
+        )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))  # deterministic ties
+        .limit(k)
+    )
 
 
 def card_delta(new: dict, old: dict) -> dict:
@@ -391,6 +437,16 @@ def _parser() -> argparse.ArgumentParser:
         "style boilerplate audit; 0 = off)",
     )
     p.add_argument("--ngram-n", type=int, default=10)
+    p.add_argument(
+        "--ngram-min-count",
+        type=int,
+        default=0,
+        help="two-pass scale path for --top-ngrams: pre-count gram "
+        "HASHES (longs, not 10-gram text) and exact-count only grams "
+        "whose hash count >= this, so the wide text shuffle is "
+        "survivor-sized; keep it <= the expected k-th count (exact "
+        "counts either way; too high truncates the list)",
+    )
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     return p

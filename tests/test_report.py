@@ -247,3 +247,57 @@ def test_report_compare_cross_format_and_card(spark, tmp_path):
         )
     )
     assert rep2["compare"]["delta"] == rep["compare"]["delta"]
+
+
+def test_top_ngrams_min_count_two_pass(spark, tmp_path):
+    """VERDICT r3 #8: --ngram-min-count pre-filters on a hash-bucket
+    count so the wide gram-text shuffle is survivor-sized. Same top-k
+    output as the single-pass audit on the test corpus; the plan
+    shows the hash pre-agg + (budget-gated) broadcast semi-join
+    BETWEEN the explode and the final text groupBy exchange."""
+    from jobs.report import run, top_ngrams_df
+
+    rows = (
+        [(i, "the same boiler plate line") for i in range(5)]
+        + [(10 + i, "another repeated phrase here") for i in range(3)]
+        + [(20, "entirely unique content words")]
+    )
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+
+    one = run(
+        _args(p, master="local[4]", shuffle_partitions=4,
+              top_ngrams=2, ngram_n=4)
+    )
+    two = run(
+        _args(p, master="local[4]", shuffle_partitions=4,
+              top_ngrams=2, ngram_n=4, ngram_min_count=3)
+    )
+    assert two["top_ngrams"] == one["top_ngrams"]
+
+    # plan shape: explode (Generate) feeds the semi-join against the
+    # hash survivors, and only the JOINED side reaches the final
+    # groupBy("g") text exchange. Formatted explain prints the tree
+    # root-first, so the final wide exchange must appear ABOVE the
+    # join, and the join ABOVE (at least one) Generate.
+    from tests.test_plans import plan
+
+    docs = spark.read.parquet(p)
+    q = top_ngrams_df(docs, n=4, k=2, min_count=3)
+    ptxt = plan(q)
+    assert "xxhash64" in ptxt, ptxt
+    # the final text exchange partitions on g (details section)
+    assert "hashpartitioning(g" in ptxt, ptxt
+    tree = ptxt.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftSemi" in tree, tree
+    i_join = tree.index("BroadcastHashJoin")
+    i_gen = tree.rindex("Generate")  # pass-2 explode (deepest)
+    assert i_join < i_gen, tree
+    # the final wide exchange sits above the join in the root-first
+    # tree — i.e. only JOINED survivors reach it
+    i_exch = tree.index("Exchange")
+    assert i_exch < i_join, tree
+
+    # too-high min_count truncates, never reorders (the contract)
+    short = top_ngrams_df(docs, n=4, k=2, min_count=6).collect()
+    assert short == []
