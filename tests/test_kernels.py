@@ -84,9 +84,12 @@ def test_decode_ladder():
 
 def test_decode_legacy_charsets():
     """r4 legacy-charset family (VERDICT r3 missing #2): meta-labeled
-    multi-byte pages decode via the WHATWG-style label table; the
-    unlabeled last resort applies the cp1252 fold so real smart-quote
-    bytes survive instead of being dropped as C1 controls."""
+    multi-byte pages decode via the WHATWG-style label table, and
+    single-byte-western LABELS get the total cp1252 fold (smart
+    quotes survive; the five WHATWG holes stay C1). The UNLABELED
+    last resort stays plain latin-1 — pinned since gen 1 so the
+    cross-generation byte-identity checksum holds (see the
+    _CP1252_FOLD note)."""
     # shift_jis label -> cp932 (windows-31j superset, what browsers do)
     sjis = b'<meta charset="shift_jis">' + "こんにちは世界".encode("cp932")
     assert "こんにちは世界" in decode_bytes(sjis)
@@ -102,14 +105,18 @@ def test_decode_legacy_charsets():
     assert "繁體中文" in decode_bytes(big5)
     cyr = b'<meta charset="windows-1251">' + "Привет мир".encode("cp1251")
     assert "Привет мир" in decode_bytes(cyr)
-    # UNLABELED invalid-utf-8 with cp1252 punctuation: the fold keeps
-    # the smart quotes / euro (old latin-1 fallback -> C1 controls ->
-    # canonicalize dropped them)
-    raw = b"He said \x93hi\x94 \x96 cost \x80 5"
-    got = decode_bytes(raw)
-    assert got == "He said “hi” – cost € 5"
-    # the five undefined cp1252 bytes stay as C1 (WHATWG index holes)
-    assert decode_bytes(b"x\x81y\xffz") == "x\x81y\xffz"
+    # LABELED single-byte-western page with cp1252 punctuation: the
+    # fold keeps smart quotes / dash / euro — and per WHATWG an
+    # iso-8859-1 label means windows-1252 (what browsers do)
+    raw = b'<meta charset="iso-8859-1">He said \x93hi\x94 \x96 cost \x80 5'
+    assert "He said “hi” – cost € 5" in decode_bytes(raw)
+    # the five undefined cp1252 bytes stay as C1 (WHATWG index
+    # holes), total decode — python's cp1252 codec would U+FFFD them
+    raw2 = b'<meta charset="windows-1252">x\x81y\xffz'
+    assert "x\x81y\xffz" in decode_bytes(raw2)
+    # UNLABELED invalid-utf-8: plain latin-1 last resort, pinned
+    # since gen 1 (cross-generation byte-identity checksum)
+    assert decode_bytes(b"He said \x93hi\x94") == "He said \x93hi\x94"
     # an unknown/garbage label never raises and falls down the ladder
     junk = b'<meta charset="klingon-8">ok\xe9'
     assert "ok" in decode_bytes(junk)
