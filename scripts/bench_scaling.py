@@ -62,7 +62,7 @@ for _ in range({runs}):
     # ~free for the level to be physically runnable.
     deadline = time.monotonic() + 600
     while time.monotonic() < deadline:
-        if os.getloadavg()[0] <= {gate} and steal_rate() < 0.05:
+        if os.getloadavg()[0] <= {gate} and steal_rate() < 0.01:
             break
         time.sleep(9)
     l0 = os.getloadavg()[0]
