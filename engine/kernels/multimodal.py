@@ -14,9 +14,12 @@ text kernels. What is REAL vs STUBBED in this container:
                (engine/kernels/jpeg.py; landed r4 per VERDICT r3
                missing #1). Progressive/arithmetic raise typed
                NotImplementedError (decode_status "stub:...").
+  REAL   GIF:  87a/89a first-frame luma decode — GIF-variant LZW,
+               local/global palettes, interlace, extension skipping
+               (engine/kernels/gif.py, r4). Later frames ignored.
   REAL   WAV:  RIFF/fmt/data parse + PCM16 mono decode + integer
                frame sampling (hop mean-abs energy).
-  STUB   GIF/MP3/MP4: sniffed + typed metadata only; decode raises
+  STUB   MP3/MP4: sniffed + typed metadata only; decode raises
                NotImplementedError("codec not available in this
                container") — production would slot Pillow/ffmpeg in
                at exactly this seam. Callers map the exception into a
@@ -205,6 +208,34 @@ def decode_wav_pcm16(raw: bytes) -> list[int]:
     return []
 
 
+def audio_fingerprint64(samples: list[int], hop: int = 256) -> int:
+    """64-bit perceptual audio fingerprint (r4): the sign of the
+    energy DELTA between 65 nearest-resampled hop windows — the
+    integer-only core of the Haitsma-Kalker (2002) audio-fingerprint
+    family, collapsed to one band. Window energy is the raw SUM of
+    |sample| (deliberately no division: the fingerprint is then
+    EXACTLY invariant under positive amplitude scaling, and exactly
+    deterministic). Shorter-than-65-window clips nearest-resample up,
+    so clip length does not shift bit positions. Returns unsigned;
+    callers MSB-fold for Spark like ahash64. 0 for empty/degenerate
+    input."""
+    if not samples:
+        return 0
+    energies = [
+        sum(abs(s) for s in samples[i : i + hop])
+        for i in range(0, len(samples), hop)
+    ]
+    if len(energies) < 2:
+        return 0
+    n = len(energies)
+    pts = [energies[(i * n) // 65] for i in range(65)]
+    bits = 0
+    for i in range(64):
+        if pts[i + 1] > pts[i]:
+            bits |= 1 << (63 - i)
+    return bits
+
+
 def frame_sample(samples: list[int], hop: int) -> list[tuple[int, int]]:
     """Every `hop` samples emit (frame_ix, mean_abs) — the audio twin
     of video frame-sampling; integer math only."""
@@ -246,12 +277,19 @@ def media_features(raw: bytes | None) -> dict:
             feat["width"], feat["height"] = w, h
             feat["ahash"] = ahash64(px, w, h) - (1 << 63)
             feat["px_mean"] = sum(px) // max(1, len(px))
+        elif kind == "gif":
+            from engine.kernels.gif import decode_gif_luma
+
+            w, h, px = decode_gif_luma(raw)
+            feat["width"], feat["height"] = w, h
+            feat["ahash"] = ahash64(px, w, h) - (1 << 63)
+            feat["px_mean"] = sum(px) // max(1, len(px))
         elif kind == "wav":
             rate, ch, bits, n = wav_meta(raw)
             feat["sample_rate"], feat["n_samples"] = rate, n
             samples = decode_wav_pcm16(raw)
             feat["px_mean"] = sum(abs(s) for s in samples) // max(1, len(samples))
-        elif kind in ("gif", "mp3", "mp4"):
+        elif kind in ("mp3", "mp4"):
             raise NotImplementedError("codec_not_available_in_container")
         elif kind == "empty":
             feat["decode_status"] = "empty"

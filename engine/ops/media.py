@@ -205,3 +205,76 @@ def image_neardup_pairs(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+AUDIO_FP_DDL = "media_id long, sim long"
+
+
+def build_audio_fingerprints(
+    media: DataFrame, hop: int = 256, num_partitions: int | None = None
+) -> DataFrame:
+    """(media_id, sim): 64-bit perceptual audio fingerprint per
+    decodable WAV payload (engine/kernels/multimodal.
+    audio_fingerprint64 — amplitude-scale-invariant energy-delta
+    signs). Non-audio / undecodable rows are dropped here, so the
+    whole media table can be passed. One map-only Arrow pass; sim is
+    MSB-folded signed (the ahash convention — XOR hamming is mask-
+    invariant, so banding needs no undo)."""
+    from engine.kernels.multimodal import audio_fingerprint64, decode_wav_pcm16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                if raw is None:
+                    continue
+                try:
+                    samples = decode_wav_pcm16(bytes(raw))
+                except Exception:
+                    continue
+                fp = audio_fingerprint64(samples, hop=hop)
+                out.append((int(mid), fp - (1 << 63)))
+            yield pd.DataFrame(out, columns=["media_id", "sim"])
+
+    src = media.select("media_id", "payload")
+    if num_partitions:
+        src = src.repartition(num_partitions)
+    return src.mapInPandas(fn, AUDIO_FP_DDL)
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    hop: int = 256,
+    hot_bucket_cap: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Perceptual near-dup AUDIO pairs (r4): (media_a < media_b,
+    hamming) over the 64-bit energy-delta fingerprint — the audio
+    twin of image_neardup_pairs, riding the SAME hamming-banding core
+    (engine/ops/dedup.hash64_candidate_pairs), so the recall
+    guarantee (max_hamming < n_bands -> at least one exact band
+    match) and hot-bucket semantics are identical. A re-encoded or
+    volume-normalized copy of a clip fingerprints identically
+    (scale-invariant energies), which is precisely the crawl-dedup
+    case for audio assets."""
+    from engine.ops.dedup import hash64_candidate_pairs
+
+    hashed = build_audio_fingerprints(media, hop=hop).withColumnRenamed(
+        "media_id", "doc_id"
+    )
+    pairs = hash64_candidate_pairs(
+        hashed,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bits_per_band=bits_per_band,
+        hot_bucket_cap=hot_bucket_cap,
+        stats=stats,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

@@ -3,7 +3,8 @@ binary columns), mirroring engine/corpus.py: every row is a pure
 function of (seed, media_id) so any scale regenerates identically on
 any executor.
 
-Mix: ~45% PNG (gray-8, really decodable by the kernel), ~35% WAV
+Mix: ~40% PNG (gray-8, really decodable by the kernel), ~5% GIF
+(87a/89a gray, really decodable since r4, interlaced 1-in-3), ~35% WAV
 (PCM16 mono, really decodable), ~10% REAL baseline JPEG (decodable
 since r4 — gray and YCbCr 4:2:0 w/ restart markers alternate), ~5%
 MP4 stubs, ~5% garbage. Pixel/sample content is integer-only (no
@@ -86,8 +87,12 @@ def make_wav_pcm16(seed: int, i: int, n_samples: int = 2000) -> bytes:
 def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
     rng = _Rng(seed, i)
     r = rng.uniform()
-    if r < 0.45:
+    if r < 0.40:
         kind, payload = "png", make_png_gray(seed, i)
+    elif r < 0.45:  # REAL GIF (decodable since r4; interlace 1-in-3)
+        from engine.synth.gifgen import make_gif_gray
+
+        kind, payload = "gif", make_gif_gray(seed, i)
     elif r < 0.80:
         kind, payload = "wav", make_wav_pcm16(seed, i)
     elif r < 0.90:  # REAL baseline JPEG (decodable since r4): gray
