@@ -19,10 +19,12 @@ text kernels. What is REAL vs STUBBED in this container:
                (engine/kernels/gif.py, r4). Later frames ignored.
   REAL   WAV:  RIFF/fmt/data parse + PCM16 mono decode + integer
                frame sampling (hop mean-abs energy).
-  STUB   MP3/MP4: sniffed + typed metadata only; decode raises
-               NotImplementedError("codec not available in this
-               container") — production would slot Pillow/ffmpeg in
-               at exactly this seam. Callers map the exception into a
+  REAL   MP4 metadata: ISO-BMFF box walk (moov/mvhd timescale +
+               duration, video tkhd width/height) fills the typed
+               columns (r4); sample DECODE raises the codec stub.
+  STUB   MP3/MP4 decode: NotImplementedError("codec not available in
+               this container") — production would slot ffmpeg in at
+               exactly this seam. Callers map the exception into a
                decode_status column, never a task failure.
 
 No floats anywhere in an output VALUE (the JPEG IDCT uses float64
@@ -208,6 +210,64 @@ def decode_wav_pcm16(raw: bytes) -> list[int]:
     return []
 
 
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    raw[start:end]; tolerates truncation (stops), handles 64-bit
+    largesize and size==0 (to end-of-enclosing)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", raw[pos : pos + 4])
+        btype = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", raw[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_meta(raw: bytes) -> tuple[int | None, int | None, int | None, int | None]:
+    """(width, height, timescale, duration) from the ISO-BMFF box
+    tree (moov/mvhd + the first video-sized moov/trak/tkhd) — REAL
+    metadata parse for the video column (r4); the sample DECODE stays
+    an honest codec stub. Width/height are the tkhd 16.16 fixed-point
+    values rounded to ints; tracks with zero size (audio) are
+    skipped. All-None when no moov exists (streaming fragments,
+    truncated files)."""
+    w = h = timescale = duration = None
+    for btype, b0, b1 in _mp4_boxes(raw, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(raw, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                ver = raw[c0]
+                if ver == 1 and c1 - c0 >= 28:
+                    (timescale,) = struct.unpack(">I", raw[c0 + 20 : c0 + 24])
+                    (duration,) = struct.unpack(">Q", raw[c0 + 24 : c0 + 32])
+                elif ver == 0:
+                    (timescale,) = struct.unpack(">I", raw[c0 + 12 : c0 + 16])
+                    (duration,) = struct.unpack(">I", raw[c0 + 16 : c0 + 20])
+            elif ctype == b"trak" and w is None:
+                for t, t0, t1 in _mp4_boxes(raw, c0, c1):
+                    if t != b"tkhd":
+                        continue
+                    off = 88 if raw[t0] == 1 else 76
+                    if t1 - t0 >= off + 8:
+                        (fw,) = struct.unpack(">I", raw[t0 + off : t0 + off + 4])
+                        (fh,) = struct.unpack(
+                            ">I", raw[t0 + off + 4 : t0 + off + 8]
+                        )
+                        if fw and fh:  # zero-sized = audio track
+                            w, h = fw >> 16, fh >> 16
+    return (w, h, timescale, duration)
+
+
 def audio_fingerprint64(samples: list[int], hop: int = 256) -> int:
     """64-bit perceptual audio fingerprint (r4): the sign of the
     energy DELTA between 65 nearest-resampled hop windows — the
@@ -289,7 +349,15 @@ def media_features(raw: bytes | None) -> dict:
             feat["sample_rate"], feat["n_samples"] = rate, n
             samples = decode_wav_pcm16(raw)
             feat["px_mean"] = sum(abs(s) for s in samples) // max(1, len(samples))
-        elif kind in ("mp3", "mp4"):
+        elif kind == "mp4":
+            # REAL box-tree metadata (r4); sample decode honestly
+            # stubbed — the filled columns survive the raise below
+            w, h, timescale, duration = mp4_meta(raw)
+            feat["width"], feat["height"] = w, h
+            feat["sample_rate"] = timescale
+            feat["n_samples"] = duration  # in timescale units
+            raise NotImplementedError("codec_not_available_in_container")
+        elif kind == "mp3":
             raise NotImplementedError("codec_not_available_in_container")
         elif kind == "empty":
             feat["decode_status"] = "empty"

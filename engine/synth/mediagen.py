@@ -84,6 +84,37 @@ def make_wav_pcm16(seed: int, i: int, n_samples: int = 2000) -> bytes:
     )
 
 
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def make_mp4_skeleton(seed: int, i: int) -> bytes:
+    """Minimal valid ISO-BMFF shell: ftyp + moov(mvhd, trak(tkhd))
+    with deterministic dimensions/duration — enough for the r4
+    mp4_meta parse; no sample data (decode stays the codec stub)."""
+    rng = _Rng(seed, i + 1_000_003)
+    w = 160 + 16 * (rng.next() % 20)
+    h = 120 + 16 * (rng.next() % 15)
+    timescale = 1000
+    duration = 1000 + (rng.next() % 60_000)
+    mvhd = (
+        bytes(4)                              # version 0 + flags
+        + bytes(8)                            # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + bytes(80)                           # rate..matrix..next_track
+    )
+    tkhd = (
+        bytes(4) + bytes(8)                   # version/flags, times
+        + struct.pack(">I", 1) + bytes(4)     # track id, reserved
+        + struct.pack(">I", duration)
+        + bytes(8) + bytes(8)                 # reserved, layer..volume
+        + bytes(36)                           # matrix
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
 def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
     rng = _Rng(seed, i)
     r = rng.uniform()
@@ -106,9 +137,9 @@ def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
             if i % 2 == 0
             else make_jpeg_ycbcr420(seed, i)
         )
-    elif r < 0.95:  # MP4 stub
+    elif r < 0.95:  # MP4: real box skeleton (meta parses; decode stub)
         kind = "mp4"
-        payload = struct.pack(">I", 24) + b"ftypisom" + bytes(16)
+        payload = make_mp4_skeleton(seed, i)
     else:
         kind, payload = "garbage", bytes((rng.next() & 0xFF for _ in range(32)))
     url = f"https://media{(rng.next() % 50):02d}.example.com/m/{i}.{kind}"

@@ -412,3 +412,27 @@ def test_audio_neardup_pairs(spark):
     assert pairs == want
     assert pairs.get((0, 1)) == 0       # scaled copy: identical fp
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_mp4_metadata_real_decode_stub():
+    """r4: the video column gets REAL ISO-BMFF metadata (mvhd
+    timescale/duration, video tkhd dims) while sample decode stays
+    the honest codec stub — columns filled, status 'stub:'."""
+    from engine.kernels.multimodal import mp4_meta
+    from engine.synth.mediagen import make_mp4_skeleton
+
+    raw = make_mp4_skeleton(42, 3)
+    assert mm.sniff_media(raw) == "mp4"
+    w, h, ts, dur = mp4_meta(raw)
+    assert w and h and 160 <= w < 480 and 120 <= h < 360
+    assert ts == 1000 and 1000 <= dur < 61000
+    f = mm.media_features(raw)
+    assert f["kind"] == "mp4"
+    assert f["decode_status"].startswith("stub:")
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["sample_rate"] == ts and f["n_samples"] == dur
+    # moov-less fragment: all-None meta, still total
+    bare = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+    assert mp4_meta(bare) == (None, None, None, None)
+    f2 = mm.media_features(bare + bytes(8))
+    assert f2["kind"] == "mp4" and f2["width"] is None
