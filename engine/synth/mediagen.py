@@ -115,6 +115,24 @@ def make_mp4_skeleton(seed: int, i: int) -> bytes:
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
 
 
+def make_mp3_frames(seed: int, i: int, n_frames: int = 8) -> bytes:
+    """ID3v2 shell + CBR MPEG-1 Layer III frame headers (128 kbps @
+    44100, no padding -> 417-byte frames of deterministic filler) —
+    enough for the r4 mp3_meta parse; no real audio (decode stub)."""
+    rng = _Rng(seed, i + 2_000_003)
+    tag_body = b"TIT2" + bytes(6) + b"synthetic"
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+         (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+    ) + tag_body
+    frame_len = 144 * 128_000 // 44_100  # 417 bytes
+    out = bytearray(tag)
+    for _f in range(n_frames):
+        out += b"\xff\xfb\x90\x00"  # MPEG1 L3, 128kbps, 44100, stereo
+        out += bytes(((rng.next() + j) & 0xFF) for j in range(frame_len - 4))
+    return bytes(out)
+
+
 def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
     rng = _Rng(seed, i)
     r = rng.uniform()
@@ -140,6 +158,9 @@ def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
     elif r < 0.95:  # MP4: real box skeleton (meta parses; decode stub)
         kind = "mp4"
         payload = make_mp4_skeleton(seed, i)
+    elif r < 0.98:  # MP3: ID3 tag + real frame headers (meta; stub)
+        kind = "mp3"
+        payload = make_mp3_frames(seed, i)
     else:
         kind, payload = "garbage", bytes((rng.next() & 0xFF for _ in range(32)))
     url = f"https://media{(rng.next() % 50):02d}.example.com/m/{i}.{kind}"
