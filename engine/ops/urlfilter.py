@@ -120,6 +120,16 @@ def filter_urls(
             .filter(F.col("_sfx") != "")
             .distinct()
         )
+        # budget-gate the blocklist broadcast (r4, the robots/frontier
+        # discipline): public URL blocklists reach 10^7 domains —
+        # above the byte budget the semi join is left unhinted and
+        # AQE decides from actual sizes
+        from engine.partitioning import fits_broadcast_budget
+
+        if fits_broadcast_budget(
+            bl, F.length("_sfx") + F.lit(24), 512 * 1024 * 1024
+        ):
+            bl = F.broadcast(bl)
         sfx = (
             out.select(F.col(url_col).alias("_u"))
             .withColumn(
@@ -132,7 +142,7 @@ def filter_urls(
             .withColumn("_sfx", F.explode(host_suffixes(F.col("_h"))))
             .select("_u", "_sfx")
         )
-        blocked = sfx.join(F.broadcast(bl), "_sfx", "semi").select("_u").distinct()
+        blocked = sfx.join(bl, "_sfx", "semi").select("_u").distinct()
         # blocked holds only BLOCKED urls — usually a sliver of the
         # corpus, but its size is input-dependent, so no forced
         # broadcast on the verdict join-back: AQE picks broadcast when
