@@ -132,6 +132,9 @@ def decode_gif_luma(raw: bytes) -> tuple[int, int, bytes]:
     LOGICAL SCREEN size; the frame rectangle lands at its (left, top)
     offset on a background of palette index 0's luma."""
     w, h, gct_n = gif_meta(raw)
+    from engine.kernels.multimodal import _check_pixels
+
+    _check_pixels(w, h, "gif")  # bomb guard: header-declared plane
     pos = 13
     gct = b""
     if gct_n:
@@ -147,6 +150,7 @@ def decode_gif_luma(raw: bytes) -> tuple[int, int, bytes]:
         if b != 0x2C:
             raise ValueError("gif_bad_block")
         left, top, fw, fh = struct.unpack("<HHHH", raw[pos : pos + 8])
+        _check_pixels(fw, fh, "gif_frame")  # frame rect is independent
         flags = raw[pos + 8]
         pos += 9
         lct = gct

@@ -202,6 +202,11 @@ def _parse_headers(raw: bytes) -> tuple[_Frame, list, int]:
             )
             if precision != 8:
                 raise NotImplementedError("jpeg_12bit_unsupported")
+            # bomb guard: a crafted 65535x65535 header would allocate
+            # a 4GB plane before any entropy data is read
+            from engine.kernels.multimodal import _check_pixels
+
+            _check_pixels(w, h, "jpeg")
             fr.w, fr.h = w, h
             for i in range(n_comp):
                 cid, samp, qid = struct.unpack(

@@ -39,6 +39,18 @@ import zlib
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# bomb guard shared by every image decoder (r4): a crafted header can
+# declare 65535x65535 (4GB plane) or a 1KB zlib stream can inflate to
+# GBs — either OOMs the Python worker before decode_status can catch
+# anything. 64M pixels comfortably covers real crawl imagery; beyond
+# it decoders raise the typed error callers fold into decode_status.
+MAX_PIXELS = 1 << 26
+
+
+def _check_pixels(w: int, h: int, fmt: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(f"{fmt}_dimensions_out_of_bounds")
+
 
 # --------------------------------------------------------------------------
 # sniffing
@@ -107,13 +119,17 @@ def decode_png_gray8(raw: bytes) -> tuple[int, int, bytes]:
     w, h, depth, color = png_meta(raw)
     if depth != 8 or color != 0:
         raise NotImplementedError("png_decoder_supports_gray8_only")
+    _check_pixels(w, h, "png")
     ihdr = next(d for t, d in _png_chunks(raw) if t == b"IHDR")
     if ihdr[12] != 0:
         raise NotImplementedError("png_interlace_unsupported")
     idat = b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
-    flat = zlib.decompress(idat)
     stride = w  # bpp = 1
-    if len(flat) != h * (stride + 1):
+    expect = h * (stride + 1)
+    # bounded inflate: a zlib bomb cannot allocate past the declared
+    # plane size + 1 probe byte (used to detect oversized streams)
+    flat = zlib.decompressobj().decompress(idat, expect + 1)
+    if len(flat) != expect:  # short stream OR bomb (probe byte hit)
         raise ValueError("png_idat_size_mismatch")
     out = bytearray(w * h)
     prev = bytes(stride)

@@ -461,3 +461,53 @@ def test_mp3_metadata_real_decode_stub():
     assert mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x04abcd" + bytes(64)) == (
         None, None, None,
     )
+
+
+def test_decoder_bomb_guards():
+    """r4 robustness: crafted headers declaring multi-GB planes and
+    zlib bombs fold into typed errors BEFORE any allocation — a
+    malicious crawl payload cannot OOM the Python worker."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from engine.kernels.gif import decode_gif_luma
+    from engine.kernels.jpeg import decode_jpeg_luma, jpeg_meta
+
+    # PNG: 60000x60000 header (3.6G pixels)
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    big_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="png_dimensions"):
+        mm.decode_png_gray8(big_png)
+    assert mm.media_features(big_png)["decode_status"].startswith("error:")
+
+    # PNG zlib bomb: sane 8x8 header, 4MB stream from 4KB compressed
+    bomb_ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bomb_ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(4 << 20), 9))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="png_idat_size_mismatch"):
+        mm.decode_png_gray8(bomb)
+
+    # JPEG: giant SOF dimensions
+    sof = struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+    big_jpeg = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC0, len(sof) + 2) + sof
+    with _pytest.raises(ValueError, match="jpeg_dimensions"):
+        jpeg_meta(big_jpeg) if False else decode_jpeg_luma(big_jpeg)
+
+    # GIF: giant logical screen
+    big_gif = b"GIF89a" + struct.pack("<HH", 60000, 60000) + bytes([0, 0, 0])
+    with _pytest.raises(ValueError, match="gif_dimensions"):
+        decode_gif_luma(big_gif)
