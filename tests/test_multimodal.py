@@ -511,3 +511,38 @@ def test_decoder_bomb_guards():
     big_gif = b"GIF89a" + struct.pack("<HH", 60000, 60000) + bytes([0, 0, 0])
     with _pytest.raises(ValueError, match="gif_dimensions"):
         decode_gif_luma(big_gif)
+
+
+def test_media_features_total_under_mutation():
+    """Totality fuzz: random byte mutations (and truncations) of
+    valid payloads across every container format must fold into a
+    decode_status — media_features NEVER raises on crawl garbage."""
+    import random
+
+    from engine.synth.gifgen import make_gif_gray
+    from engine.synth.jpeggen import make_jpeg_gray, make_jpeg_ycbcr420
+    from engine.synth.mediagen import make_mp3_frames, make_mp4_skeleton
+
+    rng = random.Random(20260821)
+    bases = [
+        make_png_gray(42, 1),
+        make_jpeg_gray(42, 2),
+        make_jpeg_ycbcr420(42, 3),
+        make_gif_gray(42, 4),
+        make_wav_pcm16(42, 5, n_samples=500),
+        make_mp4_skeleton(42, 6),
+        make_mp3_frames(42, 7, n_frames=2),
+    ]
+    statuses = set()
+    for base in bases:
+        for _ in range(60):
+            b = bytearray(base)
+            for _m in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[: rng.randrange(1, len(b))]
+            f = mm.media_features(bytes(b))
+            assert isinstance(f["decode_status"], str)
+            statuses.add(f["decode_status"].split(":")[0])
+    # the fuzz actually exercised multiple outcome classes
+    assert "ok" in statuses and ("error" in statuses or "stub" in statuses)
