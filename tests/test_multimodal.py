@@ -546,3 +546,38 @@ def test_media_features_total_under_mutation():
             statuses.add(f["decode_status"].split(":")[0])
     # the fuzz actually exercised multiple outcome classes
     assert "ok" in statuses and ("error" in statuses or "stub" in statuses)
+
+
+def test_media_job_end_to_end(spark, tmp_path):
+    """jobs/media.py: the media pipeline's spark-submit surface —
+    features/image_pairs/audio_pairs (+ opt-in frames/thumbs) land as
+    parquet and the summary accounts for every asset."""
+    import types
+
+    from engine.synth.mediagen import gen_media_df
+    from jobs.media import run
+
+    inp = str(tmp_path / "media")
+    gen_media_df(spark, 150).write.parquet(inp)
+    out = str(tmp_path / "out")
+    res = run(
+        types.SimpleNamespace(
+            input=inp,
+            output=out,
+            frames=True,
+            thumb_size=8,
+            master="local[4]",
+            shuffle_partitions=4,
+        )
+    )
+    assert res["assets"] == 150
+    assert sum(res["by_kind_status"].values()) == 150
+    # every decodable image kind reports ok rows
+    for k in ("png/ok", "jpeg/ok", "gif/ok", "wav/ok"):
+        assert res["by_kind_status"].get(k, 0) > 0, k
+    feats = spark.read.parquet(f"{out}/features")
+    assert feats.count() == 150
+    pairs = spark.read.parquet(f"{out}/image_pairs")
+    assert set(pairs.columns) == {"media_a", "media_b", "hamming"}
+    assert res["image_pairs"] == pairs.count()
+    assert res["frames"] > 0 and res["thumbs"] > 0
