@@ -77,6 +77,47 @@ def extracted_stream(pages: DataFrame) -> DataFrame:
     )
 
 
+def media_features_stream(media: DataFrame) -> DataFrame:
+    """Streaming media-feature extraction (r4): the SAME mapInPandas
+    feature fn as batch (engine/ops/media.build_media_features) over a
+    streaming media frame — the kernels don't know the plan is
+    streaming, exactly like extracted_stream. Map-only, so no
+    watermark/state is needed; pair it with foreachBatch +
+    engine/ops/media.image_neardup_pairs against a persisted hash
+    table for incremental perceptual dedup of a media crawl."""
+    from engine.ops.media import MEDIA_FEATURES_DDL, _features_batches
+
+    return media.select("media_id", "payload").mapInPandas(
+        _features_batches, MEDIA_FEATURES_DDL
+    )
+
+
+def start_media_features_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """File-source media stream -> features parquet sink."""
+    from engine.synth.mediagen import MEDIA_SCHEMA_DDL
+
+    media = (
+        spark.readStream.schema(MEDIA_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    writer = (
+        media_features_stream(media)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_metrics(extracted: DataFrame, width: str = "1 hour") -> DataFrame:
     """D4 tumbling windows: per-(window, path) throughput metrics.
     Input must already carry a watermark (extracted_stream does);

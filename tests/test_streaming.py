@@ -842,3 +842,35 @@ def test_vector_stream_delta_deletes_stale_keys(spark, tmp_path):
     assert del_keys, "prior chunking must exceed the new one in this fixture"
     # live replay agrees: puts minus deletes
     assert set(load_live_keys(index_dir, "vectors")) == put_keys - del_keys
+
+
+def test_media_features_stream_equals_batch(spark, tmp_path):
+    """r4: streaming media-feature extraction is the SAME mapInPandas
+    as batch — run the file-source stream to completion and require
+    row-for-row equality with build_media_features (incl. 64-bit
+    hashes, which float round-tripping would silently corrupt)."""
+    from engine.ops.media import build_media_features
+    from engine.streaming import start_media_features_stream
+    from engine.synth.mediagen import gen_media_df
+
+    input_dir = str(tmp_path / "media_in")
+    out_dir = str(tmp_path / "media_out")
+    ckpt = str(tmp_path / "media_ckpt")
+    gen_media_df(spark, 120).repartition(5).write.parquet(input_dir)
+
+    q = start_media_features_stream(
+        spark, input_dir, out_dir, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["media_id"]: tuple(r)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["media_id"]: tuple(r)
+        for r in build_media_features(
+            spark.read.parquet(input_dir)
+        ).collect()
+    }
+    assert got == exp and len(got) == 120
