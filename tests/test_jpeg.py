@@ -143,3 +143,22 @@ def test_media_features_jpeg_real_decode():
     w, h, px = decode_jpeg_luma(raw)
     assert f["ahash"] == ahash64(px, w, h) - (1 << 63)
     assert f["px_mean"] == sum(px) // len(px)
+
+
+def test_dct_basis_orthonormal_and_inverse():
+    """Mathematical verification of the codec core INDEPENDENT of the
+    encoder: the 8-point DCT basis is orthonormal (A A^T = I) and the
+    unquantized transform round-trips arbitrary blocks to 1e-10 — so
+    any round-trip error in the fixtures is quantization, not the
+    transform."""
+    import numpy as np
+
+    from engine.kernels.jpeg import _A
+
+    assert np.abs(_A @ _A.T - np.eye(8)).max() < 1e-12
+    rng = np.random.default_rng(20260821)
+    for _ in range(20):
+        block = rng.uniform(-128, 127, size=(8, 8))
+        coeffs = _A @ block @ _A.T       # forward (encoder)
+        back = _A.T @ coeffs @ _A        # inverse (decoder)
+        assert np.abs(back - block).max() < 1e-10
