@@ -256,6 +256,32 @@ def main() -> None:
 
     timed("curate_pipeline", run_curate)
 
+    # media pipeline (new r4): features over 4k mixed assets (real
+    # PNG/JPEG/GIF/WAV decodes + metadata stubs) -> cross-format
+    # image near-dup pairs. Corpus parquet-cached like the pages
+    # corpus so generation never pollutes the timing.
+    def run_media():
+        from engine.ops.media import build_media_features, image_neardup_pairs
+
+        mpath = os.path.join(
+            os.path.dirname(corpus_path), "_bench_media_4000"
+        )
+        if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+            from engine.synth.mediagen import gen_media_df
+
+            gen_media_df(spark, 4000).repartition(cpus).write.mode(
+                "overwrite"
+            ).parquet(mpath)
+        media = spark.read.parquet(mpath)
+        feats = build_media_features(media, num_partitions=cpus)
+        feats = feats.localCheckpoint(eager=True)
+        feats.groupBy("kind", "decode_status").count().collect()
+        image_neardup_pairs(feats, max_hamming=6).count()
+
+    # warm the cached corpus OUTSIDE the timing
+    run_media()
+    timed("media_pipeline", run_media)
+
     # full Gopher repetition panel: one Arrow pass, all nine metrics
     # (new r3)
     def run_panel():
