@@ -130,15 +130,27 @@ _DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def decode_gif_luma(raw: bytes) -> tuple[int, int, bytes]:
     """First frame -> (width, height, row-major luma bytes) at the
     LOGICAL SCREEN size; the frame rectangle lands at its (left, top)
-    offset on a background of palette index 0's luma."""
+    offset on the background color — the logical-screen descriptor's
+    background-color-index byte (raw[11]) resolved through the GLOBAL
+    color table per GIF89a §18 (index 0 when there is no GCT or the
+    index is out of range) (ADVICE r4)."""
     w, h, gct_n = gif_meta(raw)
     from engine.kernels.multimodal import _check_pixels
 
     _check_pixels(w, h, "gif")  # bomb guard: header-declared plane
+    bg_idx = raw[11]
     pos = 13
     gct = b""
     if gct_n:
         gct, pos = _read_color_table(raw, pos, gct_n)
+    if gct and bg_idx < len(gct) // 3:
+        bg_luma = (
+            299 * gct[3 * bg_idx]
+            + 587 * gct[3 * bg_idx + 1]
+            + 114 * gct[3 * bg_idx + 2]
+        ) // 1000
+    else:
+        bg_luma = None  # resolved below from the frame's table, index 0
     while pos < len(raw):
         b = raw[pos]
         pos += 1
@@ -185,7 +197,9 @@ def decode_gif_luma(raw: bytes) -> tuple[int, int, bytes]:
                     de[y * fw : (y + 1) * fw] = frame[src : src + fw]
                     src += fw
             frame = bytes(de)
-        plane = bytearray([luma[0]]) * (w * h)
+        plane = bytearray(
+            [luma[0] if bg_luma is None else bg_luma]
+        ) * (w * h)
         for y in range(min(fh, max(0, h - top))):
             row = frame[y * fw : y * fw + min(fw, max(0, w - left))]
             o = (top + y) * w + left

@@ -39,6 +39,25 @@ B = 0.75
 TERM_BUCKETS = 64
 
 
+class Bm25IndexFormatError(RuntimeError):
+    """Raised when an on-disk BM25 index predates the batched
+    postings layout (postings/batch=<i> dirs + n_batches commit
+    pointer in stats). Search FALLS BACK to the flat layout
+    read-only; updates cannot be made crash-idempotent against a
+    flat dir (redo would append duplicates), so update raises this."""
+
+
+def _read_stats(spark: SparkSession, path: str):
+    """Stats row + format version. Returns (row, is_batched).
+
+    Back-compat (ADVICE r4): indexes written by the pre-batch layout
+    have no n_batches column and keep postings flat under
+    {path}/postings; detect that instead of raising KeyError deep in
+    the reader."""
+    stats = spark.read.parquet(f"{path}/stats")
+    return stats.collect()[0], "n_batches" in stats.columns
+
+
 def _tokenize(terms: str | list[str]) -> list[str]:
     """Normalize a query into pinned-tokenizer terms (dedup, sorted
     for deterministic plans)."""
@@ -209,7 +228,14 @@ def update_bm25_index(
     from stats — a mismatched layout would split a term across
     directories)."""
     spark = docs_new.sparkSession
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st, batched = _read_stats(spark, path)
+    if not batched:
+        raise Bm25IndexFormatError(
+            f"BM25 index at {path} uses the legacy flat postings "
+            "layout (no n_batches commit pointer); incremental update "
+            "cannot be crash-idempotent against it — rebuild with "
+            "build_bm25_index (search still reads the old layout)"
+        )
     n_buckets = int(st["n_buckets"])
     n0, avg0 = int(st["n_docs"]), float(st["avgdl"])
     batch_id = int(st["n_batches"])
@@ -242,10 +268,10 @@ def bm25_search(
     terms = _tokenize(query)
     if not terms:
         raise ValueError("empty query")
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st, batched = _read_stats(spark, path)
     n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
     n_buckets = int(st["n_buckets"])
-    n_batches = int(st["n_batches"])
+    n_batches = int(st["n_batches"]) if batched else 0
     term_df = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
         r["b"]
@@ -255,11 +281,14 @@ def bm25_search(
         .distinct()
         .collect()
     )
-    post = (
-        spark.read.option("basePath", f"{path}/postings")
-        .parquet(
+    if batched:
+        scan = spark.read.option("basePath", f"{path}/postings").parquet(
             *[f"{path}/postings/batch={i}" for i in range(n_batches)]
         )
+    else:  # legacy flat layout: read-only fallback (ADVICE r4)
+        scan = spark.read.parquet(f"{path}/postings")
+    post = (
+        scan
         .filter(F.col("bucket").isin(buckets))  # partition-pruned scan
         .filter(F.col("term").isin(terms))
     )

@@ -157,7 +157,17 @@ def crawl_delays(
     (the group declared no delay, so none applies). Within the
     governing group the MAX declared delay wins (conservative
     politeness). Host-sized end to end: one map-only parse + two
-    small aggs."""
+    small aggs.
+
+    Equal-specificity tie (ADVICE r4, documented by design): two
+    DISTINCT groups whose matching agent tokens have the same length
+    are collapsed by the (host, _spec) groupBy, so the max delay
+    across BOTH applies. This is deliberately symmetric with the
+    rules side — _group_rules likewise keeps every rule whose
+    specificity equals the per-host best (`spec == _best`), merging
+    equal-specificity groups — so delay selection and rule selection
+    agree on which directives govern; the merge only ever slows the
+    crawler down (conservative politeness), never speeds it up."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -79,29 +79,36 @@ def encode_gif_gray(
     h: int,
     interlaced: bool = False,
     comment: bytes | None = None,
+    bg_index: int = 0,
+    frame_rect: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """Row-major gray bytes -> single-frame GIF89a with a 256-gray
     GCT. `comment` adds an extension block (exercises the decoder's
-    block skipping)."""
-    if len(px) != w * h:
+    block skipping). `bg_index` sets the logical-screen background-
+    color-index byte; `frame_rect=(left, top, fw, fh)` places a
+    sub-rectangle frame (px must then be fw*fh bytes), exposing the
+    background fill around it (ADVICE r4 coverage)."""
+    left, top, fw, fh = frame_rect if frame_rect else (0, 0, w, h)
+    if len(px) != fw * fh:
         raise ValueError("pixel buffer size mismatch")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
-    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # GCT, 8-bit, 256 entries
+    # GCT flag, 8-bit color res, 256 entries; then bg index byte
+    out += bytes([0x80 | 0x70 | 0x07, bg_index & 0xFF, 0])
     for i in range(256):  # grayscale GCT: luma(i,i,i) == i exactly
         out += bytes([i, i, i])
     if comment is not None:
         out += b"\x21\xfe" + _sub_blocks(comment)
     frame = bytearray(px)
     if interlaced:
-        il = bytearray(w * h)
+        il = bytearray(fw * fh)
         dst = 0
         for start, step in _DEINTERLACE_PASSES:
-            for y in range(start, h, step):
-                il[dst : dst + w] = px[y * w : (y + 1) * w]
-                dst += w
+            for y in range(start, fh, step):
+                il[dst : dst + fw] = px[y * fw : (y + 1) * fw]
+                dst += fw
         frame = il
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
     out += bytes([0x40 if interlaced else 0x00])
     out += bytes([8])  # min code size
     out += _sub_blocks(_lzw_encode_gif(bytes(frame), 8))

@@ -144,17 +144,24 @@ def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
         kind, payload = "gif", make_gif_gray(seed, i)
     elif r < 0.80:
         kind, payload = "wav", make_wav_pcm16(seed, i)
-    elif r < 0.90:  # REAL baseline JPEG (decodable since r4): gray
-        # and YCbCr-4:2:0-with-restarts alternate, exercising both
-        # decoder paths in every generated corpus
-        from engine.synth.jpeggen import make_jpeg_gray, make_jpeg_ycbcr420
+    elif r < 0.90:  # REAL JPEG (decodable since r4; progressive r5):
+        # gray baseline / YCbCr-4:2:0-with-restarts / progressive gray
+        # / progressive 4:2:0 rotate, so every generated corpus
+        # exercises all four decoder paths (incl. SOF2 Annex-G scans)
+        from engine.synth.jpeggen import (
+            make_jpeg_gray,
+            make_jpeg_progressive_gray,
+            make_jpeg_progressive_ycbcr420,
+            make_jpeg_ycbcr420,
+        )
 
         kind = "jpeg"
         payload = (
-            make_jpeg_gray(seed, i)
-            if i % 2 == 0
-            else make_jpeg_ycbcr420(seed, i)
-        )
+            make_jpeg_gray,
+            make_jpeg_ycbcr420,
+            make_jpeg_progressive_gray,
+            make_jpeg_progressive_ycbcr420,
+        )[i % 4](seed, i)
     elif r < 0.95:  # MP4: real box skeleton (meta parses; decode stub)
         kind = "mp4"
         payload = make_mp4_skeleton(seed, i)

@@ -333,6 +333,10 @@ def top_ngrams_df(
         )
         from engine.partitioning import fits_broadcast_budget
 
+        # materialize the narrow pre-count ONCE (ADVICE r4): the
+        # budget estimate below is a Spark action, and without this
+        # the semi-join would recompute the whole hash-count shuffle
+        hot = hot.localCheckpoint(eager=True)
         if fits_broadcast_budget(hot, F.lit(16), broadcast_bytes):
             hot = F.broadcast(hot)
         # hash collisions only ADD survivors (count(h) >= count(g)),

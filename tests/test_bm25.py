@@ -206,3 +206,40 @@ def test_bm25_update_redo_after_crash_is_idempotent(spark, tmp_path):
         for r in bm25_search(spark, full, QUERY, k=10).collect()
     }
     assert si == sf
+
+
+def test_bm25_legacy_flat_layout_back_compat(spark, tmp_path):
+    """ADVICE r4: an index written by the PRE-batch layout (flat
+    postings dir, stats without n_batches) must (a) still be
+    searchable — scores identical to a fresh batched build — and
+    (b) refuse incremental update with the typed format error, not
+    a KeyError deep in the reader."""
+    from engine.ops.bm25 import Bm25IndexFormatError, update_bm25_index
+
+    ddl = "doc_id long, text string"
+    docs = spark.createDataFrame(DOCS, ddl)
+    new_path = str(tmp_path / "new")
+    build_bm25_index(docs, new_path, n_buckets=16)
+
+    # forge the legacy layout from the batched one: postings flat
+    # under postings/, stats row without the n_batches column
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(f"{new_path}/postings/batch=0", f"{legacy}/postings")
+    spark.read.parquet(f"{new_path}/stats").drop("n_batches").write.parquet(
+        f"{legacy}/stats"
+    )
+
+    got = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, legacy, QUERY, k=10).collect()
+    }
+    want = {
+        r["doc"]: r["bm25"]
+        for r in bm25_search(spark, new_path, QUERY, k=10).collect()
+    }
+    assert got == want and len(got) > 0
+
+    with pytest.raises(Bm25IndexFormatError, match="legacy flat"):
+        update_bm25_index(docs, legacy)

@@ -119,9 +119,12 @@ def _seg(marker, payload):
 
 def test_typed_rejections():
     sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # progressive is SUPPORTED since r5: meta reads the SOF2 header;
+    # a frame with no scan data is still a typed decode error
     prog = b"\xff\xd8" + _seg(0xC2, sof_body)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg_meta(prog)
+    assert jpeg_meta(prog) == (8, 8, 1)
+    with pytest.raises(ValueError, match="jpeg_no_frame_or_scan"):
+        decode_jpeg_luma(prog + b"\xff\xd9")
     arith = b"\xff\xd8" + _seg(0xC9, sof_body)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_luma(arith)
@@ -162,3 +165,123 @@ def test_dct_basis_orthonormal_and_inverse():
         coeffs = _A @ block @ _A.T       # forward (encoder)
         back = _A.T @ coeffs @ _A        # inverse (decoder)
         assert np.abs(back - block).max() < 1e-10
+
+
+# --- progressive (SOF2), r5 ---------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """Progressive coding is lossless over the quantized
+    coefficients, so the SOF2 decode must be BYTE-IDENTICAL to
+    decoding the baseline encode of the same planes/quality — two
+    nearly-disjoint decoder paths (multi-scan successive
+    approximation vs single-scan sequential) pinned against each
+    other."""
+    from engine.synth.jpeggen import (
+        make_jpeg_progressive_gray,
+        make_jpeg_progressive_ycbcr420,
+    )
+
+    for i in range(6):
+        assert decode_jpeg_luma(make_jpeg_progressive_gray(42, i)) == (
+            decode_jpeg_luma(make_jpeg_gray(42, i))
+        )
+    # 4:2:0 + restart intervals inside every scan (DC resync +
+    # per-band EOBRUN reset + chroma-AC skip)
+    for i in range(4):
+        assert decode_jpeg_luma(make_jpeg_progressive_ycbcr420(7, i)) == (
+            decode_jpeg_luma(make_jpeg_ycbcr420(7, i))
+        )
+
+
+def test_progressive_goldens():
+    """Container AND pixel sha256 pins; the pixel hashes EQUAL the
+    baseline goldens of test_deterministic_goldens (same quantized
+    coefficients, different entropy layout)."""
+    from engine.synth.jpeggen import (
+        make_jpeg_progressive_gray,
+        make_jpeg_progressive_ycbcr420,
+    )
+
+    g = make_jpeg_progressive_gray(42, 6)
+    assert b"\xff\xc2" in g[:300]  # SOF2 frame
+    assert hashlib.sha256(g).hexdigest() == (
+        "261b560b0968cab32de1be99f3e39cf89bfdf2d5780c238cfdcb91186dafdf1e"
+    )
+    assert hashlib.sha256(decode_jpeg_luma(g)[2]).hexdigest() == (
+        "24b237e4ded863eeb747e06bebe4a728c25b581c6254de38a846dbbe2c5369b6"
+    )
+    c = make_jpeg_progressive_ycbcr420(42, 7)
+    assert hashlib.sha256(c).hexdigest() == (
+        "a6b54b4031dd9040578a69d0e7d40694237eb420a86fe642aa6e0ea537ef1714"
+    )
+    assert hashlib.sha256(decode_jpeg_luma(c)[2]).hexdigest() == (
+        "9fec360c22ca934b26cfeec05154b6cf9342295a3c0415da3a1b04378f8f72a0"
+    )
+
+
+def test_progressive_script_variants():
+    """Decoder correctness must not depend on the ONE default scan
+    script: spectral-selection-only (no successive approximation),
+    finer bands, deeper Al ladders, and single-component DC scans
+    all reconstruct the same pixels."""
+    from engine.synth.jpeggen import encode_jpeg_progressive
+
+    src = _gradient(29, 18, a=7, b=3, base=40)
+    ref = decode_jpeg_luma(
+        encode_jpeg_gray(src.tobytes(), 29, 18, quality=90)
+    )
+    scripts = [
+        # spectral selection only, Ah=Al=0 everywhere
+        [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+        # one AC band, deep successive approximation ladder
+        [
+            ([0], 0, 0, 0, 3),
+            ([0], 0, 0, 1, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 3, 0),
+            ([0], 1, 63, 0, 3),
+            ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+        ],
+        # many narrow bands
+        [([0], 0, 0, 0, 0)]
+        + [([0], k, min(k + 3, 63), 0, 0) for k in range(1, 64, 4)],
+    ]
+    for script in scripts:
+        raw = encode_jpeg_progressive(
+            [src], [(1, 1)], quality=90, script=script
+        )
+        assert decode_jpeg_luma(raw) == ref
+    # restart intervals with a script (block-counted in AC scans)
+    raw = encode_jpeg_progressive(
+        [src], [(1, 1)], quality=90, restart_interval=3,
+        script=scripts[1],
+    )
+    assert decode_jpeg_luma(raw) == ref
+
+
+def test_progressive_odd_sizes():
+    """Non-interleaved scans run the component's OWN block grid
+    (T.81 A.2.2, no MCU padding) — odd sizes are where a padded-grid
+    bug would desync the entropy stream."""
+    from engine.synth.jpeggen import encode_jpeg_progressive
+
+    for w, h in ((21, 13), (8, 8), (9, 17), (1, 1)):
+        src = (
+            (5 * np.arange(w)[None, :] + 11 * np.arange(h)[:, None]) % 251
+        ).astype(np.uint8)
+        ref = decode_jpeg_luma(encode_jpeg_gray(src.tobytes(), w, h, 92))
+        raw = encode_jpeg_progressive([src], [(1, 1)], quality=92)
+        assert decode_jpeg_luma(raw) == ref
+
+
+def test_progressive_media_features():
+    """The multimodal seam treats progressive JPEG as a first-class
+    decodable image: same ahash as its baseline twin (identical
+    pixels), decode_status ok."""
+    from engine.kernels.multimodal import media_features
+    from engine.synth.jpeggen import make_jpeg_progressive_gray
+
+    f = media_features(make_jpeg_progressive_gray(42, 8))
+    fb = media_features(make_jpeg_gray(42, 8))
+    assert f["kind"] == "jpeg" and f["decode_status"] == "ok"
+    assert f["ahash"] == fb["ahash"]
+    assert (f["width"], f["height"]) == (32, 24)

@@ -98,10 +98,17 @@ def test_decode_stubs_are_total():
     jpeg = b"\xff\xd8\xff\xe0" + bytes(32)
     f = mm.media_features(jpeg)
     assert f["kind"] == "jpeg" and f["decode_status"].startswith("error:")
-    # progressive JPEG: typed honest-scope stub (SOI + SOF2 shell)
+    # progressive JPEG decodes for REAL since r5; a scanless SOF2
+    # shell folds into an error status (no longer an honest-scope
+    # stub), and lossless (SOF3) remains one
     prog = b"\xff\xd8" + b"\xff\xc2\x00\x0b" + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     fp = mm.media_features(prog)
-    assert fp["decode_status"] == "stub:jpeg_progressive_unsupported"
+    assert fp["kind"] == "jpeg" and fp["decode_status"].startswith("error:")
+    lossless = b"\xff\xd8" + b"\xff\xc3\x00\x0b" + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    fl = mm.media_features(lossless)
+    assert fl["decode_status"] == "stub:jpeg_lossless_unsupported"
     # mp3/mp4 remain codec stubs
     mp4 = bytes(4) + b"ftypisom" + bytes(8)
     assert mm.media_features(mp4)["decode_status"].startswith("stub:")
@@ -332,6 +339,35 @@ def test_gif_roundtrip_and_features():
     assert mm.media_features(bad)["decode_status"].startswith("error:")
 
 
+def test_gif_background_color_index():
+    """ADVICE r4: a frame smaller than the logical screen renders on
+    the background color named by the screen descriptor's
+    background-color-index byte (resolved through the GLOBAL color
+    table), not unconditionally on palette index 0."""
+    from engine.kernels.gif import decode_gif_luma
+    from engine.synth.gifgen import encode_gif_gray
+
+    w, h, fw, fh = 8, 6, 3, 2
+    left, top = 2, 1
+    px = bytes(range(10, 10 + fw * fh))
+    raw = encode_gif_gray(
+        px, w, h, bg_index=200, frame_rect=(left, top, fw, fh)
+    )
+    dw, dh, plane = decode_gif_luma(raw)
+    assert (dw, dh) == (w, h)
+    # gray GCT: luma of index 200 is exactly 200
+    assert plane[0] == 200 and plane[-1] == 200
+    for y in range(fh):
+        row = plane[(top + y) * w + left : (top + y) * w + left + fw]
+        assert row == px[y * fw : (y + 1) * fw]
+    # bg index 0 still fills with index-0 luma (back-compat: the
+    # pre-r5 full-screen fixtures are unaffected either way)
+    raw0 = encode_gif_gray(
+        px, w, h, bg_index=0, frame_rect=(left, top, fw, fh)
+    )
+    assert decode_gif_luma(raw0)[2][0] == 0
+
+
 def test_audio_fingerprint_scale_invariant_kernel():
     """r4 audio fingerprint: EXACTLY invariant under positive
     amplitude scaling (sum-|sample| energies, sign-of-delta bits);
@@ -520,7 +556,12 @@ def test_media_features_total_under_mutation():
     import random
 
     from engine.synth.gifgen import make_gif_gray
-    from engine.synth.jpeggen import make_jpeg_gray, make_jpeg_ycbcr420
+    from engine.synth.jpeggen import (
+        make_jpeg_gray,
+        make_jpeg_progressive_gray,
+        make_jpeg_progressive_ycbcr420,
+        make_jpeg_ycbcr420,
+    )
     from engine.synth.mediagen import make_mp3_frames, make_mp4_skeleton
 
     rng = random.Random(20260821)
@@ -528,6 +569,8 @@ def test_media_features_total_under_mutation():
         make_png_gray(42, 1),
         make_jpeg_gray(42, 2),
         make_jpeg_ycbcr420(42, 3),
+        make_jpeg_progressive_gray(42, 8),
+        make_jpeg_progressive_ycbcr420(42, 9),
         make_gif_gray(42, 4),
         make_wav_pcm16(42, 5, n_samples=500),
         make_mp4_skeleton(42, 6),
