@@ -116,11 +116,13 @@ _KNOWN_CHARSETS = {
 # / dashes / euro in cp1252-family pages survive, and the decode is
 # total (python's cp1252 codec raises or U+FFFDs the five holes).
 # The UNLABELED invalid-utf-8 last resort deliberately stays plain
-# latin-1: changing it would alter extracted bytes for label-less
-# legacy pages already in the corpus, breaking the cross-generation
-# byte-identity checksum the engine pins (VERDICT r3's own Done
-# criterion) — label-less cp1252 handling is therefore a disclosed
-# non-goal, not an oversight.
+# latin-1 BY DEFAULT: changing it would alter extracted bytes for
+# label-less legacy pages already in the corpus, breaking the
+# cross-generation byte-identity checksum the engine pins (VERDICT
+# r3's own Done criterion). r5 adds the disclosed OPT-IN sniffer
+# below (sniff_legacy_encoding / SPARK_GRAFT_CHARSET_SNIFF=1) for
+# crawls that prefer correct label-less legacy text over identity
+# with prior runs.
 _CP1252_FOLD = {
     b: ord(bytes([b]).decode("cp1252"))
     for b in range(0x80, 0xA0)
@@ -142,8 +144,68 @@ def detect_encoding(raw: bytes) -> tuple[str, int]:
     return "", 0  # unknown -> try utf-8, fall back latin-1
 
 
-def decode_bytes(raw: bytes | None) -> str:
-    """Decode payload bytes to str. Total function: never raises."""
+# --- opt-in unlabeled-page sniffer (r5, VERDICT r4 next #4) ---------------
+#
+# Label-less legacy pages (common in old crawls) default to the plain
+# latin-1 last resort to preserve the cross-generation byte-identity
+# checksum (209313808219456 — see the fold note above). The sniffer
+# is the DISCLOSED OPT-IN that trades that identity for correct text
+# on such pages: a deterministic strict-probe ladder over the three
+# families the r4 verdict names (shift-jis / cp1252 / utf-8-already-
+# failed). Probe order matters and is pinned:
+#
+#   euc_jp before cp932 — a valid EUC-JP byte stream usually ALSO
+#   strict-decodes as cp932 (0xA1-0xDF become half-width katakana
+#   soup), but cp932 streams contain 0x81-0x9F leads that are
+#   invalid EUC, so EUC must be asked first;
+#   each CJK-gated — western cp1252 text can accidentally pair as
+#   SJIS (0xE9 'é' is a lead byte; 'débat' pairs 0xE9+'b'), but a
+#   whole-document strict decode then still almost always fails on
+#   some isolated accent before a space, and the decoded text of a
+#   true misfire is noise, not majority-CJK — so a probe only wins
+#   when the strict decode succeeds AND >= half the non-ASCII chars
+#   (and at least 4) land in CJK blocks;
+#   otherwise the WHATWG cp1252 fold (total, smart quotes survive).
+#
+# Off by default: enable per call (sniff_unlabeled=True) or process-
+# wide via SPARK_GRAFT_CHARSET_SNIFF=1 (read once at import so every
+# task in a run agrees). With the flag off, decode_bytes is byte-for-
+# byte the pinned gen-1 behavior — asserted in tests.
+
+_SNIFF_ENV_DEFAULT = __import__("os").environ.get(
+    "SPARK_GRAFT_CHARSET_SNIFF", ""
+) == "1"
+
+# CJK gate blocks: CJK punct + kana, unified ideographs, fullwidth
+# forms + half-width katakana
+_CJK_RANGES = ((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF01, 0xFF9F))
+
+
+def sniff_legacy_encoding(body: bytes) -> str:
+    """Deterministic sniff for label-less non-utf-8 bytes: 'euc_jp',
+    'cp932', or 'cp1252w'. Pure function of the bytes."""
+    for codec in ("euc_jp", "cp932"):
+        try:
+            text = body.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        non_ascii = [c for c in text if ord(c) > 0x7F]
+        cjk = sum(
+            1
+            for c in non_ascii
+            if any(a <= ord(c) <= b for a, b in _CJK_RANGES)
+        )
+        if cjk >= 4 and cjk * 2 >= len(non_ascii):
+            return codec
+    return "cp1252w"
+
+
+def decode_bytes(raw: bytes | None, sniff_unlabeled: bool | None = None) -> str:
+    """Decode payload bytes to str. Total function: never raises.
+
+    sniff_unlabeled: None reads the process-wide opt-in (default
+    off); True/False overrides per call. Only affects label-less
+    pages whose bytes are not valid utf-8."""
     if raw is None or len(raw) == 0:
         return ""
     codec, bom_len = detect_encoding(raw)
@@ -159,6 +221,12 @@ def decode_bytes(raw: bytes | None) -> str:
     try:
         return body.decode("utf-8", errors="strict")  # byte-validity probe
     except UnicodeDecodeError:
+        sniff = _SNIFF_ENV_DEFAULT if sniff_unlabeled is None else sniff_unlabeled
+        if sniff:
+            guess = sniff_legacy_encoding(body)
+            if guess == "cp1252w":
+                return body.decode("latin-1").translate(_CP1252_FOLD)
+            return body.decode(guess, errors="replace")
         return body.decode("latin-1")  # latin-1 never fails (see fold note)
 
 

@@ -439,3 +439,46 @@ def test_router_agrees_on_control_char_text_layer():
     assert text_layer_coverage(pdf) == 0
     assert route(pdf) == "pdf_ocr"
     assert _route_and_extract_one(pdf)[0] == "pdf_ocr"
+
+
+def test_unlabeled_charset_sniffer_opt_in():
+    """r5 opt-in sniffer (VERDICT r4 next #4): label-less non-utf-8
+    pages can opt into a deterministic strict-probe ladder (euc_jp ->
+    cp932, CJK-gated -> cp1252 fold). Default remains OFF: with the
+    flag off decode_bytes is byte-identical to the pinned plain
+    latin-1 last resort, so the cross-generation corpus checksum
+    (209313808219456) is untouched."""
+    from engine.kernels.normalize import sniff_legacy_encoding
+
+    sj = "こんにちは世界。日本語のページです。".encode("cp932")
+    ej = "東京都の天気は晴れです。漢字とかなの文章。".encode("euc_jp")
+    west = "He said \x93hello\x94 \x96 caf\xe9 d\xe9bat.".encode("latin-1")
+    # branch goldens
+    assert sniff_legacy_encoding(sj) == "cp932"
+    assert decode_bytes(sj, sniff_unlabeled=True) == (
+        "こんにちは世界。日本語のページです。"
+    )
+    assert sniff_legacy_encoding(ej) == "euc_jp"
+    assert decode_bytes(ej, sniff_unlabeled=True) == (
+        "東京都の天気は晴れです。漢字とかなの文章。"
+    )
+    # cp1252 smart punctuation folds; crucially 'débat' — whose
+    # 0xE9+'b' IS a valid SJIS pair — must NOT be misread as CJK
+    assert sniff_legacy_encoding(west) == "cp1252w"
+    assert decode_bytes(west, sniff_unlabeled=True) == (
+        "He said “hello” – café débat."
+    )
+    fr = "Le d\xe9bat \xe9tait tr\xe8s anim\xe9, d\xe9j\xe0 vu.".encode(
+        "latin-1"
+    )
+    assert sniff_legacy_encoding(fr) == "cp1252w"
+    # flag OFF (the default): byte-identical to the pinned latin-1
+    # last resort for every branch input
+    for b in (sj, ej, west, fr):
+        assert decode_bytes(b) == b.decode("latin-1")
+        assert decode_bytes(b, sniff_unlabeled=False) == b.decode("latin-1")
+    # a LABEL always outranks the sniffer path (same as before)
+    labeled = b'<meta charset="shift_jis">' + sj
+    assert "こんにちは世界" in decode_bytes(labeled, sniff_unlabeled=True)
+    # sniffer itself is total on garbage
+    assert isinstance(decode_bytes(b"\xff\xfe\xfd garbage \x81", sniff_unlabeled=True), str)
