@@ -249,6 +249,32 @@ def simhash_candidate_pairs(
     )
 
 
+def hash64_bands(
+    hashed: DataFrame, n_bands: int = 4, bits_per_band: int = 16
+) -> DataFrame:
+    """(doc_id, sim) -> (doc_id, sim, band, bh) bit-slice band rows —
+    the persistable index form of the hamming-banding core (factored
+    out r5 so the streaming media near-dup can band-join arriving
+    hashes against a STATIC table, the hash64 twin of
+    minhash_bands). All JVM bit ops, no Python."""
+    if n_bands * bits_per_band > 64:
+        raise ValueError("bands exceed the 64-bit fingerprint")
+    mask = (1 << bits_per_band) - 1
+    return hashed.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), bits_per_band * i)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+
+
 def hash64_candidate_pairs(
     hashed: DataFrame,
     max_hamming: int = 8,
@@ -264,22 +290,7 @@ def hash64_candidate_pairs(
     pairs, whose ahash is MSB-flip-encoded — XOR hamming is invariant
     under a shared XOR mask, so the encoding needs no undo). Same
     hot-bucket star-pairing and recall disclosure as simhash."""
-    mask = (1 << bits_per_band) - 1
-    if n_bands * bits_per_band > 64:
-        raise ValueError("bands exceed the 64-bit fingerprint")
-    bands = hashed.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sim"), bits_per_band * i)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
+    bands = hash64_bands(hashed, n_bands, bits_per_band)
     # localCheckpoint: the self-join otherwise evaluates the simhash
     # UDF twice; auto-released on GC (persist would leak across calls)
     bands = bands.localCheckpoint(eager=True)

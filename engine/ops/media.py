@@ -207,6 +207,24 @@ def image_neardup_pairs(
     )
 
 
+def media_hash_bands(
+    features: DataFrame, n_bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """Persistable perceptual-hash band index (media_id, sim, band,
+    bh) from a feature table — the media twin of the text corpus's
+    persisted minhash_bands. Band parameters MUST match the
+    stream/query side (engine/streaming.media_neardup_stream and
+    image_neardup_pairs default to the same 8x8 layout, keeping the
+    pigeonhole guarantee for max_hamming < 8). Screens to rows with a
+    decoded ahash, so the whole feature table can be passed."""
+    from engine.ops.dedup import hash64_bands
+
+    hashed = features.filter(F.col("ahash").isNotNull()).select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("sim")
+    )
+    return hash64_bands(hashed, n_bands=n_bands, bits_per_band=bits_per_band)
+
+
 AUDIO_FP_DDL = "media_id long, sim long"
 
 

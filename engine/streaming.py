@@ -82,9 +82,9 @@ def media_features_stream(media: DataFrame) -> DataFrame:
     feature fn as batch (engine/ops/media.build_media_features) over a
     streaming media frame — the kernels don't know the plan is
     streaming, exactly like extracted_stream. Map-only, so no
-    watermark/state is needed; pair it with foreachBatch +
-    engine/ops/media.image_neardup_pairs against a persisted hash
-    table for incremental perceptual dedup of a media crawl."""
+    watermark/state is needed; media_neardup_stream below builds the
+    incremental perceptual dedup on top of it (band-join against a
+    persisted hash table)."""
     from engine.ops.media import MEDIA_FEATURES_DDL, _features_batches
 
     return media.select("media_id", "payload").mapInPandas(
@@ -116,6 +116,98 @@ def start_media_features_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def media_neardup_stream(
+    media: DataFrame,
+    static_bands: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """Incremental perceptual near-dup for a media crawl (r5, VERDICT
+    r4 next #8): arriving assets' ahash band slices join a STATIC
+    band index (engine/ops/media.media_hash_bands, persisted to
+    storage), emitting (media_id, matched_id, hamming) — the media
+    twin of neardup_stream's text shape.
+
+    Stream-static inner equi-join on (band, bh): each micro-batch
+    joins only the NEW assets' bands against the index, never corpus
+    x corpus. Unlike the minhash twin, both sides carry the full
+    64-bit hash, so the exact hamming distance is computed in the
+    join and filtered to max_hamming — candidate recall keeps the
+    pigeonhole guarantee while the emitted pairs are exact, identical
+    to batch image_neardup_pairs on the same assets (pinned in
+    tests/test_streaming.py). Band-collision multiplicity is deduped
+    per micro-batch in the foreachBatch sink (the media schema has no
+    event time to watermark on; a file-sourced asset arrives exactly
+    once, so cross-batch duplicates cannot occur)."""
+    from engine.ops.dedup import hash64_bands
+
+    feats = media_features_stream(media)
+    new_bands = hash64_bands(
+        feats.filter(F.col("ahash").isNotNull()).select(
+            F.col("media_id").alias("doc_id"), F.col("ahash").alias("sim")
+        ),
+        n_bands=n_bands,
+        bits_per_band=bits_per_band,
+    )
+    matches = (
+        new_bands.join(
+            static_bands.select(
+                F.col("doc_id").alias("matched_id"),
+                F.col("sim").alias("sim_m"),
+                "band",
+                "bh",
+            ),
+            ["band", "bh"],
+        )
+        .filter(F.col("doc_id") != F.col("matched_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim").bitwiseXOR(F.col("sim_m"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return matches.select(
+        F.col("doc_id").alias("media_id"), "matched_id", "hamming"
+    )
+
+
+def start_media_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    static_bands: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous perceptual screening of a media drop against the
+    persisted hash index: per-batch idempotent parquet (batch_id-
+    keyed overwrite, the D6 discipline), pairs deduped WITHIN the
+    batch (band-collision multiplicity)."""
+    from engine.synth.mediagen import MEDIA_SCHEMA_DDL
+
+    media = (
+        spark.readStream.schema(MEDIA_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    matches = media_neardup_stream(media, static_bands)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(["media_id", "matched_id"]).write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/batch_id={batch_id}")
+
+    w = (
+        matches.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def windowed_metrics(extracted: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -71,6 +71,13 @@ def main() -> None:
         help="stream-vs-stream near-dup: every arriving page is checked "
         "against all previously streamed pages (growing state index)",
     )
+    p.add_argument(
+        "--media-neardup-index",
+        default=None,
+        help="static perceptual-hash band table (parquet, from "
+        "engine/ops/media.media_hash_bands); switches the input to a "
+        "MEDIA drop and screens arriving assets' ahashes against it",
+    )
     args = p.parse_args()
     modes = [
         m
@@ -78,6 +85,7 @@ def main() -> None:
             ("--vectors", args.vectors),
             ("--neardup-index", bool(args.neardup_index)),
             ("--neardup-incremental", args.neardup_incremental),
+            ("--media-neardup-index", bool(args.media_neardup_index)),
         )
         if on
     ]
@@ -104,6 +112,17 @@ def main() -> None:
         q = start_incremental_neardup_stream(
             spark,
             args.input,
+            args.output,
+            args.checkpoint,
+            available_now=args.once,
+        )
+    elif args.media_neardup_index:
+        from engine.streaming import start_media_neardup_stream
+
+        q = start_media_neardup_stream(
+            spark,
+            args.input,
+            spark.read.parquet(args.media_neardup_index),
             args.output,
             args.checkpoint,
             available_now=args.once,
