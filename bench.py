@@ -433,6 +433,93 @@ def main() -> None:
 
     timed("frontier_pipeline", run_frontier)
 
+    # ANN build+query quality/latency (VERDICT r4 next #6): the full
+    # jobs/ann.py surface — IVF-exact and IVF-PQ/ADC arms over the
+    # bench embeddings — with recall@10 against driver-side numpy
+    # brute force (2000x64 is codebook-sized; the brute pass is the
+    # ORACLE here, not a timed contestant). The jobs print their own
+    # JSON result lines, so stdout is redirected: bench.py's contract
+    # is ONE line.
+    ann_info: dict = {}
+
+    def run_ann():
+        import contextlib
+        import shutil
+        import tempfile
+        import types
+
+        import numpy as np
+
+        from jobs.ann import run as ann_run
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+        base = tempfile.mkdtemp(prefix="bench_ann_")
+        queries_path = os.path.join(base, "queries")
+        emb.orderBy("vec_id").limit(50).write.parquet(queries_path)
+
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        order = np.argsort(ids, kind="stable")
+        qsel = order[:50]  # same rows as the LIMIT above (vec_id asc)
+
+        def brute_top10(qi):
+            sims = Xn @ Xn[qi]
+            # score desc, id asc — the job's exact tie-break
+            top = sorted(zip(-sims, ids))[:10]
+            return {int(i) for _, i in top}
+
+        truth = {int(ids[qi]): brute_top10(qi) for qi in qsel}
+
+        def arm(name, build_args, query_args):
+            out = os.path.join(base, name)
+            with contextlib.redirect_stdout(
+                open(os.devnull, "w")
+            ):
+                t0 = time.monotonic()
+                ann_run(types.SimpleNamespace(
+                    cmd="build", input=f"{sf_dir}/embeddings.parquet",
+                    output=out, id_col="vec_id", vec_col="embedding",
+                    master=f"local[{cpus}]", **build_args,
+                ))
+                build_s = time.monotonic() - t0
+                t0 = time.monotonic()
+                ann_run(types.SimpleNamespace(
+                    cmd="query", input=None, output=out,
+                    queries=queries_path, id_col="vec_id",
+                    vec_col="embedding", topk=10,
+                    master=f"local[{cpus}]", **query_args,
+                ))
+                query_s = time.monotonic() - t0
+            got = {}
+            for r in spark.read.parquet(os.path.join(out, "results")).collect():
+                got.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+            recall = sum(
+                len(got.get(q, set()) & t) / 10 for q, t in truth.items()
+            ) / len(truth)
+            ann_info[name] = {
+                "build_s": round(build_s, 3),
+                "query_s": round(query_s, 3),
+                "recall_at_10": round(recall, 4),
+            }
+
+        arm(
+            "ivf_exact",
+            dict(cells=64, store_vectors=True, pq_m=None),
+            dict(nprobe=8, mode="exact"),
+        )
+        arm(
+            "ivf_pq_adc",
+            dict(cells=64, store_vectors=False, pq_m=8),
+            dict(nprobe=8, mode="adc"),
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+    timed("ann_pipeline", run_ann)
+
     docs_per_sec = round(n_docs_holder["n"] / timings["extract_pipeline"], 1)
     out = {
         "metric": "extraction_throughput_docs_per_sec",
@@ -444,6 +531,7 @@ def main() -> None:
         "n_docs_extracted": n_docs_holder["n"],
         "cpus": cpus,
         "extract_samples": extract_samples,
+        "ann": ann_info,
         "headline_stat": "best-of-3 load-gated (median alongside); per-run host-steal disclosed",
     }
     print(json.dumps(out))

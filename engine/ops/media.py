@@ -92,7 +92,7 @@ def build_media_features(media: DataFrame, num_partitions: int | None = None) ->
 def _frames_batches(hop: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from engine.kernels.multimodal import (
-            decode_wav_pcm16,
+            decode_wav_samples,
             frame_sample,
             sniff_media,
         )
@@ -104,7 +104,7 @@ def _frames_batches(hop: int):
                 if sniff_media(raw) != "wav":
                     continue
                 try:
-                    samples = decode_wav_pcm16(raw)
+                    samples = decode_wav_samples(raw)
                 except Exception:
                     continue
                 for ix, energy in frame_sample(samples, hop):
@@ -238,7 +238,7 @@ def build_audio_fingerprints(
     whole media table can be passed. One map-only Arrow pass; sim is
     MSB-folded signed (the ahash convention — XOR hamming is mask-
     invariant, so banding needs no undo)."""
-    from engine.kernels.multimodal import audio_fingerprint64, decode_wav_pcm16
+    from engine.kernels.multimodal import audio_fingerprint64, decode_wav_samples
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,7 +247,7 @@ def build_audio_fingerprints(
                 if raw is None:
                     continue
                 try:
-                    samples = decode_wav_pcm16(bytes(raw))
+                    samples = decode_wav_samples(bytes(raw))
                 except Exception:
                     continue
                 fp = audio_fingerprint64(samples, hop=hop)

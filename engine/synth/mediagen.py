@@ -84,6 +84,92 @@ def make_wav_pcm16(seed: int, i: int, n_samples: int = 2000) -> bytes:
     )
 
 
+def _wav_container(fmt_chunk: bytes, data: bytes) -> bytes:
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_chunk))
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def linear_to_mulaw(pcm: int) -> int:
+    """G.711 mu-law compression of one linear sample — the fixture-
+    side inverse of engine/kernels/multimodal._mulaw_to_linear
+    (pinned bijective on all 256 code points in tests)."""
+    sign = 0x80 if pcm < 0 else 0
+    if pcm < 0:
+        pcm = -pcm
+    pcm = min(pcm, 32635) + 0x84
+    exponent = pcm.bit_length() - 8  # pcm >= 0x84 so >= 0
+    mantissa = (pcm >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def linear_to_alaw(pcm: int) -> int:
+    """G.711 A-law compression (sign bit SET means positive; output
+    XOR 0x55 masked)."""
+    sign = 0x80 if pcm >= 0 else 0
+    if pcm < 0:
+        pcm = -pcm
+    pcm = min(pcm, 32767)
+    if pcm >= 256:
+        exponent = pcm.bit_length() - 8  # 1..7
+        mantissa = (pcm >> (exponent + 3)) & 0x0F
+        b = (exponent << 4) | mantissa
+    else:
+        b = pcm >> 4
+    return (b | sign) ^ 0x55
+
+
+def _triangle_wave(seed: int, i: int, n_samples: int) -> list[int]:
+    rng = _Rng(seed, i)
+    period = 20 + (rng.next() % 80)
+    amp = 4000 + (rng.next() % 20000)
+    samples = []
+    for t in range(n_samples):
+        phase = t % period
+        half = period // 2
+        v = (phase * 2 * amp) // max(1, half) - amp if phase < half else (
+            amp - ((phase - half) * 2 * amp) // max(1, period - half)
+        )
+        samples.append(max(-32768, min(32767, v)))
+    return samples
+
+
+def make_wav_mulaw(seed: int, i: int, n_samples: int = 2000) -> bytes:
+    """G.711 mu-law WAV (format code 7) of the SAME triangle wave as
+    make_wav_pcm16 — log-companded, so the energy-delta audio
+    fingerprint must pair it with the PCM16 original at hamming 0."""
+    samples = _triangle_wave(seed, i, n_samples)
+    data = bytes(linear_to_mulaw(s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    return _wav_container(fmt, data)
+
+
+def make_wav_alaw(seed: int, i: int, n_samples: int = 2000) -> bytes:
+    """G.711 A-law WAV (format code 6), same wave family."""
+    samples = _triangle_wave(seed, i, n_samples)
+    data = bytes(linear_to_alaw(s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    return _wav_container(fmt, data)
+
+
+def make_wav_float32(seed: int, i: int, n_samples: int = 2000) -> bytes:
+    """IEEE float32 WAV (format code 3), same wave scaled to [-1,1]
+    by 32767 — the decoder's pinned floor(x*32767+0.5) rounding makes
+    the round-trip sample-exact vs the PCM16 original."""
+    samples = _triangle_wave(seed, i, n_samples)
+    data = struct.pack(f"<{n_samples}f", *[s / 32767.0 for s in samples])
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    return _wav_container(fmt, data)
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body) + 8) + btype + body
 
@@ -143,7 +229,15 @@ def make_media_row(seed: int, i: int) -> tuple[int, str, str, bytes, int]:
 
         kind, payload = "gif", make_gif_gray(seed, i)
     elif r < 0.80:
-        kind, payload = "wav", make_wav_pcm16(seed, i)
+        # WAV rotates the four formula-defined codecs (r5): PCM16 /
+        # G.711 mu-law / G.711 A-law / IEEE float32 — all real decodes
+        kind = "wav"
+        payload = (
+            make_wav_pcm16,
+            make_wav_mulaw,
+            make_wav_alaw,
+            make_wav_float32,
+        )[i % 4](seed, i)
     elif r < 0.90:  # REAL JPEG (decodable since r4; progressive r5):
         # gray baseline / YCbCr-4:2:0-with-restarts / progressive gray
         # / progressive 4:2:0 rotate, so every generated corpus

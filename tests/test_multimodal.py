@@ -138,7 +138,9 @@ def test_media_features_spark(spark, media_df):
     assert by_kind.get("png", 0) > 50 and by_kind.get("wav", 0) > 30
     ok = feats[feats.decode_status == "ok"]
     assert (ok[ok.kind == "png"].width == 32).all()
-    assert (ok[ok.kind == "wav"].sample_rate == 16000).all()
+    # r5: wav rotates pcm16/float32 (16 kHz) and G.711 (8 kHz)
+    assert set(ok[ok.kind == "wav"].sample_rate.unique()) == {8000.0, 16000.0}
+    assert (ok[ok.kind == "wav"].n_samples == 2000).all()
     # jpeg decodes for real since r4: every generated jpeg is ok,
     # hashed, and full-size
     jp = feats[feats.kind == "jpeg"]
@@ -624,3 +626,83 @@ def test_media_job_end_to_end(spark, tmp_path):
     assert set(pairs.columns) == {"media_a", "media_b", "hamming"}
     assert res["image_pairs"] == pairs.count()
     assert res["frames"] > 0 and res["thumbs"] > 0
+
+
+def test_g711_and_float_wav_decode():
+    """r5 audio widening (in lieu of MP3 sample decode — see the
+    module docstring's honest-scope note): the WAV format codes that
+    are FORMULA-defined by public spec decode for real. G.711
+    expansion/compression round-trips every code point (the sole
+    exception is mu-law 0x7F, the spec's -0 alias of 0xFF — both
+    decode to 0 and the canonical encoder emits +0); float32 WAVs of
+    a [-1,1]-scaled PCM16 wave decode SAMPLE-EXACT under the pinned
+    floor(x*32767+0.5) rule."""
+    from engine.kernels.multimodal import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+        decode_wav_samples,
+    )
+    from engine.synth.mediagen import (
+        _triangle_wave,
+        linear_to_alaw,
+        linear_to_mulaw,
+        make_wav_alaw,
+        make_wav_float32,
+        make_wav_mulaw,
+        make_wav_pcm16,
+    )
+
+    assert all(
+        linear_to_mulaw(_mulaw_to_linear(b)) == b
+        for b in range(256)
+        if b != 0x7F
+    )
+    assert _mulaw_to_linear(0x7F) == 0 and linear_to_mulaw(0) == 0xFF
+    assert all(linear_to_alaw(_alaw_to_linear(b)) == b for b in range(256))
+    # decode is odd-symmetric-ish and spans the G.711 ranges
+    assert max(_mulaw_to_linear(b) for b in range(256)) == 32124
+    assert min(_mulaw_to_linear(b) for b in range(256)) == -32124
+
+    src = _triangle_wave(42, 5, 2000)
+    assert decode_wav_samples(make_wav_pcm16(42, 5)) == src
+    assert decode_wav_samples(make_wav_float32(42, 5)) == src
+    # companded decodes approximate the wave within G.711 step sizes
+    mu = decode_wav_samples(make_wav_mulaw(42, 5))
+    al = decode_wav_samples(make_wav_alaw(42, 5))
+    assert len(mu) == len(al) == len(src)
+    assert max(abs(a - b) for a, b in zip(mu, src)) < 1024
+    assert max(abs(a - b) for a, b in zip(al, src)) < 1024
+
+
+def test_audio_fingerprint_cross_codec_hamming_zero():
+    """The energy-delta fingerprint must be invariant across codecs
+    of the SAME wave: PCM16 vs mu-law vs A-law vs float32 fingerprint
+    at hamming 0 (log companding preserves energy-delta signs), and
+    media_features decodes all four with status ok."""
+    from engine.kernels.multimodal import (
+        audio_fingerprint64,
+        decode_wav_samples,
+    )
+    from engine.synth.mediagen import (
+        make_wav_alaw,
+        make_wav_float32,
+        make_wav_mulaw,
+        make_wav_pcm16,
+    )
+
+    f0 = audio_fingerprint64(decode_wav_samples(make_wav_pcm16(42, 5)))
+    for mk in (make_wav_mulaw, make_wav_alaw, make_wav_float32):
+        f = audio_fingerprint64(decode_wav_samples(mk(42, 5)))
+        assert bin(f0 ^ f).count("1") == 0, mk.__name__
+        feat = mm.media_features(mk(42, 9))
+        assert feat["kind"] == "wav" and feat["decode_status"] == "ok"
+    # stereo and exotic formats still fold into the typed stub
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    stereo = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", 0)
+    )
+    assert mm.media_features(stereo)["decode_status"].startswith("stub:")
