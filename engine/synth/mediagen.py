@@ -5,8 +5,10 @@ any executor.
 
 Mix: ~40% PNG (gray-8, really decodable by the kernel), ~5% GIF
 (87a/89a gray, really decodable since r4, interlaced 1-in-3), ~35% WAV
-(PCM16 mono, really decodable), ~10% REAL baseline JPEG (decodable
-since r4 — gray and YCbCr 4:2:0 w/ restart markers alternate), ~5%
+(rotating the four really-decodable formula-defined codecs since r5:
+PCM16 / G.711 mu-law / G.711 A-law / IEEE float32, all mono), ~10%
+REAL JPEG (rotating all four decoder paths since r5: gray baseline /
+YCbCr 4:2:0 w/ restarts / progressive gray / progressive 4:2:0), ~5%
 MP4 stubs, ~5% garbage. Pixel/sample content is integer-only (no
 libm; the JPEG DCT is fixed-order float64 rounded to uint8) so bytes
 are identical across platforms; PNG compressed bytes depend on the
