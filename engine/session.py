@@ -6,6 +6,26 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def sweep_dead_spill_dirs(base: str) -> list[str]:
+    """Remove per-PID tmpfs spill dirs whose owning process is gone
+    (uncleanly-died JVMs leak them; on tmpfs the leak is RAM — see
+    the SPARK_GRAFT_TMPFS note in get_spark). Returns the swept dir
+    names; total on any filesystem state."""
+    import os
+    import shutil
+
+    swept = []
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return swept
+    for d in entries:
+        if d.isdigit() and not os.path.exists(f"/proc/{d}"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            swept.append(d)
+    return swept
+
+
 def get_spark(
     master: str = "local[*]",
     app_name: str = "webtext-engine",
@@ -60,7 +80,16 @@ def get_spark(
     if os.environ.get("SPARK_LOCAL_DIRS"):
         b = b.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS"])
     elif os.environ.get("SPARK_GRAFT_TMPFS") == "1":
-        b = b.config("spark.local.dir", "/dev/shm/spark-local")
+        # Per-PID dir + stale-sibling sweep (r5): tmpfs shuffle files
+        # leak when a JVM dies uncleanly (OOM-kill, SIGKILL mid-run),
+        # and because tmpfs IS RAM the leaks silently shrink the
+        # memory every LATER run gets — observed at 97 GB of
+        # accumulated dead-session spill during the r5 500k rehearsal
+        # (the proximate cause of its first OOM). A dir is reclaimed
+        # when its owning pid no longer exists.
+        base = "/dev/shm/spark-local"
+        sweep_dead_spill_dirs(base)
+        b = b.config("spark.local.dir", f"{base}/{os.getpid()}")
     if rocksdb_state:
         b = b.config(
             "spark.sql.streaming.stateStore.providerClass",

@@ -104,7 +104,14 @@ def rehearse(n_pages: int, out_dir: str) -> dict:
         "--master", f"local[{cpus}]", "--shuffle-partitions", str(cpus),
         *FLAGS,
     ]
-    env = dict(os.environ, SPARK_GRAFT_TMPFS="1")
+    # DISK shuffle, deliberately NOT the bench tmpfs opt-in: the
+    # 12-stage job's shuffle volume at 500k pages exceeds what
+    # tmpfs(=RAM) can absorb next to a 24g-heap JVM — the first 500k
+    # attempt global-OOM'd inside substrdedup exactly this way, which
+    # is the production-relevant lesson (shuffle belongs on disk for
+    # multi-stage jobs; tmpfs is a micro-bench trick for short timed
+    # windows).
+    env = {k: v for k, v in os.environ.items() if k != "SPARK_GRAFT_TMPFS"}
     t_start = time.monotonic()
     proc = subprocess.Popen(
         cmd,

@@ -56,3 +56,26 @@ def test_corpus_partitions_uniform_and_content_invariant(spark):
     a = {r["url"]: r["warc_ts"] for r in gen_pages_df(spark, 60, partitions=3).collect()}
     b = {r["url"]: r["warc_ts"] for r in gen_pages_df(spark, 60, partitions=11).collect()}
     assert a == b
+
+
+def test_sweep_dead_spill_dirs(tmp_path):
+    """r5: tmpfs spill dirs of dead PIDs are reclaimed, live ones and
+    non-PID names are untouched (the 97GB-leak lesson from the 500k
+    rehearsal — dead-session tmpfs spill is a RAM leak)."""
+    import os
+
+    from engine.session import sweep_dead_spill_dirs
+
+    base = tmp_path / "spill"
+    base.mkdir()
+    (base / "99999999").mkdir()  # max pid is below this on linux
+    (base / "99999999" / "shuffle.data").write_bytes(b"x" * 10)
+    (base / str(os.getpid())).mkdir()  # live: must survive
+    (base / "not-a-pid").mkdir()  # never touched
+    swept = sweep_dead_spill_dirs(str(base))
+    assert swept == ["99999999"]
+    assert not (base / "99999999").exists()
+    assert (base / str(os.getpid())).exists()
+    assert (base / "not-a-pid").exists()
+    # total on a missing base
+    assert sweep_dead_spill_dirs(str(tmp_path / "missing")) == []
