@@ -28,8 +28,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# --substr-w is env-overridable (REHEARSE_SUBSTR_W): the r5 rehearsal
+# measured ExactSubstr's transient spill at 500k pages as > 66 GB —
+# beyond this sandbox's disk — so the 5x ladder runs the OTHER 11
+# stages with it off (0) while the 2x 100k->200k ladder covers it.
 FLAGS = [
-    "--respect-noindex", "--fix-lines", "--substr-w", "50",
+    "--respect-noindex", "--fix-lines",
+    "--substr-w", os.environ.get("REHEARSE_SUBSTR_W", "50"),
     "--gopher-repetition", "--compression-min", "0.20",
     "--compression-max", "0.98", "--drop-code",
     "--lm-filter", "--lm-pct", "90",
@@ -92,16 +97,18 @@ def _tree_rss(root: int) -> dict:
     return out
 
 
-def rehearse(n_pages: int, out_dir: str) -> dict:
+def rehearse(n_pages: int, out_dir: str, resume: bool = False) -> dict:
     pages = os.path.join(REPO, "data", f"bench_pages_{n_pages}")
     if not os.path.exists(os.path.join(pages, "_SUCCESS")):
         raise SystemExit(f"missing corpus {pages} — generate via bench.py")
-    subprocess.run(["rm", "-rf", out_dir], check=True)
+    if not resume:
+        subprocess.run(["rm", "-rf", out_dir], check=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cmd = [
         sys.executable, os.path.join(REPO, "jobs", "corpus.py"),
         "--pages", pages, "--output", out_dir,
         "--master", f"local[{cpus}]", "--shuffle-partitions", str(cpus),
+        *(["--resume"] if resume else []),
         *FLAGS,
     ]
     # DISK shuffle, deliberately NOT the bench tmpfs opt-in: the
@@ -150,10 +157,19 @@ def rehearse(n_pages: int, out_dir: str) -> dict:
     th = threading.Thread(target=sampler, daemon=True)
     th.start()
     tail: list[str] = []
+    markers: list[str] = []  # root-cause lines survive the tail cap
+    import re
+
+    marker_re = re.compile(
+        r"No space left|OutOfMemory|Killed|Caused by|SparkException|"
+        r"FileNotFoundException|FetchFailed"
+    )
     for line in proc.stdout:
         tail.append(line)
-        if len(tail) > 50:
+        if len(tail) > 200:
             tail.pop(0)
+        if marker_re.search(line) and len(markers) < 40:
+            markers.append(line.strip())
     rc = proc.wait()
     stop.set()
     th.join(5)
@@ -182,6 +198,7 @@ def rehearse(n_pages: int, out_dir: str) -> dict:
         "stages": stages,
         "stage_order": stage_order,
         "tail": "".join(tail[-8:]) if rc != 0 else None,
+        "error_markers": markers or None,
     }
     with open(os.path.join(out_dir, "rehearsal.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -221,4 +238,7 @@ if __name__ == "__main__":
     if sys.argv[1] == "--compare":
         compare(sys.argv[2], sys.argv[3], float(sys.argv[4]))
     else:
-        rehearse(int(sys.argv[1]), sys.argv[2])
+        rehearse(
+            int(sys.argv[1]), sys.argv[2],
+            resume="--resume" in sys.argv[3:],
+        )
