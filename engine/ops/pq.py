@@ -11,9 +11,11 @@ fraction of the footprint and still answer top-k.
 
 Spark-first shape:
 
-  * training reuses engine/ops/kmeans.train_codebook once per
-    subspace over the SAME deterministic hash-sample discipline —
-    m small k-means problems, never a corpus-sized one.
+  * training runs all m sub-quantizer Lloyd problems JOINTLY over
+    one shared deterministic hash-sample (r5): one mapInPandas pass
+    per iteration computes every active subspace's partials, so the
+    job count is O(max_iter), not O(m * max_iter) — bit-identical
+    books to the former per-subspace kmeans.train_codebook path.
   * encoding is MAP-ONLY (codebooks ride in the UDF closure, one BLAS
     matmul per subspace per Arrow batch — the assign_cells shape).
   * ADC search: queries broadcast as per-query lookup tables (m x k
@@ -34,9 +36,41 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from engine.ops.kmeans import train_codebook
-
 ADC_DDL = "qid long, vec_id long, dist double"
+
+PQ_PARTIAL_DDL = "j int, cid int, n long, sum_vec array<double>"
+
+
+def _pq_partials_fn(Cs: list, dsub: int, active: list):
+    """mapInPandas over the FULL-vector training sample: per batch,
+    assign every ACTIVE subspace's slice to its codebook (one matmul
+    each) and emit (j, cid, n, sum_vec) partials — the joint-pass
+    twin of kmeans._partials_fn. Same ||c||^2 - 2 m.c argmin proxy
+    (see that function's bias note)."""
+    c2s = [
+        (C * C).sum(axis=1)[None, :] if active[j] else None
+        for j, C in enumerate(Cs)
+    ]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["_vec"]), dtype=np.float64)
+            rows = []
+            for j, C in enumerate(Cs):
+                if not active[j]:
+                    continue
+                Mj = M[:, j * dsub : (j + 1) * dsub]
+                cid = np.argmin(c2s[j] - 2.0 * (Mj @ C.T), axis=1)
+                for c in np.unique(cid):
+                    sel = Mj[cid == c]
+                    rows.append(
+                        (j, int(c), len(sel), sel.sum(axis=0).tolist())
+                    )
+            yield pd.DataFrame(rows, columns=["j", "cid", "n", "sum_vec"])
+
+    return fn
 
 
 def adc_lut(Q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -107,15 +141,23 @@ def train_pq(
     array (m, k, d/m). Requires d % m == 0 (standard PQ constraint).
 
     The corpus is counted and hash-sampled ONCE (the sample is
-    localCheckpointed); each subspace training slices ITS columns off
-    that one sample and runs with sample_fraction=1.0 — m Lloyd
-    problems over one shared sample, never m corpus scans (review r3:
-    the per-subspace train_codebook calls each re-sampled the corpus
-    before this)."""
+    localCheckpointed), and — r5 — all m Lloyd problems run JOINTLY:
+    each iteration is ONE mapInPandas pass over the shared sample
+    computing every active subspace's partials (m small matmuls per
+    batch), instead of m independent trainings of max_iter passes
+    each. Spark-job count drops from O(m * max_iter) to
+    O(max_iter), which removes ~m x the per-job scheduling floor at
+    bench scale and m x the sample scans at corpus scale. Converged
+    subspaces freeze (their slice stops being computed), so each
+    book's trajectory — init hash/salt, per-iteration float
+    accumulation order, tol stop — is BIT-IDENTICAL to the former
+    per-subspace train_codebook path (pinned in tests/test_pq.py)."""
+    tol = 1e-6  # train_codebook's default, kept for parity
     d = int(vecs.select(F.size(vec_col)).limit(1).collect()[0][0])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
+    from engine.ops.kmeans import _DENOM
     from engine.ops.sample import hash_sample
 
     n_total = vecs.count()
@@ -124,28 +166,77 @@ def train_pq(
     frac = min(1.0, 1.2 * (k * sample_per_centroid) / n_total)
     sample = (
         hash_sample(vecs, frac, id_col=id_col, salt="pq")
-        .select(id_col, vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+        )
         .localCheckpoint(eager=True)
     )
-    books = []
-    for j in range(m):
-        sub = sample.select(
-            F.col(id_col),
-            # F.slice is 1-based
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+    n_sample = sample.count()
+    if n_sample < k:
+        raise ValueError(
+            f"sample of {n_sample} rows cannot fit k={k} centroids; "
+            "raise sample_per_centroid"
         )
+
+    # per-subspace init: same deterministic hash order and salt as
+    # the per-subspace path (salt f"pq{j}"), vectors sliced to the
+    # subspace columns. All m hash orders ride ONE collect (the
+    # training sample is k*spc-bounded by construction); the hashes
+    # must stay Spark-side (xxhash64 is the pinned init order).
+    init_rows = sample.select(
+        "_id",
+        "_vec",
+        *[
+            F.pmod(
+                F.xxhash64(
+                    F.col("_id").cast("string"), F.lit(f"pq{j}_init")
+                ),
+                F.lit(_DENOM),
+            ).alias(f"_h{j}")
+            for j in range(m)
+        ],
+    ).collect()
+    books: list[np.ndarray] = []
+    for j in range(m):
+        order = sorted(init_rows, key=lambda r: (r[f"_h{j}"], r["_id"]))
         books.append(
-            train_codebook(
-                sub,
-                k=k,
-                vec_col=vec_col,
-                id_col=id_col,
-                max_iter=max_iter,
-                salt=f"pq{j}",
-                sample_fraction=1.0,
+            np.array(
+                [r["_vec"][j * dsub : (j + 1) * dsub] for r in order[:k]],
+                dtype=np.float64,
             )
         )
-    return np.stack(books)
+
+    active = [True] * m
+    for _ in range(max_iter):
+        if not any(active):
+            break
+        partials = sample.mapInPandas(
+            _pq_partials_fn(books, dsub, list(active)), PQ_PARTIAL_DDL
+        ).collect()
+        sums = [np.zeros_like(books[j]) for j in range(m)]
+        counts = [np.zeros(k, dtype=np.int64) for j in range(m)]
+        for r in partials:
+            sums[r["j"]][r["cid"]] += np.asarray(
+                r["sum_vec"], dtype=np.float64
+            )
+            counts[r["j"]][r["cid"]] += r["n"]
+        for j in range(m):
+            if not active[j]:
+                continue
+            newC = books[j].copy()  # empty cell keeps its centroid
+            nz = counts[j] > 0
+            newC[nz] = sums[j][nz] / counts[j][nz, None]
+            shift = float(
+                np.sqrt(((newC - books[j]) ** 2).sum(axis=1)).max()
+            )
+            books[j] = newC
+            if shift < tol:
+                active[j] = False
+    # canonical order per book (train_codebook's contract)
+    return np.stack(
+        [B[np.argsort(B[:, 0], kind="stable")] for B in books]
+    )
 
 
 def pq_encode(

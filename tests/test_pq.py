@@ -126,3 +126,53 @@ def test_end_to_end_on_real_embeddings(spark):
     # compare against the exact set allowing that
     overlap = len((approx - {0}) & exact)
     assert overlap >= 3, (sorted(approx), sorted(exact))
+
+
+def test_train_pq_joint_equals_per_subspace_training(spark):
+    """r5: the joint one-pass-per-iteration trainer must produce
+    BIT-IDENTICAL books to the former per-subspace path (m separate
+    kmeans.train_codebook runs over slices of the same sample) — the
+    refactor is a job-count optimization, not a semantics change."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from engine.ops.kmeans import train_codebook
+    from engine.ops.pq import train_pq
+    from engine.ops.sample import hash_sample
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    m, k = 4, 16
+    B = train_pq(vecs, m=m, k=k, sample_per_centroid=16)
+
+    # the former implementation, verbatim shape
+    d = int(vecs.select(F.size("embedding")).limit(1).collect()[0][0])
+    dsub = d // m
+    n_total = vecs.count()
+    frac = min(1.0, 1.2 * (k * 16) / n_total)
+    sample = (
+        hash_sample(vecs, frac, id_col="vec_id", salt="pq")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    books = []
+    for j in range(m):
+        sub = sample.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), j * dsub + 1, dsub).alias(
+                "embedding"
+            ),
+        )
+        books.append(
+            train_codebook(
+                sub,
+                k=k,
+                vec_col="embedding",
+                id_col="vec_id",
+                max_iter=15,
+                salt=f"pq{j}",
+                sample_fraction=1.0,
+            )
+        )
+    assert np.array_equal(B, np.stack(books))
